@@ -1,0 +1,131 @@
+"""Batched Hermite curves (animation keyframe tracks).
+
+Equivalent of fyrox-math/src/curve.rs, re-designed as padded SoA arrays so
+thousands of curves can be sampled in one vectorized op:
+
+    times  [C, K]  key locations (padded by repeating the last key)
+    values [C, K]  key values
+    kinds  [C, K]  0=Constant, 1=Linear, 2=Cubic   (curve.rs:34)
+    lt/rt  [C, K]  left/right tangents for Cubic keys
+    n_keys [C]     actual key counts
+
+Semantics match the reference exactly (validated by golden tests):
+  * clamp to first/last value outside the key range (curve.rs:272-278)
+  * interpolation dispatch on (left.kind, right.kind) (curve.rs:87):
+      - left Constant            → step (left value; right only at t==1)
+      - left Linear              → lerp
+      - left Cubic, right !Cubic → cubic with m1 = 0
+      - left Cubic, right Cubic  → cubic(m0=left.right_tangent,
+                                         m1=right.left_tangent)
+  * cubicf tangent scaling by |p1 - p0| (fyrox-math/src/lib.rs:212-221)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["CurveSet", "pack_curves", "sample"]
+
+CONSTANT, LINEAR, CUBIC = 0, 1, 2
+
+
+class CurveSet(NamedTuple):
+    times: jnp.ndarray    # [C, K] f32
+    values: jnp.ndarray   # [C, K] f32
+    kinds: jnp.ndarray    # [C, K] i32
+    lt: jnp.ndarray       # [C, K] f32 left tangents
+    rt: jnp.ndarray       # [C, K] f32 right tangents
+    n_keys: jnp.ndarray   # [C] i32
+
+
+def pack_curves(curves, max_keys=None, dtype=np.float32) -> CurveSet:
+    """Host-side packing. `curves` is a list of key lists; each key is a dict
+    with `time`, `value`, optional `kind` (0/1/2), `lt`, `rt`."""
+    n = len(curves)
+    k = max(max(len(c) for c in curves) if curves else 1, 1)
+    if max_keys is not None:
+        k = max(k, max_keys)
+    times = np.zeros((n, k), dtype)
+    values = np.zeros((n, k), dtype)
+    kinds = np.full((n, k), LINEAR, np.int32)
+    lt = np.zeros((n, k), dtype)
+    rt = np.zeros((n, k), dtype)
+    n_keys = np.zeros((n,), np.int32)
+    for i, keys in enumerate(curves):
+        keys = sorted(keys, key=lambda kk: kk["time"])
+        n_keys[i] = len(keys)
+        for j, key in enumerate(keys):
+            times[i, j] = key["time"]
+            values[i, j] = key["value"]
+            kinds[i, j] = key.get("kind", LINEAR)
+            lt[i, j] = key.get("lt", 0.0)
+            rt[i, j] = key.get("rt", 0.0)
+        # pad with the last key so clamping/gather stay in range
+        if len(keys) > 0:
+            times[i, len(keys):] = times[i, len(keys) - 1]
+            values[i, len(keys):] = values[i, len(keys) - 1]
+    return CurveSet(*(jnp.asarray(a) for a in (times, values, kinds, lt, rt, n_keys)))
+
+
+def _cubicf(p0, p1, t, m0, m1):
+    """Hermite basis with the reference's |Δ| tangent scaling (lib.rs:212)."""
+    t2 = t * t
+    t3 = t2 * t
+    scale = jnp.abs(p1 - p0)
+    return ((2.0 * t3 - 3.0 * t2 + 1.0) * p0
+            + (t3 - 2.0 * t2 + t) * m0 * scale
+            + (-2.0 * t3 + 3.0 * t2) * p1
+            + (t3 - t2) * m1 * scale)
+
+
+def sample(cs: CurveSet, t):
+    """Sample every curve at time(s) t.
+
+    t: scalar, [C], or [..., C] → returns values of matching shape [..., C].
+    """
+    t = jnp.asarray(t, cs.times.dtype)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, (cs.times.shape[0],))
+    K = cs.times.shape[-1]
+    key_idx = jnp.arange(K, dtype=jnp.int32)
+    valid = key_idx[None, :] < cs.n_keys[:, None]          # [C, K]
+
+    # Right key index: first valid key with time > t (the span containing t).
+    # Matches binary-search semantics of fetch_at (curve.rs:299).
+    gt = valid & (cs.times > t[..., None])
+    right = jnp.argmax(gt, axis=-1)                         # 0 when none found
+    n1 = jnp.maximum(cs.n_keys - 1, 0)
+    right = jnp.clip(jnp.where(jnp.any(gt, axis=-1), right, n1), 0, K - 1)
+    left = jnp.maximum(right - 1, 0)
+
+    def g(a, idx):
+        a_b = jnp.broadcast_to(a, t.shape[:-1] + a.shape)
+        idx_b = jnp.broadcast_to(idx, a_b.shape[:-1])
+        return jnp.take_along_axis(a_b, idx_b[..., None], axis=-1)[..., 0]
+
+    lt_time, rt_time = g(cs.times, left), g(cs.times, right)
+    lv, rv = g(cs.values, left), g(cs.values, right)
+    lkind, rkind = g(cs.kinds, left), g(cs.kinds, right)
+    l_rt = g(cs.rt, left)      # left key's right tangent (m0)
+    r_lt = g(cs.lt, right)     # right key's left tangent (m1)
+
+    span = rt_time - lt_time
+    tt = jnp.where(jnp.abs(span) < 1e-20, 0.0, (t - lt_time) / jnp.where(span == 0, 1.0, span))
+
+    step_v = jnp.where(tt >= 1.0, rv, lv)                  # stepf (curve.rs:25)
+    lerp_v = lv + (rv - lv) * tt
+    m1 = jnp.where(rkind == CUBIC, r_lt, 0.0)
+    cubic_v = _cubicf(lv, rv, tt, l_rt, m1)
+    out = jnp.where(lkind == CONSTANT, step_v,
+                    jnp.where(lkind == LINEAR, lerp_v, cubic_v))
+
+    # Clamp outside the key range: first/last raw values (curve.rs:272-278).
+    first_t = cs.times[..., 0]
+    first_v = cs.values[..., 0]
+    last_t = g(cs.times, n1)
+    last_v = g(cs.values, n1)
+    out = jnp.where(t <= first_t, first_v, jnp.where(t >= last_t, last_v, out))
+    # Empty curves sample to 0.
+    return jnp.where(cs.n_keys > 0, out, 0.0)
