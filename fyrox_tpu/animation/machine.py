@@ -1,0 +1,148 @@
+"""Animation Blending State Machine (ABSM), batched.
+
+Equivalent of fyrox-animation/src/machine/ (Machine :195, evaluate_pose
+:347, State, Transition with blend time). Round-1 scope: one layer, states
+whose pose source is a single clip (PlayAnimation pose node), boolean
+transition rules. Blend spaces / N-way blend pose nodes use
+pose.blend_pose and land in a later pass.
+
+The machine is split into:
+  * `MachineTemplate` — static tables (host numpy): state→clip mapping and
+    the transition table (from, to, param, invert, duration).
+  * `MachineState` — per-world arrays: current/source state, blend factor,
+    active transition duration.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from fyrox_tpu.animation import pose as pose_mod
+
+__all__ = ["MachineTemplate", "MachineBuilder", "MachineState",
+           "init_machine_state", "update_machine", "evaluate_pose"]
+
+
+@dataclass
+class MachineTemplate:
+    state_anim: np.ndarray    # [S] clip index driving each state
+    state_names: List[str]
+    entry_state: int
+    t_from: np.ndarray        # [T] int32
+    t_to: np.ndarray          # [T] int32
+    t_param: np.ndarray       # [T] int32 index into the bool parameter vector
+    t_invert: np.ndarray      # [T] bool — fire when parameter is False
+    t_duration: np.ndarray    # [T] f32 blend time (seconds)
+    param_names: List[str] = field(default_factory=list)
+
+    @property
+    def num_states(self):
+        return int(self.state_anim.shape[0])
+
+    @property
+    def num_transitions(self):
+        return int(self.t_from.shape[0])
+
+
+class MachineBuilder:
+    def __init__(self):
+        self._states = []
+        self._transitions = []
+        self._params = []
+        self._entry = 0
+
+    def add_parameter(self, name: str) -> int:
+        self._params.append(name)
+        return len(self._params) - 1
+
+    def add_state(self, name: str, clip: int) -> int:
+        self._states.append((name, int(clip)))
+        return len(self._states) - 1
+
+    def set_entry_state(self, state: int):
+        self._entry = int(state)
+
+    def add_transition(self, src: int, dst: int, param: int,
+                       duration: float = 0.3, invert: bool = False):
+        self._transitions.append((src, dst, param, invert, duration))
+
+    def build(self) -> MachineTemplate:
+        tr = self._transitions
+        return MachineTemplate(
+            state_anim=np.asarray([s[1] for s in self._states], np.int32),
+            state_names=[s[0] for s in self._states],
+            entry_state=self._entry,
+            t_from=np.asarray([t[0] for t in tr], np.int32),
+            t_to=np.asarray([t[1] for t in tr], np.int32),
+            t_param=np.asarray([t[2] for t in tr], np.int32),
+            t_invert=np.asarray([t[3] for t in tr], bool),
+            t_duration=np.asarray([t[4] for t in tr], np.float32),
+            param_names=list(self._params),
+        )
+
+
+class MachineState(NamedTuple):
+    current: jnp.ndarray    # [W] int32 — destination/active state
+    source: jnp.ndarray     # [W] int32 — state being blended away from
+    blend: jnp.ndarray      # [W] f32 in [0,1]; 1 == settled in `current`
+    duration: jnp.ndarray   # [W] f32 — active transition blend time
+
+
+def init_machine_state(mt: MachineTemplate, num_worlds: int) -> MachineState:
+    e = jnp.full((num_worlds,), mt.entry_state, jnp.int32)
+    return MachineState(current=e, source=e,
+                        blend=jnp.ones((num_worlds,), jnp.float32),
+                        duration=jnp.ones((num_worlds,), jnp.float32))
+
+
+def update_machine(mt: MachineTemplate, ms: MachineState, params, dt) -> MachineState:
+    """One machine tick (Machine::evaluate_pose transition handling,
+    machine/layer.rs:590). params: [W, P] bool.
+
+    A world not mid-transition fires the lowest-index enabled transition
+    leaving its current state (the reference checks transitions in
+    definition order). Mid-transition worlds just advance the blend clock.
+    """
+    if mt.num_transitions == 0:
+        return ms
+    w = ms.current.shape[0]
+    t_from = jnp.asarray(mt.t_from)
+    t_to = jnp.asarray(mt.t_to)
+    t_param = jnp.asarray(mt.t_param)
+    t_invert = jnp.asarray(mt.t_invert)
+    t_duration = jnp.asarray(mt.t_duration)
+
+    idle = ms.blend >= 1.0
+    pvals = jnp.take_along_axis(params, jnp.broadcast_to(t_param[None], (w, mt.num_transitions)),
+                                axis=1)                      # [W,T]
+    fire = pvals ^ t_invert[None]
+    match = idle[:, None] & fire & (ms.current[:, None] == t_from[None])
+    any_match = jnp.any(match, axis=1)
+    first = jnp.argmax(match, axis=1)                        # lowest index (argmax of bool)
+
+    new_to = t_to[first]
+    new_dur = jnp.maximum(t_duration[first], 1e-6)
+    source = jnp.where(any_match, ms.current, ms.source)
+    current = jnp.where(any_match, new_to, ms.current)
+    duration = jnp.where(any_match, new_dur, ms.duration)
+    blend = jnp.where(any_match, 0.0, ms.blend)
+
+    # advance the blend clock for transitioning worlds
+    blend = jnp.minimum(blend + dt / duration, 1.0)
+    # settled worlds collapse source → current
+    settled = blend >= 1.0
+    source = jnp.where(settled, current, source)
+    return MachineState(current=current, source=source, blend=blend,
+                        duration=duration)
+
+
+def evaluate_pose(mt: MachineTemplate, ms: MachineState, poses: pose_mod.PoseSet):
+    """Final pose = blend(source_state_pose, current_state_pose, blend)
+    (Transition::blend_factor drives State mixing, machine/mod.rs:347)."""
+    state_anim = jnp.asarray(mt.state_anim)
+    pa = pose_mod.select_anim_pose(poses, state_anim[ms.source])
+    pb = pose_mod.select_anim_pose(poses, state_anim[ms.current])
+    return pose_mod.blend_pose(pa, pb, ms.blend)

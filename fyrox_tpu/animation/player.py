@@ -1,0 +1,56 @@
+"""AnimationPlayer glue: tick clips, sample tracks, apply poses to the scene.
+
+Equivalent of `AnimationPlayer::update` (fyrox-impl/src/scene/animation/
+mod.rs:340): tick the AnimationContainer, apply the resulting pose to graph
+node local transforms. Here it's one pure function over the batched state.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fyrox_tpu.animation import machine as machine_mod
+from fyrox_tpu.animation import pose as pose_mod
+from fyrox_tpu.animation import track as track_mod
+
+__all__ = ["step_player", "step_absm"]
+
+
+def step_player(aset: track_mod.AnimationSet, anim: track_mod.AnimationState,
+                position, rotation, scale, dt):
+    """One AnimationPlayer tick.
+
+    Samples the pose at the *current* clip times, applies it (enabled clips
+    overwrite in order), then advances the clocks — matching the order in
+    Animation::tick (lib.rs:471: update_pose first, then time advance).
+    Returns (new_anim_state, position, rotation, scale).
+    """
+    n_nodes = position.shape[1]
+    sampled = track_mod.sample_tracks(aset, anim)
+    if sampled:
+        poses = pose_mod.build_poses(aset, sampled, n_nodes)
+        position, rotation, scale = pose_mod.apply_overwrite(
+            poses, anim.enabled, position, rotation, scale)
+    anim = track_mod.tick_times(aset, anim, dt)
+    return anim, position, rotation, scale
+
+
+def step_absm(aset: track_mod.AnimationSet, mt: machine_mod.MachineTemplate,
+              anim: track_mod.AnimationState, ms: machine_mod.MachineState,
+              params, position, rotation, scale, dt):
+    """One AnimationBlendingStateMachine tick
+    (scene/animation/absm.rs:311 → Machine::evaluate_pose machine/mod.rs:347).
+
+    params: [W, P] bool rule values. All clips referenced by machine states
+    keep ticking (the reference's machine reads clip times from the player).
+    Returns (anim, machine_state, position, rotation, scale).
+    """
+    n_nodes = position.shape[1]
+    sampled = track_mod.sample_tracks(aset, anim)
+    ms = machine_mod.update_machine(mt, ms, params, dt)
+    if sampled:
+        poses = pose_mod.build_poses(aset, sampled, n_nodes)
+        final = machine_mod.evaluate_pose(mt, ms, poses)
+        position, rotation, scale = pose_mod.apply_pose(
+            final, position, rotation, scale)
+    anim = track_mod.tick_times(aset, anim, dt)
+    return anim, ms, position, rotation, scale
