@@ -1,0 +1,402 @@
+"""Contact generation (narrowphase), batched over candidate pairs.
+
+Replaces parry's narrowphase (external crate; see SURVEY.md §2.10
+[NATIVE-DEP: rapier]). Each kernel takes pair-aligned arrays of collider
+world poses + params and emits a fixed 4-point manifold:
+
+    normal  [..., 3]   from A toward B (world)
+    points  [..., 4, 3] world contact positions
+    depth   [..., 4]   penetration depth (>0 = overlapping); points with
+                       depth > -prediction are 'speculative' per rapier's
+                       prediction_distance semantics
+    active  [..., 4]   bool mask
+
+Pair kinds are canonicalized (type_a <= type_b) by the dispatcher; every
+kernel is evaluated for every pair and the result selected by type — the
+compute-everything-select pattern that keeps the whole narrowphase one
+vectorized program (no per-pair branching under jit).
+
+Supported (round 1): ball-ball, ball-cuboid, ball-capsule, capsule-capsule,
+capsule-cuboid, cuboid-cuboid (SAT + reference-face clipping), and every
+shape vs HALFSPACE. Cylinder/cone currently collide via their capsule
+proxy (TODO: dedicated kernels).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+import jax
+
+from fyrox_tpu.physics import shapes as sh
+
+__all__ = ["Manifold", "generate_contacts"]
+
+_EPS = 1e-9
+
+
+class Manifold(NamedTuple):
+    normal: jnp.ndarray   # [...,3] A→B
+    points: jnp.ndarray   # [...,4,3]
+    depth: jnp.ndarray    # [...,4]
+    active: jnp.ndarray   # [...,4] bool
+
+
+def _mk(normal, pts, depth, active):
+    return Manifold(normal, pts, depth, active)
+
+
+def _empty_like(pos_a):
+    shape = pos_a.shape[:-1]
+    return Manifold(
+        normal=jnp.zeros(shape + (3,), pos_a.dtype),
+        points=jnp.zeros(shape + (4, 3), pos_a.dtype),
+        depth=jnp.full(shape + (4,), -1e9, pos_a.dtype),
+        active=jnp.zeros(shape + (4,), bool),
+    )
+
+
+def _safe_normalize(v, fallback):
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return jnp.where(n > _EPS, v / jnp.maximum(n, _EPS), fallback), n[..., 0]
+
+
+def _one_point(m: Manifold, normal, point, depth, valid):
+    pts = m.points.at[..., 0, :].set(point)
+    dep = m.depth.at[..., 0].set(depth)
+    act = m.active.at[..., 0].set(valid)
+    return Manifold(normal, pts, dep, act)
+
+
+# --------------------------------------------------------------------------
+# sphere family
+# --------------------------------------------------------------------------
+
+def ball_ball(pa, ra, pb, rb, pred):
+    d = pb - pa
+    n, dist = _safe_normalize(d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), d.shape))
+    depth = ra + rb - dist
+    point = pa + n * (ra - 0.5 * depth)[..., None]
+    m = _empty_like(pa)
+    return _one_point(m, n, point, depth, depth > -pred)
+
+
+def _closest_on_box(p_local, half):
+    return jnp.clip(p_local, -half, half)
+
+
+def ball_cuboid(pa, ra, pb, rot_b, half_b, pred):
+    """Sphere A vs box B (rot_b: [...,3,3] world←local)."""
+    rel = jnp.einsum("...ji,...j->...i", rot_b, pa - pb, precision="highest")  # into box frame
+    clamped = _closest_on_box(rel, half_b)
+    delta = rel - clamped
+    dist = jnp.linalg.norm(delta, axis=-1)
+    outside = dist > _EPS
+
+    # outside: normal from surface point toward sphere center
+    n_out = delta / jnp.maximum(dist[..., None], _EPS)
+    # inside: push along the axis of least penetration
+    pen_axis = half_b - jnp.abs(rel)
+    axis = jnp.argmin(pen_axis, axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(rel, axis[..., None], axis=-1))[..., 0]
+    sign = jnp.where(sign == 0, 1.0, sign)
+    eye = jnp.eye(3, dtype=rel.dtype)
+    n_in = eye[axis] * sign[..., None]
+    depth_out = ra - dist
+    depth_in = ra + jnp.min(pen_axis, axis=-1)
+    n_local = jnp.where(outside[..., None], n_out, n_in)
+    depth = jnp.where(outside, depth_out, depth_in)
+    surface_local = jnp.where(outside[..., None], clamped,
+                              clamped * (1 - eye[axis]) + (half_b * eye[axis] * sign[..., None]))
+    # to world; normal points box→sphere = B→A, flip for A→B convention
+    n_world = jnp.einsum("...ij,...j->...i", rot_b, n_local, precision="highest")
+    p_world = pb + jnp.einsum("...ij,...j->...i", rot_b, surface_local, precision="highest")
+    m = _empty_like(pa)
+    return _one_point(m, -n_world, p_world, depth, depth > -pred)
+
+
+def _segment_endpoints(p, rot, hh):
+    axis = rot[..., :, 1]  # local +Y column
+    return p - axis * hh[..., None], p + axis * hh[..., None]
+
+
+def _closest_point_on_segment(a, b, p):
+    ab = b - a
+    t = jnp.sum((p - a) * ab, axis=-1) / jnp.maximum(jnp.sum(ab * ab, axis=-1), _EPS)
+    t = jnp.clip(t, 0.0, 1.0)
+    return a + ab * t[..., None]
+
+
+def ball_capsule(pa, ra, pb, rot_b, hh_b, rb, pred):
+    s0, s1 = _segment_endpoints(pb, rot_b, hh_b)
+    c = _closest_point_on_segment(s0, s1, pa)
+    return ball_ball(pa, ra, c, rb, pred)
+
+
+def _closest_segment_segment(a0, a1, b0, b1):
+    """Closest points between two segments (batched, branch-free)."""
+    d1 = a1 - a0
+    d2 = b1 - b0
+    r = a0 - b0
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(denom > _EPS, jnp.clip((b * f - c * e) / jnp.maximum(denom, _EPS), 0, 1), 0.0)
+    t = (b * s + f) / jnp.maximum(e, _EPS)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, _EPS), 0.0, 1.0)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, _EPS), 0.0, 1.0)
+    pa = a0 + d1 * s[..., None]
+    pb = b0 + d2 * t[..., None]
+    return pa, pb
+
+
+def capsule_capsule(pa, rot_a, hh_a, ra, pb, rot_b, hh_b, rb, pred):
+    a0, a1 = _segment_endpoints(pa, rot_a, hh_a)
+    b0, b1 = _segment_endpoints(pb, rot_b, hh_b)
+    ca, cb = _closest_segment_segment(a0, a1, b0, b1)
+    return ball_ball(ca, ra, cb, rb, pred)
+
+
+def capsule_cuboid(pa, rot_a, hh_a, ra, pb, rot_b, half_b, pred):
+    """Capsule A vs box B: two sphere queries at the segment's closest
+    approach ends (2-point manifold, adequate for resting stability)."""
+    a0, a1 = _segment_endpoints(pa, rot_a, hh_a)
+    m0 = ball_cuboid(a0, ra, pb, rot_b, half_b, pred)
+    m1 = ball_cuboid(a1, ra, pb, rot_b, half_b, pred)
+    # merge: take both single points
+    m = _empty_like(pa)
+    # prefer the deeper contact's normal
+    deeper0 = m0.depth[..., 0] >= m1.depth[..., 0]
+    normal = jnp.where(deeper0[..., None], m0.normal, m1.normal)
+    pts = m.points.at[..., 0, :].set(m0.points[..., 0, :])
+    pts = pts.at[..., 1, :].set(m1.points[..., 0, :])
+    dep = m.depth.at[..., 0].set(m0.depth[..., 0]).at[..., 1].set(m1.depth[..., 0])
+    act = m.active.at[..., 0].set(m0.active[..., 0]).at[..., 1].set(m1.active[..., 0])
+    return Manifold(normal, pts, dep, act)
+
+
+# --------------------------------------------------------------------------
+# halfspace family (plane normal = collider local +Y)
+# --------------------------------------------------------------------------
+
+def _halfspace_frame(pp, rot_p):
+    n = rot_p[..., :, 1]
+    return n, jnp.sum(n * pp, axis=-1)  # plane normal + offset d (n·x = d)
+
+
+def ball_halfspace(pa, ra, pp, rot_p, pred):
+    n, d = _halfspace_frame(pp, rot_p)
+    dist = jnp.sum(n * pa, axis=-1) - d
+    depth = ra - dist
+    point = pa - n * dist[..., None]
+    m = _empty_like(pa)
+    # normal must point A→B == toward the plane == -n
+    return _one_point(m, -n, point, depth, depth > -pred)
+
+
+def cuboid_halfspace(pa, rot_a, half_a, pp, rot_p, pred):
+    """Box vs plane: up to 4 deepest corners."""
+    n, d = _halfspace_frame(pp, rot_p)
+    # 8 corners in world
+    sel = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                      dtype=pa.dtype)                                  # [8,3]
+    corners_local = sel * half_a[..., None, :]
+    corners = pa[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_a, corners_local,
+                                            precision="highest")       # [...,8,3]
+    depth = d[..., None] - jnp.sum(n[..., None, :] * corners, axis=-1)  # [...,8]
+    # take the 4 deepest corners
+    top_d, top_i = jax.lax.top_k(depth, 4)
+    pts = jnp.take_along_axis(corners, top_i[..., None], axis=-2)
+    m = _empty_like(pa)
+    return Manifold(-n, pts, top_d, top_d > -pred)
+
+
+def capsule_halfspace(pa, rot_a, hh_a, ra, pp, rot_p, pred):
+    n, d = _halfspace_frame(pp, rot_p)
+    a0, a1 = _segment_endpoints(pa, rot_a, hh_a)
+    m = _empty_like(pa)
+    pts = m.points
+    dep = m.depth
+    act = m.active
+    for k, e in enumerate((a0, a1)):
+        dist = jnp.sum(n * e, axis=-1) - d
+        depth = ra - dist
+        point = e - n * dist[..., None]
+        pts = pts.at[..., k, :].set(point)
+        dep = dep.at[..., k].set(depth)
+        act = act.at[..., k].set(depth > -pred)
+    return Manifold(-n, pts, dep, act)
+
+
+# --------------------------------------------------------------------------
+# cuboid-cuboid: SAT + reference face clipping
+# --------------------------------------------------------------------------
+
+def _box_axes(rot):
+    return rot[..., :, 0], rot[..., :, 1], rot[..., :, 2]
+
+
+def cuboid_cuboid(pa, rot_a, half_a, pb, rot_b, half_b, pred):
+    """SAT over 6 face axes + 9 edge-cross axes; manifold from clipping the
+    incident face of B(or A) against the reference face side planes.
+
+    This mirrors the classic OBB clip used by parry/box2d; manifolds have up
+    to 4 points.
+    """
+    d = pb - pa
+    axes_a = _box_axes(rot_a)
+    axes_b = _box_axes(rot_b)
+
+    # ---- SAT: find minimum-penetration axis ----
+    def face_pen(axis, which):
+        # penetration along a candidate separating axis
+        ra = sum(half_a[..., i, None] * jnp.abs(jnp.sum(axes_a[i] * axis, -1, keepdims=True))
+                 for i in range(3))[..., 0]
+        rb = sum(half_b[..., i, None] * jnp.abs(jnp.sum(axes_b[i] * axis, -1, keepdims=True))
+                 for i in range(3))[..., 0]
+        dist = jnp.abs(jnp.sum(d * axis, -1))
+        return ra + rb - dist
+
+    best_pen = jnp.full(pa.shape[:-1], 1e9, pa.dtype)
+    best_axis = jnp.zeros_like(d)
+    # face axes (A then B); prefer earlier axes on ties via strict less-than
+    for axis in (*axes_a, *axes_b):
+        pen = face_pen(axis, None)
+        better = pen < best_pen
+        best_pen = jnp.where(better, pen, best_pen)
+        best_axis = jnp.where(better[..., None], axis, best_axis)
+    # edge-cross axes: contribute only the separation test (their manifolds
+    # degrade to the face clip of the nearest face axis, adequate in batch)
+    for i in range(3):
+        for j in range(3):
+            axis = jnp.cross(axes_a[i], axes_b[j])
+            axis, ln = _safe_normalize(axis, best_axis)
+            pen = face_pen(axis, None)
+            valid = ln > 1e-6
+            better = valid & (pen < best_pen - 1e-6)
+            best_pen = jnp.where(better, pen, best_pen)
+            best_axis = jnp.where(better[..., None], axis, best_axis)
+
+    # orient normal A→B
+    flip = jnp.sum(best_axis * d, -1) < 0
+    normal = jnp.where(flip[..., None], -best_axis, best_axis)
+
+    # ---- clip incident face of B against reference face of A ----
+    # reference face: the face of A most along +normal
+    def face_vertices(p, rot, half, axis_dir):
+        """4 vertices of the face of a box whose outward normal is closest
+        to axis_dir."""
+        ax = _box_axes(rot)
+        dots = jnp.stack([jnp.sum(a * axis_dir, -1) for a in ax], axis=-1)  # [...,3]
+        face_i = jnp.argmax(jnp.abs(dots), axis=-1)
+        sign = jnp.sign(jnp.take_along_axis(dots, face_i[..., None], -1))[..., 0]
+        sign = jnp.where(sign == 0, 1.0, sign)
+        eye = jnp.eye(3, dtype=p.dtype)
+        fa = eye[face_i]  # one-hot of face axis [...,3]
+        # local tangent axes = the other two
+        ta = eye[(face_i + 1) % 3]
+        tb = eye[(face_i + 2) % 3]
+        hn = jnp.sum(half * fa, -1)
+        ht1 = jnp.sum(half * ta, -1)
+        ht2 = jnp.sum(half * tb, -1)
+        n_l = fa * sign[..., None]
+        corners = []
+        for s1 in (-1, 1):
+            for s2 in (-1, 1):
+                c_local = (n_l * hn[..., None] + ta * (s1 * ht1)[..., None]
+                           + tb * (s2 * ht2)[..., None])
+                corners.append(p + jnp.einsum("...ij,...j->...i", rot, c_local,
+                                              precision="highest"))
+        t1_w = jnp.einsum("...ij,...j->...i", rot, ta, precision="highest")
+        t2_w = jnp.einsum("...ij,...j->...i", rot, tb, precision="highest")
+        center = p + jnp.einsum("...ij,...j->...i", rot, n_l * hn[..., None],
+                                precision="highest")
+        return jnp.stack(corners, axis=-2), center, t1_w, t2_w, ht1, ht2
+
+    ref_pts, ref_c, ref_t1, ref_t2, ref_h1, ref_h2 = face_vertices(pa, rot_a, half_a, normal)
+    inc_pts, _, _, _, _, _ = face_vertices(pb, rot_b, half_b, -normal)
+
+    # clip incident face corners to the reference face's tangent bounds
+    rel = inc_pts - ref_c[..., None, :]
+    u = jnp.sum(rel * ref_t1[..., None, :], -1)
+    v = jnp.sum(rel * ref_t2[..., None, :], -1)
+    u = jnp.clip(u, -ref_h1[..., None], ref_h1[..., None])
+    v = jnp.clip(v, -ref_h2[..., None], ref_h2[..., None])
+    clipped = (ref_c[..., None, :] + u[..., None] * ref_t1[..., None, :]
+               + v[..., None] * ref_t2[..., None, :])
+    # depth of each incident corner along the contact normal, measured from
+    # its unclamped position (projection onto the reference plane)
+    plane_d = jnp.sum(normal * ref_c, -1)
+    depth = plane_d[..., None] - jnp.sum(normal[..., None, :] * inc_pts, -1)
+    pts = clipped
+    active = (depth > -pred) & (best_pen[..., None] > -pred)
+    return Manifold(normal, pts, depth, active)
+
+
+# --------------------------------------------------------------------------
+# dispatcher
+# --------------------------------------------------------------------------
+
+
+def generate_contacts(type_a, params_a, pos_a, rot_a,
+                      type_b, params_b, pos_b, rot_b, pred):
+    """Compute manifolds for pair-aligned collider arrays.
+
+    type_*: [...,] int; params_*: [...,6]; pos_*: [...,3]; rot_*: [...,3,3]
+    (world rotation matrices). Assumes the dispatcher caller canonicalized
+    each pair so type_a <= type_b. Cylinders/cones use their capsule proxy.
+    """
+    # capsule proxies for cylinder/cone
+    is_capsuleish_a = (type_a == sh.CAPSULE) | (type_a == sh.CYLINDER) | (type_a == sh.CONE)
+    is_capsuleish_b = (type_b == sh.CAPSULE) | (type_b == sh.CYLINDER) | (type_b == sh.CONE)
+    eff_a = jnp.where(is_capsuleish_a, sh.CAPSULE, type_a)
+    eff_b = jnp.where(is_capsuleish_b, sh.CAPSULE, type_b)
+
+    ra = params_a[..., 0]
+    half_a = params_a[..., :3]
+    hh_a, rcap_a = params_a[..., 0], params_a[..., 1]
+    rb = params_b[..., 0]
+    half_b = params_b[..., :3]
+    hh_b, rcap_b = params_b[..., 0], params_b[..., 1]
+
+    mans = {}
+    mans["bb"] = ball_ball(pos_a, ra, pos_b, rb, pred)
+    mans["bc"] = ball_cuboid(pos_a, ra, pos_b, rot_b, half_b, pred)
+    mans["bk"] = ball_capsule(pos_a, ra, pos_b, rot_b, hh_b, rcap_b, pred)
+    mans["bh"] = ball_halfspace(pos_a, ra, pos_b, rot_b, pred)
+    mans["cc"] = cuboid_cuboid(pos_a, rot_a, half_a, pos_b, rot_b, half_b, pred)
+    mans["ch"] = cuboid_halfspace(pos_a, rot_a, half_a, pos_b, rot_b, pred)
+    mans["kk"] = capsule_capsule(pos_a, rot_a, hh_a, rcap_a,
+                                 pos_b, rot_b, hh_b, rcap_b, pred)
+    mans["kh"] = capsule_halfspace(pos_a, rot_a, hh_a, rcap_a, pos_b, rot_b, pred)
+    # capsule(A)-cuboid(B) arrives canonicalized as cuboid(A)-capsule(B)
+    # (CUBOID < CAPSULE in the tag order); compute with swapped roles and
+    # flip the normal back.
+    m_ck = capsule_cuboid(pos_b, rot_b, hh_b, rcap_b, pos_a, rot_a, half_a, pred)
+    mans["ck"] = Manifold(-m_ck.normal, m_ck.points, m_ck.depth, m_ck.active)
+
+    def sel(cond, m_true, m_false):
+        c1 = cond[..., None]
+        c2 = cond[..., None, None]
+        return Manifold(jnp.where(c1, m_true.normal, m_false.normal),
+                        jnp.where(c2, m_true.points, m_false.points),
+                        jnp.where(c1, m_true.depth, m_false.depth),
+                        jnp.where(c1, m_true.active, m_false.active))
+
+    is_ = lambda ta, tb: (eff_a == ta) & (eff_b == tb)
+    out = _empty_like(pos_a)
+    out = sel(is_(sh.BALL, sh.BALL), mans["bb"], out)
+    out = sel(is_(sh.BALL, sh.CUBOID), mans["bc"], out)
+    out = sel(is_(sh.BALL, sh.CAPSULE), mans["bk"], out)
+    out = sel(is_(sh.BALL, sh.HALFSPACE), mans["bh"], out)
+    out = sel(is_(sh.CUBOID, sh.CUBOID), mans["cc"], out)
+    out = sel(is_(sh.CUBOID, sh.HALFSPACE), mans["ch"], out)
+    out = sel(is_(sh.CUBOID, sh.CAPSULE), mans["ck"], out)
+    out = sel(is_(sh.CAPSULE, sh.CAPSULE), mans["kk"], out)
+    out = sel(is_(sh.CAPSULE, sh.HALFSPACE), mans["kh"], out)
+    return out

@@ -1,0 +1,383 @@
+"""Batched rigid-body world: template, state, and the step pipeline.
+
+Equivalent of the reference's `PhysicsWorld` (fyrox-impl/src/scene/graph/
+physics/mod.rs:916) which wraps rapier3d's PhysicsPipeline (:939-968,
+update :1151-1203). The TPU pipeline per step:
+
+    1. integrate forces      (gravity * gravity_scale + user forces)
+    2. broadphase            AABB overlap over a static candidate pair
+                             list, compacted to MAX_ACTIVE_PAIRS slots
+    3. narrowphase           shape-pair manifolds (narrowphase.py)
+    4. velocity solve        Jacobi + mass-splitting impulses (solver.py)
+    5. integrate positions   semi-implicit Euler, quaternion update
+    6. damping               v *= 1/(1 + dt*damping)  (rapier convention)
+
+Sleeping/islands are replaced by dense masking (see SURVEY.md §5
+long-context row): static/kinematic bodies have inv_mass = 0.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.core import quat
+from fyrox_tpu.physics import narrowphase as np_mod
+from fyrox_tpu.physics import shapes as sh
+from fyrox_tpu.physics import solver as solver_mod
+
+__all__ = ["BodyType", "PhysicsTemplate", "PhysicsBuilder", "PhysicsState",
+           "init_physics_state", "step_physics"]
+
+DYNAMIC, STATIC, KINEMATIC = 0, 1, 2
+
+
+class BodyType:
+    DYNAMIC, STATIC, KINEMATIC = DYNAMIC, STATIC, KINEMATIC
+
+
+@dataclass
+class PhysicsTemplate:
+    # bodies
+    body_node: np.ndarray          # [B] scene node index (-1 standalone)
+    body_type: np.ndarray          # [B]
+    inv_mass: np.ndarray           # [B] f32 (0 for non-dynamic)
+    inv_inertia_local: np.ndarray  # [B,3,3]
+    com_local: np.ndarray          # [B,3]
+    lin_damping: np.ndarray        # [B]
+    ang_damping: np.ndarray        # [B]
+    gravity_scale: np.ndarray      # [B]
+    # colliders
+    col_body: np.ndarray           # [C]
+    col_shape: np.ndarray          # [C]
+    col_params: np.ndarray         # [C,6]
+    col_pos: np.ndarray            # [C,3]
+    col_rot: np.ndarray            # [C,4]
+    col_friction: np.ndarray       # [C]
+    col_restitution: np.ndarray    # [C]
+    col_node: np.ndarray           # [C] scene node (-1)
+    # broadphase candidate pairs (host-precomputed, canonicalized by shape tag)
+    pair_a: np.ndarray             # [P] collider index
+    pair_b: np.ndarray             # [P]
+    max_active_pairs: int = 0      # compaction width (0 = use P)
+    # solver config (reference defaults physics/mod.rs:892-908)
+    erp: float = 0.2
+    allowed_linear_error: float = 0.002
+    max_corrective_velocity: float = 10.0
+    restitution_threshold: float = 1.0
+    n_substeps: int = 4          # num_solver_iterations (physics/mod.rs:892)
+    n_pgs: int = 1               # num_internal_pgs_iterations
+    n_stabilization: int = 4     # num_internal_stabilization_iterations
+    warmstart_coefficient: float = 1.0   # physics/mod.rs:877
+    gravity: tuple = (0.0, -9.81, 0.0)   # physics/mod.rs:1118
+
+    @property
+    def num_bodies(self):
+        return int(self.body_node.shape[0])
+
+    @property
+    def num_colliders(self):
+        return int(self.col_body.shape[0])
+
+    @property
+    def num_pairs(self):
+        return int(self.pair_a.shape[0])
+
+
+class PhysicsState(NamedTuple):
+    """[W,B,...] rigid body state. position = body frame origin (the node's
+    global position, physics/mod.rs:1447-1475 sync semantics).
+
+    warm_*: accumulated contact impulses per contact slot from the previous
+    step (rapier warmstart, physics/mod.rs:877); warm_pair tracks which
+    candidate pair occupied each slot so compacted broadphase slots only
+    warmstart when they still hold the same pair."""
+    position: jnp.ndarray     # [W,B,3]
+    rotation: jnp.ndarray     # [W,B,4] quat xyzw
+    linvel: jnp.ndarray       # [W,B,3] at center of mass
+    angvel: jnp.ndarray       # [W,B,3] world
+    force: jnp.ndarray        # [W,B,3] user force accumulator (cleared/step)
+    torque: jnp.ndarray       # [W,B,3]
+    warm_n: Optional[jnp.ndarray] = None    # [W,K]
+    warm_t1: Optional[jnp.ndarray] = None   # [W,K]
+    warm_t2: Optional[jnp.ndarray] = None   # [W,K]
+    warm_pair: Optional[jnp.ndarray] = None # [W,K//4] int32 pair id per slot
+
+
+class PhysicsBuilder:
+    """Host-side construction of bodies + colliders → packed template."""
+
+    def __init__(self):
+        self._bodies = []
+        self._colliders = []
+
+    def add_body(self, node=-1, body_type=DYNAMIC, position=(0, 0, 0),
+                 rotation=(0, 0, 0, 1), lin_damping=0.0, ang_damping=0.0,
+                 gravity_scale=1.0) -> int:
+        self._bodies.append(dict(node=node, body_type=body_type,
+                                 position=np.asarray(position, np.float32),
+                                 rotation=np.asarray(rotation, np.float32),
+                                 lin_damping=lin_damping, ang_damping=ang_damping,
+                                 gravity_scale=gravity_scale))
+        return len(self._bodies) - 1
+
+    def add_collider(self, body, shape, params, density=1.0, friction=0.5,
+                     restitution=0.0, offset=(0, 0, 0), offset_rot=(0, 0, 0, 1),
+                     node=-1) -> int:
+        p6 = np.zeros(6, np.float32)
+        p6[:len(params)] = params
+        self._colliders.append(dict(body=body, shape=int(shape), params=p6,
+                                    density=density, friction=friction,
+                                    restitution=restitution,
+                                    offset=np.asarray(offset, np.float32),
+                                    offset_rot=np.asarray(offset_rot, np.float32),
+                                    node=node))
+        return len(self._colliders) - 1
+
+    def build(self, max_active_pairs=0, **solver_kw) -> "PhysicsTemplate":
+        nb = len(self._bodies)
+        nc = len(self._colliders)
+        inv_mass = np.zeros(nb, np.float32)
+        inv_inertia = np.zeros((nb, 3, 3), np.float32)
+        com = np.zeros((nb, 3), np.float32)
+
+        # mass properties: accumulate collider masses about the body origin
+        for bi, body in enumerate(self._bodies):
+            if body["body_type"] != DYNAMIC:
+                continue
+            mass = 0.0
+            first_moment = np.zeros(3)
+            for c in self._colliders:
+                if c["body"] != bi:
+                    continue
+                m, _ = sh.mass_properties(c["shape"], c["params"], c["density"])
+                mass += m
+                first_moment += m * c["offset"]
+            if mass <= 0.0:
+                # rapier gives massless dynamic bodies unit mass behavior:
+                # keep them translating-only with unit mass
+                inv_mass[bi] = 1.0
+                continue
+            com[bi] = first_moment / mass
+            inertia = np.zeros((3, 3))
+            for c in self._colliders:
+                if c["body"] != bi:
+                    continue
+                m, i_local = sh.mass_properties(c["shape"], c["params"], c["density"])
+                # rotate into body frame
+                q = c["offset_rot"]
+                r = np.asarray(quat.to_mat3(jnp.asarray(q)))
+                i_rot = r @ i_local @ r.T
+                # parallel axis to the body COM
+                d = c["offset"] - com[bi]
+                i_pa = m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+                inertia += i_rot + i_pa
+            inv_mass[bi] = 1.0 / mass
+            inv_inertia[bi] = np.linalg.inv(inertia)
+
+        body_type = np.asarray([b["body_type"] for b in self._bodies], np.int32)
+        col_body = np.asarray([c["body"] for c in self._colliders], np.int32)
+
+        # candidate pairs: skip same body; skip both-non-dynamic
+        pa, pb = [], []
+        for i in range(nc):
+            for j in range(i + 1, nc):
+                bi_, bj_ = col_body[i], col_body[j]
+                if bi_ == bj_:
+                    continue
+                if body_type[bi_] != DYNAMIC and body_type[bj_] != DYNAMIC:
+                    continue
+                # canonical order: smaller shape tag first (narrowphase contract)
+                if self._colliders[i]["shape"] <= self._colliders[j]["shape"]:
+                    pa.append(i); pb.append(j)
+                else:
+                    pa.append(j); pb.append(i)
+
+        return PhysicsTemplate(
+            body_node=np.asarray([b["node"] for b in self._bodies], np.int32),
+            body_type=body_type,
+            inv_mass=inv_mass,
+            inv_inertia_local=inv_inertia.astype(np.float32),
+            com_local=com.astype(np.float32),
+            lin_damping=np.asarray([b["lin_damping"] for b in self._bodies], np.float32),
+            ang_damping=np.asarray([b["ang_damping"] for b in self._bodies], np.float32),
+            gravity_scale=np.asarray([b["gravity_scale"] for b in self._bodies], np.float32),
+            col_body=col_body,
+            col_shape=np.asarray([c["shape"] for c in self._colliders], np.int32),
+            col_params=np.stack([c["params"] for c in self._colliders]) if nc
+                       else np.zeros((0, 6), np.float32),
+            col_pos=np.stack([c["offset"] for c in self._colliders]) if nc
+                    else np.zeros((0, 3), np.float32),
+            col_rot=np.stack([c["offset_rot"] for c in self._colliders]) if nc
+                    else np.zeros((0, 4), np.float32),
+            col_friction=np.asarray([c["friction"] for c in self._colliders], np.float32),
+            col_restitution=np.asarray([c["restitution"] for c in self._colliders], np.float32),
+            col_node=np.asarray([c["node"] for c in self._colliders], np.int32),
+            pair_a=np.asarray(pa, np.int32),
+            pair_b=np.asarray(pb, np.int32),
+            max_active_pairs=max_active_pairs,
+            **solver_kw,
+        )
+
+    # initial body poses for init_physics_state
+    def initial_pose(self):
+        if not self._bodies:
+            return np.zeros((0, 3), np.float32), np.zeros((0, 4), np.float32)
+        return (np.stack([b["position"] for b in self._bodies]),
+                np.stack([b["rotation"] for b in self._bodies]))
+
+
+def init_physics_state(builder_or_pose, template: PhysicsTemplate,
+                       num_worlds: int) -> PhysicsState:
+    if isinstance(builder_or_pose, PhysicsBuilder):
+        pos, rot = builder_or_pose.initial_pose()
+    else:
+        pos, rot = builder_or_pose
+    w = num_worlds
+    b = template.num_bodies
+    z = jnp.zeros((w, b, 3), jnp.float32)
+    cap = template.max_active_pairs or template.num_pairs
+    kk = cap * 4
+    return PhysicsState(
+        position=jnp.broadcast_to(jnp.asarray(pos, jnp.float32), (w, b, 3)),
+        rotation=jnp.broadcast_to(jnp.asarray(rot, jnp.float32), (w, b, 4)),
+        linvel=z, angvel=z, force=z, torque=z,
+        warm_n=jnp.zeros((w, kk), jnp.float32),
+        warm_t1=jnp.zeros((w, kk), jnp.float32),
+        warm_t2=jnp.zeros((w, kk), jnp.float32),
+        warm_pair=jnp.full((w, cap), -1, jnp.int32),
+    )
+
+
+def _collider_world(state: PhysicsState, t: PhysicsTemplate):
+    """World pose of every collider: body pose ∘ local offset. Returns
+    (pos [W,C,3], rot_mat [W,C,3,3])."""
+    cb = jnp.asarray(t.col_body)
+    bq = state.rotation[:, cb]
+    bp = state.position[:, cb]
+    cq = jnp.asarray(t.col_rot)[None]
+    cp = jnp.asarray(t.col_pos)[None]
+    wq = quat.mul(bq, jnp.broadcast_to(cq, bq.shape))
+    wp = bp + quat.rotate(bq, jnp.broadcast_to(cp, bp.shape))
+    return wp, quat.to_mat3(wq)
+
+
+def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
+    """One physics step (PhysicsWorld::update, physics/mod.rs:1151):
+    broadphase + narrowphase once, then the TGS substepped solve/integrate
+    (solver.solve_tgs) and rapier-convention damping."""
+    w = state.position.shape[0]
+    dtype = state.position.dtype
+    dyn = (jnp.asarray(t.body_type) == DYNAMIC)[None, :, None]
+    inv_mass = jnp.broadcast_to(jnp.asarray(t.inv_mass)[None].astype(dtype),
+                                state.position.shape[:2])
+
+    # ---- external acceleration (gravity + user forces), torques once ----
+    g = jnp.asarray(t.gravity, dtype)
+    gscale = jnp.asarray(t.gravity_scale)[None, :, None]
+    accel = jnp.where(dyn, g * gscale + state.force * inv_mass[..., None], 0.0)
+    rmat = quat.to_mat3(state.rotation)
+    ii_world = jnp.einsum("wbij,bjk,wblk->wbil", rmat,
+                          jnp.asarray(t.inv_inertia_local), rmat,
+                          precision="highest")
+    angvel = state.angvel + dt * jnp.where(
+        dyn, jnp.einsum("wbij,wbj->wbi", ii_world, state.torque, precision="highest"), 0.0)
+
+    # ---- broadphase + narrowphase (once per step, rapier-style) ----
+    contacts = None
+    if t.num_pairs > 0:
+        cpos, crot = _collider_world(state, t)
+        ctype = jnp.asarray(t.col_shape)
+        cparams = jnp.asarray(t.col_params)
+        margin = t.allowed_linear_error + 0.05  # fat AABBs (prediction margin)
+        he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
+        amin, amax = cpos - he, cpos + he
+
+        pa = jnp.asarray(t.pair_a)
+        pb = jnp.asarray(t.pair_b)
+        overlap = jnp.all((amin[:, pa] <= amax[:, pb]) &
+                          (amax[:, pa] >= amin[:, pb]), axis=-1)     # [W,P]
+
+        cap = t.max_active_pairs or t.num_pairs
+        if cap < t.num_pairs:
+            score = jnp.where(overlap, jnp.arange(t.num_pairs, dtype=jnp.int32), -1)
+            _, sel = jax.lax.top_k(score, cap)                        # [W,cap]
+            sel_valid = jnp.take_along_axis(score, sel, axis=1) >= 0
+            ia_c = pa[sel]
+            ib_c = pb[sel]
+        else:
+            sel = jnp.broadcast_to(jnp.arange(t.num_pairs, dtype=jnp.int32)[None],
+                                   (w, t.num_pairs))
+            sel_valid = overlap
+            ia_c = jnp.broadcast_to(pa[None], sel.shape)
+            ib_c = jnp.broadcast_to(pb[None], sel.shape)
+
+        def gat2(arr, idx):  # arr [W,C,...], idx [W,K]
+            return jnp.take_along_axis(
+                arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
+
+        man = np_mod.generate_contacts(
+            ctype[ia_c], cparams[ia_c], gat2(cpos, ia_c), gat2(crot, ia_c),
+            ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
+            pred=jnp.asarray(0.002, dtype))
+
+        kk = sel.shape[1] * 4
+        cb = jnp.asarray(t.col_body)
+        fric = jnp.sqrt(jnp.asarray(t.col_friction)[ia_c] *
+                        jnp.asarray(t.col_friction)[ib_c])
+        rest = jnp.maximum(jnp.asarray(t.col_restitution)[ia_c],
+                           jnp.asarray(t.col_restitution)[ib_c])
+        contacts = solver_mod.ContactBatch(
+            body_a=jnp.repeat(cb[ia_c], 4, axis=1),
+            body_b=jnp.repeat(cb[ib_c], 4, axis=1),
+            normal=jnp.repeat(man.normal, 4, axis=1),
+            point=man.points.reshape(w, kk, 3),
+            depth=man.depth.reshape(w, kk),
+            friction=jnp.repeat(fric, 4, axis=1),
+            restitution=jnp.repeat(rest, 4, axis=1),
+            active=(man.active.reshape(w, kk)
+                    & jnp.repeat(sel_valid, 4, axis=1)),
+        )
+
+    sp = solver_mod.SolverParams(
+        dt=jnp.asarray(dt, dtype), erp=t.erp,
+        allowed_linear_error=t.allowed_linear_error,
+        max_corrective_velocity=t.max_corrective_velocity,
+        restitution_threshold=t.restitution_threshold,
+        n_substeps=t.n_substeps, n_pgs=t.n_pgs,
+        n_stabilization=t.n_stabilization,
+        warmstart_coefficient=t.warmstart_coefficient)
+
+    warm = None
+    if contacts is not None and state.warm_n is not None:
+        # slot-matched warmstart: only slots still holding the same pair
+        same = (state.warm_pair == sel)
+        same4 = jnp.repeat(same, 4, axis=1)
+        warm = (state.warm_n * same4, state.warm_t1 * same4, state.warm_t2 * same4)
+
+    position, rotation, linvel, angvel, lam_out = solver_mod.solve_tgs(
+        state.position, state.rotation, state.linvel, angvel,
+        jnp.asarray(t.com_local), inv_mass, jnp.asarray(t.inv_inertia_local),
+        accel, contacts, sp, warm=warm)
+
+    # ---- damping (rapier: v *= 1/(1+dt*d)) ----
+    ld = jnp.asarray(t.lin_damping)[None, :, None]
+    ad = jnp.asarray(t.ang_damping)[None, :, None]
+    linvel = linvel / (1.0 + dt * ld)
+    angvel = angvel / (1.0 + dt * ad)
+
+    if contacts is not None and lam_out is not None:
+        warm_n, warm_t1, warm_t2 = lam_out
+        warm_pair = sel
+    else:
+        warm_n, warm_t1, warm_t2 = state.warm_n, state.warm_t1, state.warm_t2
+        warm_pair = state.warm_pair
+    return PhysicsState(position=position, rotation=rotation,
+                        linvel=linvel, angvel=angvel,
+                        force=jnp.zeros_like(state.force),
+                        torque=jnp.zeros_like(state.torque),
+                        warm_n=warm_n, warm_t1=warm_t1, warm_t2=warm_t2,
+                        warm_pair=warm_pair)
