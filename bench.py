@@ -1,0 +1,67 @@
+"""Headline benchmark: env·steps/sec/chip on the flagship world.
+
+Config (BASELINE.json): animated skinned character (100 bones / 50k verts,
+ABSM-blended clips) + rigid-body pile + scene-graph propagation per world,
+batched over as many worlds as fit. North star: >= 1M env·steps/sec on a
+v5e-8 (= 125k/chip); vs_baseline is measured against the per-chip share.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env overrides: FYROX_BENCH_WORLDS, FYROX_BENCH_BODIES, FYROX_BENCH_VERTS,
+FYROX_BENCH_BONES, FYROX_BENCH_STEPS.
+"""
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fyrox_tpu.animation import skinning
+    from fyrox_tpu.models import build_flagship
+
+    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 256))
+    n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 64))
+    n_verts = int(os.environ.get("FYROX_BENCH_VERTS", 50_000))
+    n_bones = int(os.environ.get("FYROX_BENCH_BONES", 100))
+    steps_per_call = int(os.environ.get("FYROX_BENCH_STEPS", 20))
+
+    engine, skin = build_flagship(n_bones=n_bones, n_verts=n_verts,
+                                  n_bodies=n_bodies)
+    state = engine.init_state(num_worlds=n_worlds)
+    params = jnp.zeros((n_worlds, 1), bool)
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            return engine.step(s, machine_params=params), None
+        state, _ = jax.lax.scan(body, state, None, length=steps_per_call)
+        bm = skinning.bone_matrices(state.scene.globals_, skin)
+        verts = skinning.skin_positions_dense(bm, skin, precision="default")
+        return state, jnp.sum(verts[..., 0])  # force materialization
+
+    state, chk = roll(state)           # compile
+    jax.block_until_ready(chk)
+
+    n_calls = max(int(os.environ.get("FYROX_BENCH_CALLS", 5)), 1)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, chk = roll(state)
+    jax.block_until_ready(chk)
+    elapsed = time.perf_counter() - t0
+
+    env_steps = n_worlds * steps_per_call * n_calls
+    value = env_steps / elapsed
+    baseline_per_chip = 125_000.0  # 1M on v5e-8 → per-chip share
+    print(json.dumps({
+        "metric": f"env_steps_per_sec_per_chip (W={n_worlds}, {n_bones} bones/"
+                  f"{n_verts} verts skinned, {n_bodies}-body pile)",
+        "value": round(value, 1),
+        "unit": "env·steps/s/chip",
+        "vs_baseline": round(value / baseline_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Engine facade: the batched equivalent of `Engine::update`.
+
+The reference's frame tick (fyrox-impl/src/engine/mod.rs:1616 `update` →
+pre_update → per-scene Graph::update, scene/graph/mod.rs:1459) becomes one
+pure jit-compiled function over the world batch:
+
+    step(EngineState) -> EngineState:
+        1. animation players / ABSMs write node local transforms
+           (AnimationPlayer::update, scene/animation/mod.rs:340)
+        2. hierarchical data: global transforms + visibility
+           (update_hierarchical_data, graph/mod.rs:1275)
+        3. physics step (PhysicsWorld::update, physics/mod.rs:1151)
+        4. rapier→node sync-back: body poses written into node local
+           transforms, decomposed against the parent global
+           (sync_rigid_body_node, physics/mod.rs:1439-1475)
+        5. hierarchy refresh so render consumers see post-physics globals
+
+The fixed 60 Hz timestep of the reference executor
+(engine/executor.rs:87 DEFAULT_UPDATE_RATE) is the default dt.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.core import quat, transform as tfm
+from fyrox_tpu.animation import machine as machine_mod
+from fyrox_tpu.animation import player as player_mod
+from fyrox_tpu.animation import track as track_mod
+from fyrox_tpu.physics import world as phys_mod
+from fyrox_tpu.scene import graph as graph_mod
+from fyrox_tpu.scene.state import WorldState, init_state
+from fyrox_tpu.scene.template import SceneTemplate
+
+__all__ = ["Engine", "EngineState", "DEFAULT_DT"]
+
+DEFAULT_DT = 1.0 / 60.0  # executor.rs:87
+
+
+class AnimState(NamedTuple):
+    anim: Optional[track_mod.AnimationState] = None
+    machine: Optional[machine_mod.MachineState] = None
+
+
+class EngineState(NamedTuple):
+    scene: WorldState
+    physics: Optional[phys_mod.PhysicsState] = None
+    animation: Optional[AnimState] = None
+
+
+@dataclass
+class Engine:
+    """Holds the static templates; all dynamics live in EngineState."""
+    template: SceneTemplate
+    physics: Optional[phys_mod.PhysicsTemplate] = None
+    animations: Optional[track_mod.AnimationSet] = None
+    machine: Optional[machine_mod.MachineTemplate] = None
+    dt: float = DEFAULT_DT
+
+    def init_state(self, num_worlds: int,
+                   body_pose=None) -> EngineState:
+        scene = init_state(self.template, num_worlds)
+        scene = graph_mod.update_hierarchical_data(scene, self.template)
+        phys = None
+        if self.physics is not None:
+            if body_pose is None:
+                # bodies start at their nodes' initial global poses
+                bn = self.physics.body_node
+                g = np.asarray(scene.globals_[0])
+                pos, rot, _ = tfm.decompose_mat4(jnp.asarray(g[bn]))
+                body_pose = (np.asarray(pos), np.asarray(rot))
+            phys = phys_mod.init_physics_state(body_pose, self.physics, num_worlds)
+        anim = None
+        if self.animations is not None:
+            a = track_mod.init_animation_state(self.animations, num_worlds)
+            m = (machine_mod.init_machine_state(self.machine, num_worlds)
+                 if self.machine is not None else None)
+            anim = AnimState(anim=a, machine=m)
+        return EngineState(scene=scene, physics=phys, animation=anim)
+
+    def step(self, state: EngineState, machine_params=None,
+             dt: Optional[float] = None) -> EngineState:
+        """One engine tick. machine_params: [W,P] bool ABSM rules."""
+        dt = self.dt if dt is None else dt
+        scene = state.scene
+        anim = state.animation
+
+        # ---- 1. animation ----
+        if anim is not None and self.animations is not None:
+            if self.machine is not None and anim.machine is not None:
+                if machine_params is None:
+                    machine_params = jnp.zeros(
+                        (scene.num_worlds, max(len(self.machine.param_names), 1)), bool)
+                a, m, p, r, s = player_mod.step_absm(
+                    self.animations, self.machine, anim.anim, anim.machine,
+                    machine_params, scene.position, scene.rotation, scene.scale, dt)
+                anim = AnimState(anim=a, machine=m)
+            else:
+                a, p, r, s = player_mod.step_player(
+                    self.animations, anim.anim, scene.position, scene.rotation,
+                    scene.scale, dt)
+                anim = AnimState(anim=a, machine=anim.machine)
+            scene = scene._replace(position=p, rotation=r, scale=s)
+
+        # ---- 2. hierarchy (pre-physics) ----
+        scene = graph_mod.step(scene, self.template, dt)
+
+        # ---- 3+4. physics + sync-back ----
+        phys = state.physics
+        if phys is not None and self.physics is not None:
+            phys = phys_mod.step_physics(phys, self.physics, dt)
+            scene = self._sync_bodies_to_nodes(scene, phys)
+            # ---- 5. refresh globals after body sync ----
+            scene = graph_mod.update_hierarchical_data(scene, self.template)
+
+        return EngineState(scene=scene, physics=phys, animation=anim)
+
+    def _sync_bodies_to_nodes(self, scene: WorldState,
+                              phys: phys_mod.PhysicsState) -> WorldState:
+        """Write body world poses into their nodes' local transforms,
+        decomposing against the parent's global transform
+        (physics/mod.rs:1447-1475)."""
+        bn = self.physics.body_node
+        mask = bn >= 0
+        if not mask.any():
+            return scene
+        nodes = bn[mask]
+        bidx = np.nonzero(mask)[0]
+        parents = self.template.parent[nodes]
+
+        bpos = phys.position[:, bidx]
+        brot = phys.rotation[:, bidx]
+
+        has_parent = parents >= 0
+        if has_parent.any():
+            # local = parent_global⁻¹ ∘ body_global
+            pg = scene.globals_[:, np.maximum(parents, 0)]
+            inv_pg = tfm.invert_affine(pg)
+            body_m = tfm.compose_trs(bpos, brot, jnp.ones_like(bpos))
+            local_m = tfm.mat4_mul(inv_pg, body_m)
+            lp, lr, _ = tfm.decompose_mat4(local_m)
+            hp = jnp.asarray(has_parent)
+            new_pos = jnp.where(hp[None, :, None], lp, bpos)
+            new_rot = jnp.where(hp[None, :, None], lr, brot)
+        else:
+            new_pos, new_rot = bpos, brot
+
+        position = scene.position.at[:, nodes].set(new_pos)
+        rotation = scene.rotation.at[:, nodes].set(new_rot)
+        return scene._replace(position=position, rotation=rotation)
+
+    # ------------------------------------------------------------------
+    def rollout(self, state: EngineState, num_steps: int,
+                machine_params=None) -> EngineState:
+        """num_steps engine ticks under one lax.scan (single dispatch)."""
+        def body(s, _):
+            return self.step(s, machine_params=machine_params), None
+        out, _ = jax.lax.scan(body, state, None, length=num_steps)
+        return out

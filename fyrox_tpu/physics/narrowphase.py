@@ -342,6 +342,89 @@ def cuboid_cuboid(pa, rot_a, half_a, pb, rot_b, half_b, pred):
 # dispatcher
 # --------------------------------------------------------------------------
 
+def _k_ball_ball(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return ball_ball(pos_a, pa6[..., 0], pos_b, pb6[..., 0], pred)
+
+
+def _k_ball_cuboid(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return ball_cuboid(pos_a, pa6[..., 0], pos_b, rot_b, pb6[..., :3], pred)
+
+
+def _k_ball_capsule(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return ball_capsule(pos_a, pa6[..., 0], pos_b, rot_b, pb6[..., 0],
+                        pb6[..., 1], pred)
+
+
+def _k_ball_halfspace(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return ball_halfspace(pos_a, pa6[..., 0], pos_b, rot_b, pred)
+
+
+def _k_cuboid_cuboid(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return cuboid_cuboid(pos_a, rot_a, pa6[..., :3], pos_b, rot_b,
+                         pb6[..., :3], pred)
+
+
+def _k_cuboid_capsule(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    m = capsule_cuboid(pos_b, rot_b, pb6[..., 0], pb6[..., 1],
+                       pos_a, rot_a, pa6[..., :3], pred)
+    return Manifold(-m.normal, m.points, m.depth, m.active)
+
+
+def _k_cuboid_halfspace(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return cuboid_halfspace(pos_a, rot_a, pa6[..., :3], pos_b, rot_b, pred)
+
+
+def _k_capsule_capsule(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return capsule_capsule(pos_a, rot_a, pa6[..., 0], pa6[..., 1],
+                           pos_b, rot_b, pb6[..., 0], pb6[..., 1], pred)
+
+
+def _k_capsule_halfspace(pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    return capsule_halfspace(pos_a, rot_a, pa6[..., 0], pa6[..., 1],
+                             pos_b, rot_b, pred)
+
+
+def effective_kind(t):
+    """Collapse cylinder/cone onto their capsule proxy (host-side int)."""
+    return sh.CAPSULE if t in (sh.CYLINDER, sh.CONE) else t
+
+
+# kernel per canonicalized (effective_kind_a <= effective_kind_b) pair
+KIND_KERNELS = {
+    (sh.BALL, sh.BALL): _k_ball_ball,
+    (sh.BALL, sh.CUBOID): _k_ball_cuboid,
+    (sh.BALL, sh.CAPSULE): _k_ball_capsule,
+    (sh.BALL, sh.HALFSPACE): _k_ball_halfspace,
+    (sh.CUBOID, sh.CUBOID): _k_cuboid_cuboid,
+    (sh.CUBOID, sh.CAPSULE): _k_cuboid_capsule,
+    (sh.CUBOID, sh.HALFSPACE): _k_cuboid_halfspace,
+    (sh.CAPSULE, sh.CAPSULE): _k_capsule_capsule,
+    (sh.CAPSULE, sh.HALFSPACE): _k_capsule_halfspace,
+}
+
+
+def generate_contacts_grouped(kind_ranges, params_a, pos_a, rot_a,
+                              params_b, pos_b, rot_b, pred):
+    """Narrowphase over a kind-sorted static pair list.
+
+    kind_ranges: list of ((kind_a, kind_b), start, end) with pairs sorted so
+    each kernel runs ONLY on its contiguous slice — no wasted
+    compute-everything-select work (that path remains for dynamic compacted
+    slots in `generate_contacts`).
+    """
+    outs = []
+    for (ka, kb), s0, s1 in kind_ranges:
+        kern = KIND_KERNELS[(ka, kb)]
+        sl = slice(s0, s1)
+        outs.append(kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
+                         params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pred))
+    return Manifold(
+        normal=jnp.concatenate([m.normal for m in outs], axis=1),
+        points=jnp.concatenate([m.points for m in outs], axis=1),
+        depth=jnp.concatenate([m.depth for m in outs], axis=1),
+        active=jnp.concatenate([m.active for m in outs], axis=1),
+    )
+
 
 def generate_contacts(type_a, params_a, pos_a, rot_a,
                       type_b, params_b, pos_b, rot_b, pred):

@@ -3,33 +3,37 @@
 Replaces rapier's island-based TGS-soft solver (external crate; parameter
 semantics documented at fyrox-impl/src/scene/graph/physics/mod.rs:830-908).
 rapier's `num_solver_iterations = 4` are *small steps* (substeps) with
-`num_internal_pgs_iterations = 1` velocity pass each, followed by
+`num_internal_pgs_iterations = 1` velocity pass each, plus
 `num_internal_stabilization_iterations = 4` position-correction passes —
-the same structure implemented here, with one mapping change for TPU:
+the same structure implemented here, with two mapping changes for TPU:
 
-  islands + per-contact sequential Gauss-Seidel → dense Jacobi with mass
-  splitting (each body's inverse mass/inertia scaled by its constraint
-  count), the standard data-parallel equivalent that keeps the parallel
-  update contractive. Everything is fixed-shape: inactive contact slots
-  carry zero impulses.
+  * islands + sequential Gauss-Seidel → dense Jacobi with mass splitting
+    (each body's inverse mass/inertia scaled by its constraint count),
+    the standard data-parallel equivalent. Cross-step warmstart
+    (physics/mod.rs:877, per-substep impulses in the Box2D-v3 bookkeeping)
+    provides the integral action that lets resting stacks converge.
+  * contact→body gather/scatter has two code paths:
+      - static pair lists (no broadphase compaction): one-hot incidence
+        matrices [K,B] built at template build time — gathers and scatters
+        become MXU matmuls, the fast path;
+      - compacted (dynamic) pair slots: take_along_axis / scatter-add.
 
 Per substep h = dt / n_substeps:
-  1. integrate gravity/forces into velocities
-  2. one (or more) Jacobi velocity passes per contact point:
-       normal: Δλ = -m_eff (v_n - target), accumulated λ >= 0
-               target = max(restitution_target, bias) with
-               bias = (erp/h) * max(pen - allowed_linear_error, 0) capped by
-               normalized_max_corrective_velocity (physics/mod.rs:852-854)
-       friction: |λ_t| <= μ λ_n, box-clamped per tangent
-  3. integrate positions, advance tracked penetration by the relative
-     normal velocity (TGS: bias sees up-to-date penetration each substep)
-After all substeps: NGS position stabilization (pseudo-impulses applied
-directly to positions/rotations), mirroring rapier's stabilization pass.
+  1. integrate external acceleration
+  2. warmstart: apply the stored per-substep impulses
+  3. one combined PGS pass per contact point: soft normal (contact spring,
+     hertz/damping — rapier TGS-soft / Box2D-v3 semantics, prevents
+     energy pumping), hard relax (drives vn → 0), friction pyramid
+     (|λt| <= μ λn); a single impulse application per pass
+  4. integrate positions, advance tracked penetration
+Then: restitution pass (target -e·v0n, add-only) and NGS position
+stabilization.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -49,15 +53,18 @@ class SolverParams(NamedTuple):
     n_stabilization: int = 4               # num_internal_stabilization_iterations
     stabilization_erp: float = 0.2
     warmstart_coefficient: float = 1.0     # physics/mod.rs:877
-    # soft contact spring (TGS-soft / Box2D-v3 semantics; rapier's
-    # contact_natural_frequency): prevents warmstart+bias energy pumping
+    # soft contact spring (rapier contact_natural_frequency equivalents)
     contact_hertz: float = 30.0
     contact_damping_ratio: float = 10.0
 
 
 class ContactBatch(NamedTuple):
-    """Flattened contact points. Indices are per-world [W,K]; geometry
-    [W,K,3]."""
+    """Flattened contact points [.., K].
+
+    body_a/b: [W,K] dynamic slot indices, or [K] static when inc_* given.
+    inc_a/inc_b: optional STATIC one-hot incidence [K,B] (numpy/jnp) —
+    enables the matmul gather/scatter fast path.
+    """
     body_a: jnp.ndarray
     body_b: jnp.ndarray
     normal: jnp.ndarray      # A→B
@@ -66,6 +73,8 @@ class ContactBatch(NamedTuple):
     friction: jnp.ndarray
     restitution: jnp.ndarray
     active: jnp.ndarray
+    inc_a: Optional[jnp.ndarray] = None
+    inc_b: Optional[jnp.ndarray] = None
 
 
 def _orthonormal_tangents(n):
@@ -78,305 +87,267 @@ def _orthonormal_tangents(n):
     return t1, t2
 
 
-def _take2(arr, idx):
-    """arr [W,B,...] gathered with per-world idx [W,K] → [W,K,...]."""
-    return jnp.take_along_axis(arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)),
-                               axis=1)
+def _make_ops(contacts: ContactBatch):
+    """Returns (gath_a, gath_b, scat) closures.
 
+    gath_*(x): [W,B,...] → [W,K,...]
+    scat(arr, val_a, val_b): arr + Σ_k val_a into body_a, val_b into body_b
+    """
+    if contacts.inc_a is not None:
+        inc_a = jnp.asarray(contacts.inc_a)
+        inc_b = jnp.asarray(contacts.inc_b)
+        # NOTE: measured on v5e — one-hot matmul gathers are ~3x faster than
+        # XLA gathers with static indices here; both directions use the MXU.
+        def gath(inc, x):
+            if x.ndim == 2:   # [W,B]
+                return jnp.einsum("kb,wb->wk", inc, x, precision="highest")
+            if x.ndim == 3:   # [W,B,3]
+                return jnp.einsum("kb,wbc->wkc", inc, x, precision="highest")
+            return jnp.einsum("kb,wbcd->wkcd", inc, x, precision="highest")
 
-def _scatter_add2(arr, idx, val):
-    return arr.at[jnp.arange(arr.shape[0])[:, None], idx].add(val, mode="drop")
+        def scat(arr, val_a, val_b):
+            out = arr
+            if val_a is not None:
+                if val_a.ndim == 2:
+                    out = out + jnp.einsum("kb,wk->wb", inc_a, val_a,
+                                           precision="highest")
+                else:
+                    out = out + jnp.einsum("kb,wkc->wbc", inc_a, val_a,
+                                           precision="highest")
+            if val_b is not None:
+                if val_b.ndim == 2:
+                    out = out + jnp.einsum("kb,wk->wb", inc_b, val_b,
+                                           precision="highest")
+                else:
+                    out = out + jnp.einsum("kb,wkc->wbc", inc_b, val_b,
+                                           precision="highest")
+            return out
+
+        return (lambda x: gath(inc_a, x)), (lambda x: gath(inc_b, x)), scat
+
+    ia, ib = contacts.body_a, contacts.body_b
+
+    def take2(arr, idx):
+        return jnp.take_along_axis(
+            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
+
+    def scat(arr, val_a, val_b):
+        w = arr.shape[0]
+        rows = jnp.arange(w)[:, None]
+        out = arr
+        if val_a is not None:
+            out = out.at[rows, ia].add(val_a, mode="drop")
+        if val_b is not None:
+            out = out.at[rows, ib].add(val_b, mode="drop")
+        return out
+
+    return (lambda x: take2(x, ia)), (lambda x: take2(x, ib)), scat
 
 
 def solve_tgs(position, rotation, linvel, angvel, com_local,
               inv_mass, inv_inertia_local, gravity_accel,
               contacts: ContactBatch, params: SolverParams,
               warm=None):
-    """TGS substepped solve + integrate.
-
-    position/rotation/linvel/angvel: [W,B,...]; com_local [B,3] (body-frame
-    center of mass); inv_mass [W,B]; inv_inertia_local [B,3,3];
-    gravity_accel [W,B,3] (already includes gravity_scale + external
-    forces/mass — applied per substep).
-
-    warm: optional (λn, λt1, λt2) [W,K] from the previous step, matched by
-    contact slot (valid because the candidate pair list is static). Applied
-    as initial impulses scaled by warmstart_coefficient — the rapier
-    warmstart semantics (physics/mod.rs:877, default 1.0), which is what
-    lets resting stacks converge with only 4 substeps x 1 PGS iteration.
-
-    Returns (pos, rot, linvel, angvel, (λn, λt1, λt2)).
-    """
+    """TGS substepped solve + integrate. Returns
+    (pos, rot, linvel, angvel, (λn, λt1, λt2) or None)."""
     eps = 1e-12
     dtype = position.dtype
     h = params.dt / params.n_substeps
     has_contacts = contacts is not None
     w, b = position.shape[:2]
 
+    def body_kinematics(rot):
+        rmat = quat.to_mat3(rot)
+        ii_world = jnp.einsum("wbij,bjk,wblk->wbil", rmat,
+                              jnp.asarray(inv_inertia_local), rmat,
+                              precision="highest")
+        com_off = quat.rotate(rot, jnp.broadcast_to(com_local[None],
+                                                    rot.shape[:2] + (3,)))
+        return ii_world, com_off
+
     if has_contacts:
-        ia, ib = contacts.body_a, contacts.body_b
+        gath_a, gath_b, scat = _make_ops(contacts)
         act = contacts.active
         actf = act.astype(dtype)
         n = contacts.normal
         t1, t2 = _orthonormal_tangents(n)
 
         # mass splitting: constraint counts per body
-        count = jnp.zeros((w, b), dtype)
-        count = _scatter_add2(count, ia, actf)
-        count = _scatter_add2(count, ib, actf)
+        count = scat(jnp.zeros((w, b), dtype), actf, actf)
         count = jnp.maximum(count, 1.0)
+        cnt_a = gath_a(count)
+        cnt_b = gath_b(count)
+        im_a_raw = gath_a(inv_mass)
+        im_b_raw = gath_b(inv_mass)
+        im_a = im_a_raw * cnt_a
+        im_b = im_b_raw * cnt_b
 
-    def body_kinematics(rot):
-        rmat = quat.to_mat3(rot)
-        ii_world = jnp.einsum("wbij,bjk,wblk->wbil", rmat,
-                              jnp.asarray(inv_inertia_local), rmat,
-                              precision="highest")
-        com_world_off = quat.rotate(rot, jnp.broadcast_to(com_local[None], rot.shape[:2] + (3,)))
-        return ii_world, com_world_off
-
-    # restitution target: from the approach velocity at step start (persists
-    # across substeps — otherwise later substeps unwind the bounce impulse)
-    if has_contacts:
-        ii0, com_off0 = None, None
-        rmat0 = quat.to_mat3(rotation)
-        com_w0 = position + quat.rotate(rotation,
-                                        jnp.broadcast_to(com_local[None],
-                                                         rotation.shape[:2] + (3,)))
-        r_a0 = contacts.point - _take2(com_w0, contacts.body_a)
-        r_b0 = contacts.point - _take2(com_w0, contacts.body_b)
-        va0 = _take2(linvel, contacts.body_a) + jnp.cross(_take2(angvel, contacts.body_a), r_a0)
-        vb0 = _take2(linvel, contacts.body_b) + jnp.cross(_take2(angvel, contacts.body_b), r_b0)
-        v0n = jnp.sum((vb0 - va0) * contacts.normal, -1)
+        # restitution target from the pre-step approach velocity
+        ii_w0, com_off0 = body_kinematics(rotation)
+        com_w0 = position + com_off0
+        r_a0 = contacts.point - gath_a(com_w0)
+        r_b0 = contacts.point - gath_b(com_w0)
+        va0 = gath_a(linvel) + jnp.cross(gath_a(angvel), r_a0)
+        vb0 = gath_b(linvel) + jnp.cross(gath_b(angvel), r_b0)
+        v0n = jnp.sum((vb0 - va0) * n, -1)
         rest_target = jnp.where(v0n < -params.restitution_threshold,
                                 -contacts.restitution * v0n, 0.0)
 
-    # λ stores are PER-SUBSTEP impulses (≈ force·h), warmstarted at every
-    # substep — the Box2D-v3 bookkeeping. The previous step's final substep
-    # impulses seed the first substep here.
-    warm_n = warm_t1 = warm_t2 = None
-    if has_contacts:
         zk = jnp.zeros(contacts.depth.shape, dtype)
         if warm is None:
             warm_n, warm_t1, warm_t2 = zk, zk, zk
         else:
             warm_n, warm_t1, warm_t2 = (v * actf for v in warm)
 
+    else:
+        zk = jnp.zeros((w, 1), dtype)
+        warm_n = warm_t1 = warm_t2 = zk
+
+    # ---- prepare the contact frame ONCE per step (fixed anchors/masses,
+    # the standard constraint-prep linearization: rapier/Box2D also prepare
+    # constraints once and reuse them across substeps). Angular impulse
+    # application happens in BODY space (scatter torques, then one per-body
+    # I^-1 multiply) so no [W,K,3,3] inertia gathers appear in the substep
+    # loop — that was the HBM bottleneck of the naive formulation. ----
+    if has_contacts:
+        ii_world0 = ii_w0
+        r_a = contacts.point - gath_a(com_w0)
+        r_b = contacts.point - gath_b(com_w0)
+        ii_a_k = gath_a(ii_world0)     # one-time [W,K,3,3] gathers for masses
+        ii_b_k = gath_b(ii_world0)
+
+        def eff_mass(d):
+            rxd_a = jnp.cross(r_a, d)
+            rxd_b = jnp.cross(r_b, d)
+            ang_a = jnp.einsum("wkij,wkj->wki", ii_a_k, rxd_a, precision="highest")
+            ang_b = jnp.einsum("wkij,wkj->wki", ii_b_k, rxd_b, precision="highest")
+            k_ = (im_a_raw * cnt_a + im_b_raw * cnt_b
+                  + cnt_a * jnp.sum(rxd_a * ang_a, -1)
+                  + cnt_b * jnp.sum(rxd_b * ang_b, -1))
+            return 1.0 / jnp.maximum(k_, eps)
+
+        m_n = eff_mass(n)
+        m_t1 = eff_mass(t1)
+        m_t2 = eff_mass(t2)
+
+        def rel_vel(lv_, av_):
+            va = gath_a(lv_) + jnp.cross(gath_a(av_), r_a)
+            vb = gath_b(lv_) + jnp.cross(gath_b(av_), r_b)
+            return vb - va
+
+        def apply_imp(lv_, av_, imp_d):
+            lv_ = scat(lv_, -imp_d * im_a_raw[..., None], imp_d * im_b_raw[..., None])
+            torque = scat(jnp.zeros_like(lv_), jnp.cross(r_a, -imp_d),
+                          jnp.cross(r_b, imp_d))
+            av_ = av_ + jnp.einsum("wbij,wbj->wbi", ii_world0, torque,
+                                   precision="highest")
+            return lv_, av_
+
     def substep(carry, _):
         pos, rot, lv, av, depth_cur, lam_n, lam_t1, lam_t2 = carry
-        # ---- 1. external acceleration ----
         lv = lv + h * gravity_accel
 
-        ii_world, com_off = body_kinematics(rot)
-
         if has_contacts:
-            com_world = pos + com_off
-            r_a = contacts.point - _take2(com_world, ia)
-            r_b = contacts.point - _take2(com_world, ib)
-            im_a = _take2(inv_mass[..., None], ia)[..., 0] * _take2(count[..., None], ia)[..., 0]
-            im_b = _take2(inv_mass[..., None], ib)[..., 0] * _take2(count[..., None], ib)[..., 0]
-            ii_a = _take2(ii_world, ia) * _take2(count[..., None, None], ia)
-            ii_b = _take2(ii_world, ib) * _take2(count[..., None, None], ib)
-
-            def eff_mass(d):
-                rxd_a = jnp.cross(r_a, d)
-                rxd_b = jnp.cross(r_b, d)
-                ang_a = jnp.einsum("wkij,wkj->wki", ii_a, rxd_a, precision="highest")
-                ang_b = jnp.einsum("wkij,wkj->wki", ii_b, rxd_b, precision="highest")
-                k_ = im_a + im_b + jnp.sum(rxd_a * ang_a, -1) + jnp.sum(rxd_b * ang_b, -1)
-                return 1.0 / jnp.maximum(k_, eps)
-
-            m_n = eff_mass(n)
-            m_t1 = eff_mass(t1)
-            m_t2 = eff_mass(t2)
-
-            def rel_vel(lv_, av_):
-                va = _take2(lv_, ia) + jnp.cross(_take2(av_, ia), r_a)
-                vb = _take2(lv_, ib) + jnp.cross(_take2(av_, ib), r_b)
-                return vb - va
-
-            # soft-constraint normal solve (TGS-soft): penetrating contacts
-            # behave as a stiff critically-over-damped spring; separated
-            # (speculative) contacts use a hard constraint that lets the gap
-            # close exactly in one substep (prevents tunneling). Restitution
-            # is a separate pass after the substep loop so later substeps
-            # cannot unwind the bounce impulse.
-            omega = 2.0 * jnp.pi * params.contact_hertz
-            zeta = params.contact_damping_ratio
-            csoft = h * omega * (2.0 * zeta + h * omega)
-            bias_rate = omega / (2.0 * zeta + h * omega)
-            mass_scale_soft = csoft / (1.0 + csoft)
-            imp_scale_soft = 1.0 / (1.0 + csoft)
-
-            sep = -(depth_cur - params.allowed_linear_error)  # <0 when penetrating
-            bias = jnp.where(sep > 0.0, sep / h,
-                             jnp.maximum(bias_rate * sep,
-                                         -params.max_corrective_velocity))
-            mscale = jnp.where(sep > 0.0, 1.0, mass_scale_soft)
-            iscale = jnp.where(sep > 0.0, 0.0, imp_scale_soft)
-
-            def apply_impulse(lv_, av_, imp, d):
-                imp_d = imp[..., None] * d
-                lv_ = _scatter_add2(lv_, ia, -imp_d * _take2(inv_mass[..., None], ia))
-                lv_ = _scatter_add2(lv_, ib, imp_d * _take2(inv_mass[..., None], ib))
-                ii_a0 = _take2(ii_world, ia)
-                ii_b0 = _take2(ii_world, ib)
-                av_ = _scatter_add2(av_, ia, jnp.einsum("wkij,wkj->wki", ii_a0,
-                                                        jnp.cross(r_a, -imp_d),
-                                                        precision="highest"))
-                av_ = _scatter_add2(av_, ib, jnp.einsum("wkij,wkj->wki", ii_b0,
-                                                        jnp.cross(r_b, imp_d),
-                                                        precision="highest"))
-                return lv_, av_
-
-            # ---- warm start this substep: apply the stored impulses ----
+            # ---- warmstart this substep (Box2D-v3 per-substep impulses) ----
             wc = params.warmstart_coefficient
             lam_n = lam_n * wc
             lam_t1 = lam_t1 * wc
             lam_t2 = lam_t2 * wc
             warm_imp = (lam_n[..., None] * n + lam_t1[..., None] * t1
                         + lam_t2[..., None] * t2)
-            lv = _scatter_add2(lv, ia, -warm_imp * _take2(inv_mass[..., None], ia))
-            lv = _scatter_add2(lv, ib, warm_imp * _take2(inv_mass[..., None], ib))
-            av = _scatter_add2(av, ia, jnp.einsum("wkij,wkj->wki", _take2(ii_world, ia),
-                                                  jnp.cross(r_a, -warm_imp),
-                                                  precision="highest"))
-            av = _scatter_add2(av, ib, jnp.einsum("wkij,wkj->wki", _take2(ii_world, ib),
-                                                  jnp.cross(r_b, warm_imp),
-                                                  precision="highest"))
+            lv, av = apply_imp(lv, av, warm_imp)
 
+            # soft-spring coefficients at substep scale
+            omega = 2.0 * np.pi * params.contact_hertz
+            zeta = params.contact_damping_ratio
+            csoft = h * omega * (2.0 * zeta + h * omega)
+            bias_rate = omega / (2.0 * zeta + h * omega)
+            mass_scale_soft = csoft / (1.0 + csoft)
+            imp_scale_soft = 1.0 / (1.0 + csoft)
+            sep = -(depth_cur - params.allowed_linear_error)  # <0 penetrating
+            bias = jnp.where(sep > 0.0, sep / h,
+                             jnp.maximum(bias_rate * sep,
+                                         -params.max_corrective_velocity))
+            mscale = jnp.where(sep > 0.0, 1.0, mass_scale_soft)
+            iscale = jnp.where(sep > 0.0, 0.0, imp_scale_soft)
+
+            # one combined impulse application per PGS pass
             for _pgs in range(params.n_pgs):
-                vn = jnp.sum(rel_vel(lv, av) * n, -1)
+                rv = rel_vel(lv, av)
+                vn = jnp.sum(rv * n, -1)
                 dl = (-m_n * mscale * (vn + bias) - iscale * lam_n) * actf
                 new_n = jnp.maximum(lam_n + dl, 0.0)
-                lv, av = apply_impulse(lv, av, new_n - lam_n, n)
-                lam_n = new_n
-
-                # relax pass (bias-free, hard, bidirectional): drives vn → 0
-                # exactly; with cross-step warmstart this acts as an
-                # integrator so resting loads converge over a few frames
-                # (Box2D-v3 relax semantics)
-                vn = jnp.sum(rel_vel(lv, av) * n, -1)
-                dl = -m_n * vn * actf
-                new_n = jnp.maximum(lam_n + dl, 0.0)
-                lv, av = apply_impulse(lv, av, new_n - lam_n, n)
-                lam_n = new_n
-
+                d1 = new_n - lam_n
+                vn2 = vn + d1 / m_n           # local post-soft estimate
+                dl2 = -m_n * vn2 * actf       # hard relax → vn = 0
+                new_n2 = jnp.maximum(new_n + dl2, 0.0)
+                dn = new_n2 - lam_n
+                lam_n = new_n2
                 max_f = contacts.friction * lam_n
-                vt1 = jnp.sum(rel_vel(lv, av) * t1, -1)
-                dl1 = -m_t1 * vt1 * actf
-                new1 = jnp.clip(lam_t1 + dl1, -max_f, max_f)
-                lv, av = apply_impulse(lv, av, new1 - lam_t1, t1)
+                vt1 = jnp.sum(rv * t1, -1)
+                new1 = jnp.clip(lam_t1 - m_t1 * vt1 * actf, -max_f, max_f)
+                dt1 = new1 - lam_t1
                 lam_t1 = new1
-
-                vt2 = jnp.sum(rel_vel(lv, av) * t2, -1)
-                dl2 = -m_t2 * vt2 * actf
-                new2 = jnp.clip(lam_t2 + dl2, -max_f, max_f)
-                lv, av = apply_impulse(lv, av, new2 - lam_t2, t2)
+                vt2 = jnp.sum(rv * t2, -1)
+                new2 = jnp.clip(lam_t2 - m_t2 * vt2 * actf, -max_f, max_f)
+                dt2 = new2 - lam_t2
                 lam_t2 = new2
+                imp = (dn[..., None] * n + dt1[..., None] * t1
+                       + dt2[..., None] * t2)
+                lv, av = apply_imp(lv, av, imp)
 
-            # ---- track penetration for the next substep's bias ----
             vn_end = jnp.sum(rel_vel(lv, av) * n, -1)
             depth_cur = depth_cur - h * vn_end
 
-        # ---- 3. integrate positions ----
         pos = pos + h * lv
         dq = 0.5 * h * quat.mul(
             jnp.concatenate([av, jnp.zeros_like(av[..., :1])], -1), rot)
         rot = quat.normalize(rot + dq)
         return (pos, rot, lv, av, depth_cur, lam_n, lam_t1, lam_t2), None
 
-    zeros_k = (jnp.zeros(contacts.depth.shape, dtype) if has_contacts
-               else jnp.zeros((w, 1), dtype))
-    depth0 = contacts.depth if has_contacts else zeros_k
+    depth0 = contacts.depth if has_contacts else zk
     carry = (position, rotation, linvel, angvel, depth0,
-             warm_n if has_contacts else zeros_k,
-             warm_t1 if has_contacts else zeros_k,
-             warm_t2 if has_contacts else zeros_k)
+             warm_n, warm_t1, warm_t2)
     carry, _ = jax.lax.scan(substep, carry, None, length=params.n_substeps)
     pos, rot, lv, av, depth_cur, lam_n, lam_t1_f, lam_t2_f = carry
 
-    # ---- restitution pass (Box2D-v3 style): one additional impulse so the
-    # final separating velocity reaches -e * v0n, add-only (never unwinds) ----
-    if has_contacts:
-        actf = contacts.active.astype(dtype)
-        ii_world, com_off = body_kinematics(rot)
-        com_world = pos + com_off
-        r_a = contacts.point - _take2(com_world, ia)
-        r_b = contacts.point - _take2(com_world, ib)
-        im_a = _take2(inv_mass[..., None], ia)[..., 0] * _take2(count[..., None], ia)[..., 0]
-        im_b = _take2(inv_mass[..., None], ib)[..., 0] * _take2(count[..., None], ib)[..., 0]
-        ii_a = _take2(ii_world, ia) * _take2(count[..., None, None], ia)
-        ii_b = _take2(ii_world, ib) * _take2(count[..., None, None], ib)
-        rxn_a = jnp.cross(r_a, n)
-        rxn_b = jnp.cross(r_b, n)
-        k_ = (im_a + im_b
-              + jnp.sum(rxn_a * jnp.einsum("wkij,wkj->wki", ii_a, rxn_a,
-                                           precision="highest"), -1)
-              + jnp.sum(rxn_b * jnp.einsum("wkij,wkj->wki", ii_b, rxn_b,
-                                           precision="highest"), -1))
-        m_n = 1.0 / jnp.maximum(k_, eps)
-        va = _take2(lv, ia) + jnp.cross(_take2(av, ia), r_a)
-        vb = _take2(lv, ib) + jnp.cross(_take2(av, ib), r_b)
-        vn = jnp.sum((vb - va) * n, -1)
-        want = rest_target
-        dl = jnp.maximum(-m_n * (vn - want), 0.0) * actf * (lam_n > 0.0)
-        imp_d = dl[..., None] * n
-        lv = _scatter_add2(lv, ia, -imp_d * _take2(inv_mass[..., None], ia))
-        lv = _scatter_add2(lv, ib, imp_d * _take2(inv_mass[..., None], ib))
-        av = _scatter_add2(av, ia, jnp.einsum("wkij,wkj->wki", _take2(ii_world, ia),
-                                              jnp.cross(r_a, -imp_d), precision="highest"))
-        av = _scatter_add2(av, ib, jnp.einsum("wkij,wkj->wki", _take2(ii_world, ib),
-                                              jnp.cross(r_b, imp_d), precision="highest"))
-        lam_n = lam_n + dl
+    if not has_contacts:
+        return pos, rot, lv, av, None
+
+    # ---- restitution pass: one add-only impulse so the final separating
+    # velocity reaches -e * v0n (kept out of the substep loop so later
+    # substeps cannot unwind the bounce) ----
+    vn = jnp.sum(rel_vel(lv, av) * n, -1)
+    dl = jnp.maximum(-m_n * (vn - rest_target), 0.0) * actf * (lam_n > 0.0)
+    lv, av = apply_imp(lv, av, dl[..., None] * n)
+    lam_n = lam_n + dl
 
     # ---- NGS position stabilization (rapier stabilization iterations) ----
-    if has_contacts and params.n_stabilization > 0:
-        n = contacts.normal
-        actf = contacts.active.astype(dtype)
-        ii_world, com_off = body_kinematics(rot)
-        com_world = pos + com_off
-        r_a = contacts.point - _take2(com_world, ia)
-        r_b = contacts.point - _take2(com_world, ib)
-        im_a = _take2(inv_mass[..., None], ia)[..., 0] * _take2(count[..., None], ia)[..., 0]
-        im_b = _take2(inv_mass[..., None], ib)[..., 0] * _take2(count[..., None], ib)[..., 0]
-        ii_a = _take2(ii_world, ia) * _take2(count[..., None, None], ia)
-        ii_b = _take2(ii_world, ib) * _take2(count[..., None, None], ib)
-        rxn_a = jnp.cross(r_a, n)
-        rxn_b = jnp.cross(r_b, n)
-        k_ = (im_a + im_b
-              + jnp.sum(rxn_a * jnp.einsum("wkij,wkj->wki", ii_a, rxn_a,
-                                           precision="highest"), -1)
-              + jnp.sum(rxn_b * jnp.einsum("wkij,wkj->wki", ii_b, rxn_b,
-                                           precision="highest"), -1))
-        m_n = 1.0 / jnp.maximum(k_, eps)
+    if params.n_stabilization > 0:
+        m_pos = m_n
 
         def stab(carry, _):
             pos_, rot_, depth_ = carry
             corr = params.stabilization_erp * jnp.maximum(
                 depth_ - params.allowed_linear_error, 0.0)
-            p_imp = m_n * corr * actf                     # positional pseudo-impulse
+            p_imp = m_pos * corr * actf
             imp_d = p_imp[..., None] * n
-            dpos = jnp.zeros_like(pos_)
-            dpos = _scatter_add2(dpos, ia, -imp_d * _take2(inv_mass[..., None], ia))
-            dpos = _scatter_add2(dpos, ib, imp_d * _take2(inv_mass[..., None], ib))
-            dth_a = jnp.einsum("wkij,wkj->wki", _take2(ii_world, ia),
-                               jnp.cross(r_a, -imp_d), precision="highest")
-            dth_b = jnp.einsum("wkij,wkj->wki", _take2(ii_world, ib),
-                               jnp.cross(r_b, imp_d), precision="highest")
-            dtheta = jnp.zeros_like(pos_)
-            dtheta = _scatter_add2(dtheta, ia, dth_a)
-            dtheta = _scatter_add2(dtheta, ib, dth_b)
+            dpos = scat(jnp.zeros_like(pos_), -imp_d * im_a_raw[..., None],
+                        imp_d * im_b_raw[..., None])
+            torque = scat(jnp.zeros_like(pos_), jnp.cross(r_a, -imp_d),
+                          jnp.cross(r_b, imp_d))
+            dtheta = jnp.einsum("wbij,wbj->wbi", ii_world0, torque,
+                                precision="highest")
             pos_ = pos_ + dpos
             dq = 0.5 * quat.mul(
                 jnp.concatenate([dtheta, jnp.zeros_like(dtheta[..., :1])], -1), rot_)
             rot_ = quat.normalize(rot_ + dq)
-            # penetration shrinks by the relative normal correction
-            rel_corr = ((_take2(dpos, ib) + jnp.cross(_take2(dtheta, ib), r_b))
-                        - (_take2(dpos, ia) + jnp.cross(_take2(dtheta, ia), r_a)))
+            rel_corr = ((gath_b(dpos) + jnp.cross(gath_b(dtheta), r_b))
+                        - (gath_a(dpos) + jnp.cross(gath_a(dtheta), r_a)))
             depth_ = depth_ - jnp.sum(rel_corr * n, -1)
             return (pos_, rot_, depth_), None
 
         (pos, rot, _), _ = jax.lax.scan(stab, (pos, rot, depth_cur), None,
                                         length=params.n_stabilization)
 
-    return pos, rot, lv, av, ((lam_n, lam_t1_f, lam_t2_f) if has_contacts else None)
+    return pos, rot, lv, av, (lam_n, lam_t1_f, lam_t2_f)

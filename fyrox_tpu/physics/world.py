@@ -62,6 +62,9 @@ class PhysicsTemplate:
     # broadphase candidate pairs (host-precomputed, canonicalized by shape tag)
     pair_a: np.ndarray             # [P] collider index
     pair_b: np.ndarray             # [P]
+    pair_kind_ranges: list = None  # [((kind_a,kind_b), start, end)] — pairs
+                                   # sorted by shape kind for the grouped
+                                   # narrowphase (dense mode)
     max_active_pairs: int = 0      # compaction width (0 = use P)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
@@ -85,6 +88,23 @@ class PhysicsTemplate:
     @property
     def num_pairs(self):
         return int(self.pair_a.shape[0])
+
+    def incidence(self):
+        """Static one-hot contact→body incidence [K,B] (K = 4*num_pairs),
+        cached. Used by the solver's MXU matmul gather/scatter fast path
+        (only valid without broadphase compaction, where contact slot k
+        always maps to the same body)."""
+        if getattr(self, "_incidence", None) is None:
+            k = self.num_pairs * 4
+            b = self.num_bodies
+            inc_a = np.zeros((k, b), np.float32)
+            inc_b = np.zeros((k, b), np.float32)
+            ba = np.repeat(self.col_body[self.pair_a], 4)
+            bb = np.repeat(self.col_body[self.pair_b], 4)
+            inc_a[np.arange(k), ba] = 1.0
+            inc_b[np.arange(k), bb] = 1.0
+            self._incidence = (inc_a, inc_b)
+        return self._incidence
 
 
 class PhysicsState(NamedTuple):
@@ -181,8 +201,11 @@ class PhysicsBuilder:
         body_type = np.asarray([b["body_type"] for b in self._bodies], np.int32)
         col_body = np.asarray([c["body"] for c in self._colliders], np.int32)
 
-        # candidate pairs: skip same body; skip both-non-dynamic
-        pa, pb = [], []
+        # candidate pairs: skip same body; skip both-non-dynamic; sorted by
+        # effective shape kind so the grouped narrowphase runs each kernel
+        # on one contiguous slice
+        from fyrox_tpu.physics.narrowphase import effective_kind
+        recs = []
         for i in range(nc):
             for j in range(i + 1, nc):
                 bi_, bj_ = col_body[i], col_body[j]
@@ -190,11 +213,26 @@ class PhysicsBuilder:
                     continue
                 if body_type[bi_] != DYNAMIC and body_type[bj_] != DYNAMIC:
                     continue
-                # canonical order: smaller shape tag first (narrowphase contract)
-                if self._colliders[i]["shape"] <= self._colliders[j]["shape"]:
-                    pa.append(i); pb.append(j)
+                ki = effective_kind(self._colliders[i]["shape"])
+                kj = effective_kind(self._colliders[j]["shape"])
+                # canonical order: smaller effective kind first
+                if ki <= kj:
+                    recs.append(((ki, kj), i, j))
                 else:
-                    pa.append(j); pb.append(i)
+                    recs.append(((kj, ki), j, i))
+        recs.sort(key=lambda r: r[0])
+        pa = [r[1] for r in recs]
+        pb = [r[2] for r in recs]
+        # build contiguous kind ranges
+        kind_ranges = []
+        i0 = 0
+        while i0 < len(recs):
+            k0 = recs[i0][0]
+            i1 = i0
+            while i1 < len(recs) and recs[i1][0] == k0:
+                i1 += 1
+            kind_ranges.append((k0, i0, i1))
+            i0 = i1
 
         return PhysicsTemplate(
             body_node=np.asarray([b["node"] for b in self._bodies], np.int32),
@@ -218,6 +256,7 @@ class PhysicsBuilder:
             col_node=np.asarray([c["node"] for c in self._colliders], np.int32),
             pair_a=np.asarray(pa, np.int32),
             pair_b=np.asarray(pb, np.int32),
+            pair_kind_ranges=kind_ranges,
             max_active_pairs=max_active_pairs,
             **solver_kw,
         )
@@ -239,7 +278,8 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     w = num_worlds
     b = template.num_bodies
     z = jnp.zeros((w, b, 3), jnp.float32)
-    cap = template.max_active_pairs or template.num_pairs
+    cap = min(template.max_active_pairs or template.num_pairs,
+              template.num_pairs)
     kk = cap * 4
     return PhysicsState(
         position=jnp.broadcast_to(jnp.asarray(pos, jnp.float32), (w, b, 3)),
@@ -301,7 +341,7 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         overlap = jnp.all((amin[:, pa] <= amax[:, pb]) &
                           (amax[:, pa] >= amin[:, pb]), axis=-1)     # [W,P]
 
-        cap = t.max_active_pairs or t.num_pairs
+        cap = min(t.max_active_pairs or t.num_pairs, t.num_pairs)
         if cap < t.num_pairs:
             score = jnp.where(overlap, jnp.arange(t.num_pairs, dtype=jnp.int32), -1)
             _, sel = jax.lax.top_k(score, cap)                        # [W,cap]
@@ -311,6 +351,10 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         else:
             sel = jnp.broadcast_to(jnp.arange(t.num_pairs, dtype=jnp.int32)[None],
                                    (w, t.num_pairs))
+            # tie to the state so the value stays device-varying under
+            # shard_map (keeps lax.scan carry types consistent)
+            tie = (state.position[:, 0, 0] * 0).astype(jnp.int32)
+            sel = sel + tie[:, None]
             sel_valid = overlap
             ia_c = jnp.broadcast_to(pa[None], sel.shape)
             ib_c = jnp.broadcast_to(pb[None], sel.shape)
@@ -319,10 +363,20 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
             return jnp.take_along_axis(
                 arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
 
-        man = np_mod.generate_contacts(
-            ctype[ia_c], cparams[ia_c], gat2(cpos, ia_c), gat2(crot, ia_c),
-            ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
-            pred=jnp.asarray(0.002, dtype))
+        if cap >= t.num_pairs and t.pair_kind_ranges is not None:
+            # dense static pair list: kind-grouped narrowphase (each kernel
+            # on its own contiguous slice; static 1-D collider gathers)
+            pa_s, pb_s = t.pair_a, t.pair_b
+            man = np_mod.generate_contacts_grouped(
+                t.pair_kind_ranges,
+                cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
+                cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
+                pred=jnp.asarray(0.002, dtype))
+        else:
+            man = np_mod.generate_contacts(
+                ctype[ia_c], cparams[ia_c], gat2(cpos, ia_c), gat2(crot, ia_c),
+                ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
+                pred=jnp.asarray(0.002, dtype))
 
         kk = sel.shape[1] * 4
         cb = jnp.asarray(t.col_body)
@@ -330,9 +384,20 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
                         jnp.asarray(t.col_friction)[ib_c])
         rest = jnp.maximum(jnp.asarray(t.col_restitution)[ia_c],
                            jnp.asarray(t.col_restitution)[ib_c])
+        dense = cap >= t.num_pairs
+        if dense:
+            inc_a, inc_b = t.incidence()
+            # keep static indices as host numpy so the solver can use them
+            # as compile-time gather indices
+            body_a = np.repeat(t.col_body[t.pair_a], 4)
+            body_b = np.repeat(t.col_body[t.pair_b], 4)
+        else:
+            inc_a = inc_b = None
+            body_a = jnp.repeat(cb[ia_c], 4, axis=1)
+            body_b = jnp.repeat(cb[ib_c], 4, axis=1)
         contacts = solver_mod.ContactBatch(
-            body_a=jnp.repeat(cb[ia_c], 4, axis=1),
-            body_b=jnp.repeat(cb[ib_c], 4, axis=1),
+            body_a=body_a,
+            body_b=body_b,
             normal=jnp.repeat(man.normal, 4, axis=1),
             point=man.points.reshape(w, kk, 3),
             depth=man.depth.reshape(w, kk),
@@ -340,6 +405,7 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
             restitution=jnp.repeat(rest, 4, axis=1),
             active=(man.active.reshape(w, kk)
                     & jnp.repeat(sel_valid, 4, axis=1)),
+            inc_a=inc_a, inc_b=inc_b,
         )
 
     sp = solver_mod.SolverParams(

@@ -48,23 +48,27 @@ def update_hierarchical_data(state: WorldState, template: SceneTemplate) -> Worl
     levelized so each depth is one batched gather + compose.
     """
     locals_ = local_matrices(state)
-    globals_ = locals_
-    gvis = state.visibility & state.alive
-    gen = state.enabled
+    w = locals_.shape[0]
+    dtype = locals_.dtype
 
-    # Level 0 = roots: global == local (parent treated as identity,
-    # graph/mod.rs:1210-1214). Deeper levels compose with the parent.
-    for level in template.levels[1:]:
-        idx = jnp.asarray(level)              # [L]
-        par = jnp.asarray(template.parent[level])  # [L]
-        pg = globals_[:, par]                  # [W,L,4,4]
-        lg = locals_[:, idx]
-        globals_ = globals_.at[:, idx].set(tfm.mat4_mul(pg, lg))
-        gvis = gvis.at[:, idx].set(gvis[:, par] & gvis[:, idx])
-        gen = gen.at[:, idx].set(gen[:, par] & gen[:, idx])
+    # Pointer doubling: ceil(log2(depth)) rounds of gather + batched 4x4
+    # matmul — no scatters, so the program is a handful of large fused ops
+    # instead of one small scatter chain per hierarchy level. A virtual
+    # identity node at slot N absorbs exhausted ancestor chains.
+    tables = template.doubling_pointers()
+    ident = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (w, 1, 4, 4))
+    acc = jnp.concatenate([locals_, ident], axis=1)            # [W,N+1,4,4]
+    true_col = jnp.ones((w, 1), bool)
+    vis = jnp.concatenate([state.visibility & state.alive, true_col], axis=1)
+    en = jnp.concatenate([state.enabled, true_col], axis=1)
+    for p in tables:
+        idx = jnp.asarray(p)
+        acc = tfm.mat4_mul(acc[:, idx], acc)
+        vis = vis[:, idx] & vis
+        en = en[:, idx] & en
 
-    return state._replace(globals_=globals_, global_visibility=gvis,
-                          global_enabled=gen)
+    return state._replace(globals_=acc[:, :-1], global_visibility=vis[:, :-1],
+                          global_enabled=en[:, :-1])
 
 
 def step(state: WorldState, template: SceneTemplate, dt: float) -> WorldState:

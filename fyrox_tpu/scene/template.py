@@ -113,6 +113,26 @@ class SceneTemplate:
     def find_by_name(self, name: str) -> int:
         return self.names.index(name)
 
+    def doubling_pointers(self):
+        """Pointer-doubling ancestor tables for the propagation kernel.
+
+        Returns a list of int32 arrays p_r of shape [N+1]: p_r[i] is node
+        i's ancestor at distance 2^r, with the virtual identity slot N used
+        once the chain is exhausted (p_r[N] == N). Cached on first use.
+        """
+        if getattr(self, "_doubling", None) is None:
+            n = self.num_nodes
+            ident = n
+            p = np.where(self.parent >= 0, self.parent, ident).astype(np.int32)
+            p = np.append(p, ident).astype(np.int32)
+            rounds = max(int(np.ceil(np.log2(max(self.max_depth, 1) + 1))), 1)
+            tables = []
+            for _ in range(rounds):
+                tables.append(p.copy())
+                p = p[p]
+            self._doubling = tables
+        return self._doubling
+
     @staticmethod
     def compute_levels(parent: np.ndarray):
         """Group node indices by hierarchy depth (host-side, build time).
