@@ -1,0 +1,217 @@
+"""Frame rendering pipeline: cull → G-buffer → shadows → deferred shade.
+
+Equivalent of the reference's Renderer::render_frame chain
+(fyrox-impl/src/renderer/mod.rs:1384 → bundle collection + frustum culling
+bundle.rs:873-929 → GBuffer::fill gbuffer.rs:57 → DeferredLightRenderer
+light.rs:254 → CSM shadow passes csm.rs). One RenderTemplate is built per
+scene (static triangle/instance tables); render_frame is a pure function of
+the batched WorldState, vmapped over worlds.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.core import frustum as frustum_mod
+from fyrox_tpu.core import transform as tfm
+from fyrox_tpu.render import lighting as lighting_mod
+from fyrox_tpu.render import raster as raster_mod
+from fyrox_tpu.render import shadows as shadows_mod
+from fyrox_tpu.scene import camera as camera_mod
+from fyrox_tpu.scene.template import NodeType, SceneTemplate
+
+__all__ = ["RenderTemplate", "build_render_template", "render_frame",
+           "RenderConfig"]
+
+
+class RenderConfig(NamedTuple):
+    width: int = 256
+    height: int = 256
+    shadows: bool = True
+    csm: shadows_mod.CsmConfig = shadows_mod.CsmConfig()
+    chunk: int = 64
+    ambient: tuple = (0.05, 0.05, 0.05)
+
+
+@dataclass
+class RenderTemplate:
+    """Static packed geometry for one scene: every MESH node's triangles
+    concatenated, with per-vertex owning node for instancing."""
+    positions: np.ndarray    # [V,3] mesh-local
+    normals: np.ndarray      # [V,3]
+    triangles: np.ndarray    # [T,3] into the packed vertex arrays
+    vert_node: np.ndarray    # [V] owning scene node
+    tri_node: np.ndarray     # [T]
+    albedo: np.ndarray       # [V,3]
+    material: np.ndarray     # [V,2] metallic, roughness
+    emission: np.ndarray     # [V,3]
+    camera_node: int = -1
+    fov_y: float = np.deg2rad(75.0)
+    z_near: float = 0.025
+    z_far: float = 2048.0
+    # lights (static parts; positions/directions come from node globals)
+    light_node: np.ndarray = None   # [L]
+    light_kind: np.ndarray = None   # [L]
+    light_color: np.ndarray = None  # [L,3]
+    light_intensity: np.ndarray = None
+    light_radius: np.ndarray = None
+    light_cos_hotspot: np.ndarray = None
+    light_cos_falloff: np.ndarray = None
+
+    @property
+    def num_triangles(self):
+        return int(self.triangles.shape[0])
+
+
+def build_render_template(template: SceneTemplate,
+                          camera_index: int = 0) -> RenderTemplate:
+    """Pack all MESH payloads of a SceneTemplate + its lights/camera."""
+    pos, nrm, tris, vnode, tnode, alb, mat, emi = [], [], [], [], [], [], [], []
+    voff = 0
+    for node_idx in range(template.num_nodes):
+        if template.node_type[node_idx] != NodeType.MESH:
+            continue
+        mesh = template.meshes[template.payload[node_idx]]
+        v = mesh.positions.shape[0]
+        pos.append(mesh.positions)
+        nrm.append(mesh.normals)
+        tris.append(mesh.triangles + voff)
+        vnode.append(np.full(v, node_idx, np.int32))
+        tnode.append(np.full(mesh.triangles.shape[0], node_idx, np.int32))
+        alb.append(np.tile(np.asarray(mesh.albedo, np.float32), (v, 1)))
+        mat.append(np.tile(np.asarray([mesh.metallic, mesh.roughness],
+                                      np.float32), (v, 1)))
+        emi.append(np.tile(np.asarray(mesh.emission, np.float32), (v, 1)))
+        voff += v
+    if not pos:
+        raise ValueError("scene has no MESH nodes to render")
+
+    cams = template.cameras
+    cam_node = int(cams["node"][camera_index]) if len(cams["node"]) else -1
+    li = template.lights
+    nl = len(li["node"]) if li and len(li.get("node", [])) else 0
+    return RenderTemplate(
+        positions=np.concatenate(pos).astype(np.float32),
+        normals=np.concatenate(nrm).astype(np.float32),
+        triangles=np.concatenate(tris).astype(np.int32),
+        vert_node=np.concatenate(vnode),
+        tri_node=np.concatenate(tnode),
+        albedo=np.concatenate(alb),
+        material=np.concatenate(mat),
+        emission=np.concatenate(emi),
+        camera_node=cam_node,
+        fov_y=float(cams["fov"][camera_index]) if cam_node >= 0 else np.deg2rad(75.0),
+        z_near=float(cams["z_near"][camera_index]) if cam_node >= 0 else 0.025,
+        z_far=float(cams["z_far"][camera_index]) if cam_node >= 0 else 2048.0,
+        light_node=np.asarray(li["node"], np.int32) if nl else np.zeros(0, np.int32),
+        light_kind=np.asarray(li["kind"], np.int32) if nl else np.zeros(0, np.int32),
+        light_color=(np.stack(li["color"]).astype(np.float32) if nl
+                     else np.zeros((0, 3), np.float32)),
+        light_intensity=np.asarray(li["intensity"], np.float32) if nl else np.zeros(0),
+        light_radius=np.asarray(li["radius"], np.float32) if nl else np.zeros(0),
+        light_cos_hotspot=(np.cos(np.asarray(li["hotspot"], np.float32) * 0.5)
+                           if nl else np.zeros(0)),
+        light_cos_falloff=(np.cos(np.asarray(li["hotspot"], np.float32) * 0.5
+                                  + np.asarray(li["falloff_delta"], np.float32))
+                           if nl else np.zeros(0)),
+    )
+
+
+def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
+                     config: RenderConfig):
+    """Render one world (vmapped by render_frame)."""
+    aspect = config.width / config.height
+    cam_g = globals_[rt.camera_node]
+    view = camera_mod.view_matrix(cam_g)
+    proj = camera_mod.perspective(jnp.asarray(rt.fov_y), jnp.asarray(aspect),
+                                  jnp.asarray(rt.z_near), jnp.asarray(rt.z_far))
+    vp = jnp.einsum("ij,jk->ik", proj, view, precision="highest")
+
+    # instance transforms → world-space vertices/normals
+    vg = globals_[jnp.asarray(rt.vert_node)]          # [V,4,4]
+    wpos = tfm.transform_point(vg, jnp.asarray(rt.positions))
+    wn = tfm.transform_vector(vg, jnp.asarray(rt.normals))
+    wn = wn / jnp.maximum(jnp.linalg.norm(wn, axis=-1, keepdims=True), 1e-8)
+
+    tri = jnp.asarray(rt.triangles)
+    tri_pos = wpos[tri]                                # [T,3,3]
+    clip = raster_mod.transform_clip(wpos, vp[None])[0]
+    tri_clip = clip[tri]                               # [T,3,4]
+
+    # per-node culling: frustum test on world AABBs + visibility flags
+    planes = frustum_mod.from_view_projection(vp)
+    if scene_template.local_bbox_min is not None:
+        from fyrox_tpu.core import aabb as aabb_mod
+        bmin = jnp.asarray(scene_template.local_bbox_min)
+        bmax = jnp.asarray(scene_template.local_bbox_max)
+        wmin, wmax = aabb_mod.transform(bmin, bmax, globals_)
+        node_vis = frustum_mod.intersects_aabb(planes[None], wmin, wmax)
+    else:
+        node_vis = jnp.ones(globals_.shape[0], bool)
+    node_vis = node_vis & gvis
+    tri_valid = node_vis[jnp.asarray(rt.tri_node)]
+
+    attrs = dict(
+        albedo=jnp.asarray(rt.albedo)[tri],
+        normal=wn[tri],
+        position=tri_pos,
+        material=jnp.asarray(rt.material)[tri],
+        emission=jnp.asarray(rt.emission)[tri],
+    )
+    gbuf = raster_mod.rasterize(tri_clip, attrs, config.height, config.width,
+                                tri_valid=tri_valid, chunk=config.chunk)
+
+    # lights from node globals
+    nl = rt.light_node.shape[0]
+    if nl:
+        lg = globals_[jnp.asarray(rt.light_node)]
+        lpos = lg[..., :3, 3]
+        ldir = lg[..., :3, 2]   # light "look" = +Z basis, like cameras
+        ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-8)
+        lights = lighting_mod.LightSet(
+            kind=rt.light_kind,  # static numpy: shade() unrolls on kind
+            position=lpos, direction=ldir,
+            color=jnp.asarray(rt.light_color),
+            intensity=jnp.asarray(rt.light_intensity),
+            radius=jnp.asarray(rt.light_radius),
+            cos_hotspot=jnp.asarray(rt.light_cos_hotspot),
+            cos_falloff=jnp.asarray(rt.light_cos_falloff),
+            enabled=node_vis[jnp.asarray(rt.light_node)] |
+                    (jnp.asarray(rt.light_kind) == lighting_mod.DIRECTIONAL),
+        )
+
+        shadow_fn = None
+        if config.shadows and np.any(rt.light_kind == lighting_mod.DIRECTIONAL):
+            di = int(np.nonzero(rt.light_kind == lighting_mod.DIRECTIONAL)[0][0])
+            sdir = ldir[di]
+            cascade_vps = shadows_mod.fit_cascades(
+                view, rt.fov_y, aspect, rt.z_near,
+                min(rt.z_far, 100.0), sdir, config.csm)
+            depth_maps = shadows_mod.render_cascade_depths(
+                tri_pos, cascade_vps, config.csm.map_size,
+                tri_valid=tri_valid, chunk=config.chunk)
+
+            def shadow_fn(li_, world_pos):
+                if li_ != di:
+                    return None
+                return shadows_mod.csm_visibility(
+                    world_pos, view, cascade_vps, depth_maps,
+                    min(rt.z_far, 100.0), config.csm)
+
+        cam_pos = cam_g[:3, 3]
+        color = lighting_mod.shade(gbuf, lights, cam_pos,
+                                   ambient=config.ambient, shadow_fn=shadow_fn)
+    else:
+        color = gbuf.albedo * gbuf.mask[..., None]
+    return color, gbuf
+
+
+def render_frame(scene_state, scene_template: SceneTemplate,
+                 rt: RenderTemplate, config: RenderConfig = RenderConfig()):
+    """Render every world: [W, H, Wd, 3] color + GBuffer batch."""
+    fn = lambda g, v: _frame_one_world(g, v, rt, scene_template, config)
+    return jax.vmap(fn)(scene_state.globals_, scene_state.global_visibility)

@@ -1,0 +1,167 @@
+"""Cascaded shadow maps for directional lights.
+
+Equivalent of the reference's CsmRenderer (fyrox-impl/src/renderer/shadow/
+csm.rs:90): 3 cascades (light/directional.rs:55 CSM_NUM_CASCADES), camera
+frustum sliced at fractional far planes, a per-cascade orthographic
+projection fit to the slice's corners in light space (csm.rs:194-253), a
+depth-only rasterization per cascade, and PCF depth-compare at shading time.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.render import raster as raster_mod
+from fyrox_tpu.scene import camera as camera_mod
+
+__all__ = ["CsmConfig", "fit_cascades", "render_cascade_depths", "csm_visibility"]
+
+NUM_CASCADES = 3  # directional.rs:55
+
+
+class CsmConfig(NamedTuple):
+    splits: tuple = (0.05, 0.2, 1.0)  # fractional far planes per cascade
+    map_size: int = 256
+    bias: float = 2.5e-3
+    pcf: bool = True
+
+
+def _frustum_slice_corners(inv_view, fov_y, aspect, z0, z1):
+    """8 world-space corners of the camera frustum slice [z0, z1]."""
+    ty = jnp.tan(0.5 * fov_y)
+    tx = ty * aspect
+    corners = []
+    for z in (z0, z1):
+        for sy in (-1.0, 1.0):
+            for sx in (-1.0, 1.0):
+                # camera space (RH, looking -Z in view space)
+                corners.append(jnp.stack([sx * tx * z, sy * ty * z, -z]))
+    c = jnp.stack(corners)                                   # [8,3]
+    ch = jnp.concatenate([c, jnp.ones((8, 1), c.dtype)], -1)
+    world = jnp.einsum("...ij,kj->...ki", inv_view, ch, precision="highest")
+    return world[..., :3]
+
+
+def fit_cascades(view, fov_y, aspect, z_near, z_far, light_dir,
+                 config: CsmConfig = CsmConfig()):
+    """Per-cascade light view-projection matrices [..., NUM_CASCADES, 4, 4].
+
+    Mirrors CsmRenderer::render (csm.rs:194-253): build a light-space view
+    looking along the light direction, transform the slice corners, fit an
+    ortho box around them (padded along the light axis so casters behind
+    the slice still shadow it).
+    """
+    from fyrox_tpu.core import transform as tfm
+    inv_view = tfm.invert_affine(view)
+    ld = light_dir / jnp.maximum(jnp.linalg.norm(light_dir, axis=-1,
+                                                 keepdims=True), 1e-8)
+    up = jnp.where(jnp.abs(ld[..., 1:2]) > 0.99,
+                   jnp.asarray([1.0, 0.0, 0.0]), jnp.asarray([0.0, 1.0, 0.0]))
+    vps = []
+    prev = z_near
+    for ci in range(NUM_CASCADES):
+        z1 = z_far * config.splits[ci]
+        corners = _frustum_slice_corners(inv_view, fov_y, aspect, prev, z1)
+        center = jnp.mean(corners, axis=-2)
+        lview = camera_mod.look_at_rh(center - ld * 1.0, center, up)
+        ch = jnp.concatenate([corners, jnp.ones(corners.shape[:-1] + (1,),
+                                                corners.dtype)], -1)
+        lc = jnp.einsum("...ij,...kj->...ki", lview, ch,
+                        precision="highest")[..., :3]
+        mins = jnp.min(lc, axis=-2)
+        maxs = jnp.max(lc, axis=-2)
+        # pad the near side along the light axis to catch casters behind
+        depth_pad = 50.0
+        l, r = mins[..., 0], maxs[..., 0]
+        b, t = mins[..., 1], maxs[..., 1]
+        # view space looks down -Z: visible z in [-maxdist, -mindist]
+        zn = -maxs[..., 2] - depth_pad
+        zf = -mins[..., 2] + 1.0
+        proj = _ortho_offcenter(l, r, b, t, zn, zf)
+        vps.append(jnp.einsum("...ij,...jk->...ik", proj, lview,
+                              precision="highest"))
+        prev = z1
+    return jnp.stack(vps, axis=-3)
+
+
+def _ortho_offcenter(l, r, b, t, zn, zf):
+    shape = jnp.broadcast_shapes(jnp.shape(l), jnp.shape(r))
+    m = jnp.zeros(shape + (4, 4), jnp.float32)
+    m = m.at[..., 0, 0].set(2.0 / (r - l))
+    m = m.at[..., 0, 3].set(-(r + l) / (r - l))
+    m = m.at[..., 1, 1].set(2.0 / (t - b))
+    m = m.at[..., 1, 3].set(-(t + b) / (t - b))
+    m = m.at[..., 2, 2].set(-2.0 / (zf - zn))
+    m = m.at[..., 2, 3].set(-(zf + zn) / (zf - zn))
+    m = m.at[..., 3, 3].set(1.0)
+    return m
+
+
+def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
+                          tri_valid=None, chunk=64):
+    """Depth-only passes. world_tri_positions [T,3,3]; cascade_vps
+    [NUM_CASCADES,4,4] → depth maps [NUM_CASCADES, S, S] (NDC z)."""
+    dummy3 = jnp.zeros(world_tri_positions.shape[:2] + (3,), jnp.float32)
+    dummy2 = jnp.zeros(world_tri_positions.shape[:2] + (2,), jnp.float32)
+    attrs = dict(albedo=dummy3, normal=dummy3, position=dummy3,
+                 material=dummy2, emission=dummy3)
+
+    def one(vp):
+        clip = raster_mod.transform_clip(world_tri_positions, vp[None])
+        g = raster_mod.rasterize(clip, attrs, map_size, map_size,
+                                 tri_valid=tri_valid, chunk=chunk)
+        return g.depth
+
+    return jax.vmap(one)(cascade_vps)
+
+
+def csm_visibility(world_pos, view, cascade_vps, depth_maps,
+                   z_far, config: CsmConfig = CsmConfig()):
+    """Shadow visibility [H,W] ∈ [0,1] for a directional light.
+
+    Cascade selected by camera-space depth against the split distances;
+    3x3 PCF over the selected cascade's depth map.
+    """
+    s = depth_maps.shape[-1]
+    # camera-space depth of each pixel
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    cam_z = -jnp.einsum("ij,...j->...i", view, ph,
+                        precision="highest")[..., 2]
+    split_d = jnp.asarray([z_far * f for f in config.splits], jnp.float32)
+    cascade = jnp.sum((cam_z[..., None] > split_d[None, None]).astype(jnp.int32),
+                      axis=-1)
+    cascade = jnp.clip(cascade, 0, NUM_CASCADES - 1)
+
+    vis_per = []
+    for ci in range(NUM_CASCADES):
+        lc = jnp.einsum("ij,...j->...i", cascade_vps[ci], ph,
+                        precision="highest")
+        ndc = lc[..., :3] / jnp.maximum(jnp.abs(lc[..., 3:4]), 1e-8) \
+            * jnp.sign(lc[..., 3:4])
+        u = (ndc[..., 0] * 0.5 + 0.5) * s
+        v_ = (0.5 - ndc[..., 1] * 0.5) * s
+        z_ref = ndc[..., 2] - config.bias
+        inside = ((u >= 0) & (u < s) & (v_ >= 0) & (v_ < s)
+                  & (jnp.abs(ndc[..., 2]) <= 1.0))
+        dm = depth_maps[ci]
+
+        def sample(du, dv):
+            ui = jnp.clip(u.astype(jnp.int32) + du, 0, s - 1)
+            vi = jnp.clip(v_.astype(jnp.int32) + dv, 0, s - 1)
+            occ = dm[vi, ui]
+            return (z_ref <= occ).astype(jnp.float32)
+
+        if config.pcf:
+            acc = sum(sample(du, dv) for du in (-1, 0, 1) for dv in (-1, 0, 1))
+            vis = acc / 9.0
+        else:
+            vis = sample(0, 0)
+        vis_per.append(jnp.where(inside, vis, 1.0))
+
+    out = vis_per[0]
+    for ci in range(1, NUM_CASCADES):
+        out = jnp.where(cascade == ci, vis_per[ci], out)
+    return out

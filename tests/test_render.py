@@ -1,0 +1,195 @@
+"""Renderer tests: rasterizer vs numpy reference, z-ordering, culling,
+lighting behavior, CSM shadows."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.core import quat
+from fyrox_tpu.render import (RenderConfig, build_render_template, lighting,
+                              make_cube, make_plane, make_sphere, raster,
+                              render_frame)
+from fyrox_tpu.scene import SceneBuilder, graph, init_state
+
+H = W = 64
+
+
+def simple_tri(z=5.0, shift=0.0, color=(1.0, 0, 0)):
+    """A triangle facing the camera (camera at origin looking +Z per our
+    scene convention; here we feed clip space directly using a standard
+    RH projection looking down -Z)."""
+    import fyrox_tpu.scene.camera as cam
+    proj = np.asarray(cam.perspective(jnp.asarray(np.pi / 2), jnp.asarray(1.0),
+                                      jnp.asarray(0.1), jnp.asarray(100.0)))
+    # CCW in screen space (y up): bottom-left, bottom-right, top
+    verts = np.asarray([[-1.0 + shift, -1.0, -z],
+                        [1.0 + shift, -1.0, -z],
+                        [0.0 + shift, 1.0, -z]], np.float32)
+    vh = np.concatenate([verts, np.ones((3, 1), np.float32)], -1)
+    clip = (proj @ vh.T).T[None]  # [1,3,4]
+    attrs = dict(
+        albedo=jnp.tile(jnp.asarray(color, jnp.float32), (1, 3, 1)),
+        normal=jnp.tile(jnp.asarray([0.0, 0, 1]), (1, 3, 1)),
+        position=jnp.asarray(verts)[None],
+        material=jnp.zeros((1, 3, 2)),
+        emission=jnp.zeros((1, 3, 3)),
+    )
+    return jnp.asarray(clip), attrs
+
+
+class TestRasterizer:
+    def test_coverage_matches_numpy_reference(self):
+        clip, attrs = simple_tri(z=5.0)
+        g = raster.rasterize(clip, attrs, H, W, chunk=4)
+        got = np.asarray(g.mask)
+
+        # numpy reference: half-plane test in NDC space (y-up, CCW tri)
+        c = np.asarray(clip[0])
+        ndc = c[:, :3] / c[:, 3:4]
+        want = np.zeros((H, W), bool)
+        for yy in range(H):
+            for xx in range(W):
+                # pixel center back to NDC
+                nx = (xx + 0.5) / W * 2.0 - 1.0
+                ny = 1.0 - (yy + 0.5) / H * 2.0
+                inside = True
+                for i in range(3):
+                    ax, ay = ndc[i, 0], ndc[i, 1]
+                    bx, by = ndc[(i + 1) % 3, 0], ndc[(i + 1) % 3, 1]
+                    cross = (bx - ax) * (ny - ay) - (by - ay) * (nx - ax)
+                    inside &= cross >= -1e-9
+                want[yy, xx] = inside
+        agree = (got == want).mean()
+        assert agree > 0.99, f"coverage agreement {agree}"
+        assert got.sum() > 0.8 * want.sum()
+
+    def test_depth_order_front_wins(self):
+        c1, a1 = simple_tri(z=5.0, color=(1, 0, 0))
+        c2, a2 = simple_tri(z=3.0, color=(0, 1, 0))
+        clip = jnp.concatenate([c1, c2])
+        attrs = {k: jnp.concatenate([a1[k], a2[k]]) for k in a1}
+        g = raster.rasterize(clip, attrs, H, W, chunk=2)
+        center = np.asarray(g.albedo[H // 2, W // 2])
+        np.testing.assert_allclose(center, [0, 1, 0], atol=1e-5)
+        # and the reverse chunk order must give the same result
+        clip2 = jnp.concatenate([c2, c1])
+        attrs2 = {k: jnp.concatenate([a2[k], a1[k]]) for k in a1}
+        g2 = raster.rasterize(clip2, attrs2, H, W, chunk=2)
+        np.testing.assert_allclose(np.asarray(g2.albedo[H // 2, W // 2]),
+                                   [0, 1, 0], atol=1e-5)
+
+    def test_backface_culled(self):
+        clip, attrs = simple_tri(z=5.0)
+        # reverse winding → back face
+        clip_r = clip[:, ::-1]
+        attrs_r = {k: v[:, ::-1] for k, v in attrs.items()}
+        g = raster.rasterize(clip_r, attrs_r, H, W, chunk=4)
+        assert int(g.mask.sum()) == 0
+
+    def test_tri_valid_mask(self):
+        clip, attrs = simple_tri()
+        g = raster.rasterize(clip, attrs, H, W,
+                             tri_valid=jnp.zeros(1, bool), chunk=4)
+        assert int(g.mask.sum()) == 0
+
+    def test_behind_camera_culled(self):
+        clip, attrs = simple_tri(z=-5.0)  # behind the camera
+        g = raster.rasterize(clip, attrs, H, W, chunk=4)
+        assert int(g.mask.sum()) == 0
+
+
+class TestScenePipeline:
+    def _scene(self, with_dir_light=True):
+        b = SceneBuilder()
+        cam_rot = quat.face_towards(jnp.asarray([0.0, -0.55, 1.0]),
+                                    jnp.asarray([0.0, 1.0, 0.0]))
+        b.add_camera("cam", position=(0, 4, -6), rotation=np.asarray(cam_rot))
+        b.add_mesh(make_plane(20.0, albedo=(0.5, 0.5, 0.5)), "ground",
+                   position=(0, 0, 0))
+        b.add_mesh(make_cube(2.0, albedo=(0.8, 0.1, 0.1)), "cube",
+                   position=(0, 2.5, 0))
+        if with_dir_light:
+            # light looking straight down (+Z basis → -Y): rotate x by +90°
+            rot = quat.from_euler(np.pi / 2, 0.0, 0.0)
+            b.add_light("directional", "sun", rotation=np.asarray(rot),
+                        intensity=3.0)
+        return b.build()
+
+    def test_frame_renders_cube_and_ground(self):
+        t = self._scene()
+        state = init_state(t, num_worlds=2)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=16)
+        color, gbuf = jax.jit(
+            lambda s: render_frame(s, t, rt, cfg))(state)
+        assert color.shape == (2, H, W, 3)
+        cov = float(gbuf.mask[0].mean())
+        assert 0.3 < cov <= 1.0, f"coverage {cov}"
+        assert float(color[0].max()) > 0.05
+        # both worlds identical
+        np.testing.assert_allclose(np.asarray(color[0]), np.asarray(color[1]),
+                                   atol=1e-6)
+
+    def test_directional_shadow_darkens_under_cube(self):
+        t = self._scene()
+        state = init_state(t, num_worlds=1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        lit = RenderConfig(width=W, height=H, shadows=False, chunk=16)
+        shad = RenderConfig(width=W, height=H, shadows=True, chunk=16)
+        c_lit, g = jax.jit(lambda s: render_frame(s, t, rt, lit))(state)
+        c_shad, _ = jax.jit(lambda s: render_frame(s, t, rt, shad))(state)
+        # pixels whose world position lies under the cube footprint
+        pos = np.asarray(g.position[0])
+        mask = np.asarray(g.mask[0])
+        under = (mask & (np.abs(pos[..., 0]) < 0.9) & (np.abs(pos[..., 2]) < 0.9)
+                 & (pos[..., 1] < 0.1))
+        assert under.sum() > 10, "no ground pixels under the cube in view"
+        lit_mean = np.asarray(c_lit[0])[under].mean()
+        shad_mean = np.asarray(c_shad[0])[under].mean()
+        assert shad_mean < 0.6 * lit_mean, (lit_mean, shad_mean)
+        # pixels far from the cube stay (nearly) as bright
+        far = mask & (np.abs(pos[..., 0]) > 3.0) & (pos[..., 1] < 0.1)
+        if far.sum() > 10:
+            lit_far = np.asarray(c_lit[0])[far].mean()
+            shad_far = np.asarray(c_shad[0])[far].mean()
+            assert shad_far > 0.8 * lit_far
+
+    def test_point_light_attenuates(self):
+        b = SceneBuilder()
+        cam_rot = quat.face_towards(jnp.asarray([0.0, -1.0, 0.3]),
+                                    jnp.asarray([0.0, 1.0, 0.0]))
+        b.add_camera("cam", position=(0, 8, -3), rotation=np.asarray(cam_rot))
+        b.add_mesh(make_plane(30.0, albedo=(0.7, 0.7, 0.7)), "ground")
+        b.add_light("point", "lamp", position=(2.0, 1.0, 0.0), radius=6.0,
+                    intensity=5.0)
+        t = b.build()
+        state = init_state(t, 1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=8)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        pos = np.asarray(g.position[0])
+        mask = np.asarray(g.mask[0])
+        c = np.asarray(color[0]).mean(-1)
+        d = np.linalg.norm(pos[..., [0, 2]] - np.asarray([2.0, 0.0]), axis=-1)
+        near = mask & (d < 1.0)
+        far_ = mask & (d > 5.5)
+        assert near.sum() > 5 and far_.sum() > 5
+        assert c[near].mean() > 3.0 * c[far_].mean()
+
+    def test_frustum_culling_reduces_triangles(self):
+        """A mesh behind the camera contributes nothing."""
+        b = SceneBuilder()
+        b.add_camera("cam", position=(0, 0, 0))
+        b.add_mesh(make_cube(1.0, albedo=(1, 0, 0)), "front", position=(0, 0, 5))
+        b.add_mesh(make_cube(1.0, albedo=(0, 1, 0)), "behind", position=(0, 0, -5))
+        t = b.build()
+        state = init_state(t, 1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=8)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        px = np.asarray(color[0][np.asarray(g.mask[0])])
+        assert px.shape[0] > 0
+        assert px[:, 1].max() < 1e-3, "green (behind-camera) mesh leaked in"
