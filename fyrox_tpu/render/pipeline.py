@@ -35,6 +35,9 @@ class RenderConfig(NamedTuple):
     csm: shadows_mod.CsmConfig = shadows_mod.CsmConfig()
     chunk: int = 64
     ambient: tuple = (0.05, 0.05, 0.05)
+    use_pallas: bool = False      # tiled/binned Pallas visibility kernel
+    k_per_tile: int = 512         # Pallas: max binned triangles per tile
+    pallas_interpret: bool = False
 
 
 @dataclass
@@ -162,8 +165,16 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         material=jnp.asarray(rt.material)[tri],
         emission=jnp.asarray(rt.emission)[tri],
     )
-    gbuf = raster_mod.rasterize(tri_clip, attrs, config.height, config.width,
-                                tri_valid=tri_valid, chunk=config.chunk)
+    if config.use_pallas:
+        from fyrox_tpu.render.pallas_raster import rasterize_pallas
+        gbuf = rasterize_pallas(tri_clip, attrs, config.height, config.width,
+                                tri_valid=tri_valid,
+                                k_per_tile=config.k_per_tile,
+                                interpret=config.pallas_interpret)
+    else:
+        gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
+                                    config.width, tri_valid=tri_valid,
+                                    chunk=config.chunk)
 
     # lights from node globals
     nl = rt.light_node.shape[0]
