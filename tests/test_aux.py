@@ -1,0 +1,167 @@
+"""Tests for utils (A*, navmesh, behavior trees), particles, and sound."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.scene.particles import (EmitterKind, ParticleTemplate,
+                                       init_particles, step_particles)
+from fyrox_tpu.sound import (DistanceModel, SoundBuffers, init_sources,
+                             render_block)
+from fyrox_tpu.utils import (BehaviorTreeBuilder, Navmesh, NavmeshAgent,
+                             Status, astar_search, build_grid_graph,
+                             distance_field, pack_adjacency)
+
+
+class TestAstar:
+    def test_straight_grid_path(self):
+        verts, nbrs = build_grid_graph(10, 10)
+        path = astar_search(verts, nbrs, 0, 9)
+        assert path[0] == 0 and path[-1] == 9
+        assert len(path) == 10  # manhattan-optimal
+
+    def test_wall_detour(self):
+        # vertical wall at x=5 with a gap at y=9
+        blocked = [y * 10 + 5 for y in range(9)]
+        verts, nbrs = build_grid_graph(10, 10, blocked)
+        path = astar_search(verts, nbrs, 0, 9)
+        assert path and path[-1] == 9
+        assert len(path) > 10  # forced detour
+
+    def test_unreachable(self):
+        blocked = [y * 10 + 5 for y in range(10)]
+        verts, nbrs = build_grid_graph(10, 10, blocked)
+        assert astar_search(verts, nbrs, 0, 9) == []
+
+    def test_distance_field_matches_astar_cost(self):
+        verts, nbrs = build_grid_graph(8, 8)
+        idx, w = pack_adjacency(verts, nbrs)
+        src = jnp.asarray([0, 63])
+        dist = np.asarray(distance_field(idx, w, src))
+        assert abs(dist[0, 63] - 14.0) < 1e-4  # manhattan distance
+        assert abs(dist[1, 0] - 14.0) < 1e-4
+        assert dist[0, 0] == 0.0
+
+
+class TestNavmesh:
+    def _two_room_mesh(self):
+        """Two square rooms joined by a corridor (xz plane)."""
+        quads = [  # (x0,z0,x1,z1)
+            (0, 0, 4, 4), (4, 1.5, 6, 2.5), (6, 0, 10, 4),
+        ]
+        verts, tris = [], []
+        for (x0, z0, x1, z1) in quads:
+            base = len(verts)
+            verts += [(x0, 0, z0), (x1, 0, z0), (x1, 0, z1), (x0, 0, z1)]
+            tris += [(base, base + 1, base + 2), (base, base + 2, base + 3)]
+        # weld duplicated vertices so adjacency sees shared edges
+        verts = np.asarray(verts, np.float32)
+        tris = np.asarray(tris, np.int32)
+        return Navmesh(verts, tris)
+
+    def test_path_within_triangle(self):
+        nm = self._two_room_mesh()
+        path = nm.build_path((0.5, 0, 0.5), (1.5, 0, 1.0))
+        assert len(path) >= 2
+        np.testing.assert_allclose(path[0], [0.5, 0, 0.5], atol=1e-5)
+        np.testing.assert_allclose(path[-1], [1.5, 0, 1.0], atol=1e-5)
+
+    def test_agent_walks_path(self):
+        nm = self._two_room_mesh()
+        agent = NavmeshAgent(position=np.asarray([1.0, 0, 2.0], np.float32),
+                             speed=2.0)
+        assert agent.calculate_path(nm, (3.5, 0, 2.0))
+        for _ in range(300):
+            agent.update(1.0 / 60.0)
+        np.testing.assert_allclose(agent.position, [3.5, 0, 2.0], atol=1e-3)
+
+
+class TestBehavior:
+    def test_sequence_selector_semantics(self):
+        b = BehaviorTreeBuilder()
+        root = b.selector()
+        seq = b.sequence(parent=root)
+        l0 = b.leaf(seq)
+        l1 = b.leaf(seq)
+        l2 = b.leaf(root)
+        tree = b.build(root)
+        S, F, R = Status.SUCCESS, Status.FAILURE, Status.RUNNING
+        cases = [
+            # (leaf statuses, expected root)
+            ([S, S, F], S),   # sequence succeeds → selector succeeds
+            ([S, F, S], S),   # sequence fails → selector tries leaf2 → S
+            ([F, S, F], F),   # sequence fails at first, leaf2 fails
+            ([S, R, F], R),   # running propagates out of sequence
+            ([F, S, R], R),   # selector falls through to running leaf
+        ]
+        stat = jnp.asarray([c[0] for c in cases], jnp.int32)
+        out = np.asarray(tree.tick(stat))
+        np.testing.assert_array_equal(out, [c[1] for c in cases])
+
+    def test_inverter(self):
+        b = BehaviorTreeBuilder()
+        root = b.inverter()
+        b.leaf(root)
+        tree = b.build(root)
+        out = np.asarray(tree.tick(jnp.asarray([[Status.SUCCESS],
+                                                [Status.FAILURE],
+                                                [Status.RUNNING]], jnp.int32)))
+        np.testing.assert_array_equal(out, [Status.FAILURE, Status.SUCCESS,
+                                            Status.RUNNING])
+
+
+class TestParticles:
+    def test_emission_lifecycle(self):
+        t = ParticleTemplate(max_particles=128, emit_rate=120.0,
+                             lifetime=(0.2, 0.3), seed=3)
+        s = init_particles(t, num_worlds=2)
+        step = jax.jit(lambda s: step_particles(s, t, 1.0 / 60.0))
+        for _ in range(30):  # 0.5s → population reaches steady state
+            s = step(s)
+        alive = np.asarray(s.alive.sum(axis=1))
+        # steady state ≈ rate * mean lifetime = 120 * 0.25 = 30
+        assert 15 <= alive[0] <= 45, alive
+        # deterministic across worlds with same seed counter? different
+        # fold_in keys per world → different patterns but similar counts
+        assert 15 <= alive[1] <= 45
+        assert bool(jnp.all(jnp.isfinite(s.position)))
+
+    def test_gravity_pulls_particles(self):
+        t = ParticleTemplate(max_particles=64, emit_rate=600.0,
+                             lifetime=(5.0, 5.0), initial_speed=(0.0, 0.1),
+                             acceleration=(0, -9.81, 0))
+        s = init_particles(t, 1)
+        step = jax.jit(lambda s: step_particles(s, t, 1.0 / 60.0))
+        for _ in range(60):
+            s = step(s)
+        vy = np.asarray(s.velocity[0, :, 1])[np.asarray(s.alive[0])]
+        assert (vy < 0).mean() > 0.9
+
+
+class TestSound:
+    def test_mix_pan_and_distance(self):
+        sr = 44100
+        tone = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+        bufs = SoundBuffers.pack([tone])
+        # one source left of the listener, one far away
+        src = init_sources([0, 0], [[-5.0, 0, 0], [100.0, 0, 0]],
+                           radius=1.0, max_distance=200.0)
+        block, src2 = render_block(bufs, src, listener_pos=(0, 0, 0),
+                                   listener_right=(1.0, 0, 0), block_len=512)
+        block = np.asarray(block)
+        assert block.shape == (512, 2)
+        # left-positioned source louder in left channel overall
+        l_rms = np.sqrt((block[:, 0] ** 2).mean())
+        r_rms = np.sqrt((block[:, 1] ** 2).mean())
+        assert l_rms > r_rms
+        # playheads advanced
+        assert float(src2.playhead[0]) == 512.0
+
+    def test_nonlooping_stops_at_end(self):
+        clicks = np.ones(100, np.float32)
+        bufs = SoundBuffers.pack([clicks])
+        src = init_sources([0], [[0.0, 0, 1.0]], looping=False)
+        block, src2 = render_block(bufs, src, (0, 0, 0), (1.0, 0, 0),
+                                   block_len=256)
+        assert not bool(src2.playing[0])
+        # samples past the buffer end are silent
+        assert float(jnp.abs(block[150:]).max()) == 0.0
