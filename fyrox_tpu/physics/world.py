@@ -65,6 +65,10 @@ class PhysicsTemplate:
     pair_kind_ranges: list = None  # [((kind_a,kind_b), start, end)] — pairs
                                    # sorted by shape kind for the grouped
                                    # narrowphase (dense mode)
+    # axis locks (1 = free, 0 = locked): the 2D twin (rapier2d equivalent,
+    # scene/dim2/physics) is expressed as z-translation + x/y-rotation locks
+    lin_lock: np.ndarray = None    # [B,3]
+    ang_lock: np.ndarray = None    # [B,3]
     max_active_pairs: int = 0      # compaction width (0 = use P)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
@@ -136,12 +140,20 @@ class PhysicsBuilder:
 
     def add_body(self, node=-1, body_type=DYNAMIC, position=(0, 0, 0),
                  rotation=(0, 0, 0, 1), lin_damping=0.0, ang_damping=0.0,
-                 gravity_scale=1.0) -> int:
+                 gravity_scale=1.0, dim2=False,
+                 lock_translation=(1, 1, 1), lock_rotation=(1, 1, 1)) -> int:
+        """dim2=True constrains the body to the XY plane (z translation and
+        x/y rotations locked) — the rapier2d-equivalent mode."""
+        if dim2:
+            lock_translation = (1, 1, 0)
+            lock_rotation = (0, 0, 1)
         self._bodies.append(dict(node=node, body_type=body_type,
                                  position=np.asarray(position, np.float32),
                                  rotation=np.asarray(rotation, np.float32),
                                  lin_damping=lin_damping, ang_damping=ang_damping,
-                                 gravity_scale=gravity_scale))
+                                 gravity_scale=gravity_scale,
+                                 lin_lock=np.asarray(lock_translation, np.float32),
+                                 ang_lock=np.asarray(lock_rotation, np.float32)))
         return len(self._bodies) - 1
 
     def add_collider(self, body, shape, params, density=1.0, friction=0.5,
@@ -243,6 +255,10 @@ class PhysicsBuilder:
             lin_damping=np.asarray([b["lin_damping"] for b in self._bodies], np.float32),
             ang_damping=np.asarray([b["ang_damping"] for b in self._bodies], np.float32),
             gravity_scale=np.asarray([b["gravity_scale"] for b in self._bodies], np.float32),
+            lin_lock=(np.stack([b["lin_lock"] for b in self._bodies])
+                      if nb else np.ones((0, 3), np.float32)),
+            ang_lock=(np.stack([b["ang_lock"] for b in self._bodies])
+                      if nb else np.ones((0, 3), np.float32)),
             col_body=col_body,
             col_shape=np.asarray([c["shape"] for c in self._colliders], np.int32),
             col_params=np.stack([c["params"] for c in self._colliders]) if nc
@@ -428,6 +444,15 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         state.position, state.rotation, state.linvel, angvel,
         jnp.asarray(t.com_local), inv_mass, jnp.asarray(t.inv_inertia_local),
         accel, contacts, sp, warm=warm)
+
+    # ---- axis locks (2D mode / locked DOFs) ----
+    if t.lin_lock is not None:
+        linvel = linvel * jnp.asarray(t.lin_lock)[None]
+        angvel = angvel * jnp.asarray(t.ang_lock)[None]
+        # project positions back onto the locked plane (z drift from the
+        # substep integration before the lock was applied)
+        keep = jnp.asarray(t.lin_lock)[None]
+        position = position * keep + state.position * (1.0 - keep)
 
     # ---- damping (rapier: v *= 1/(1+dt*d)) ----
     ld = jnp.asarray(t.lin_damping)[None, :, None]
