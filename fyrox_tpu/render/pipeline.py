@@ -204,7 +204,9 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 min(rt.z_far, 100.0), sdir, config.csm)
             depth_maps = shadows_mod.render_cascade_depths(
                 tri_pos, cascade_vps, config.csm.map_size,
-                tri_valid=tri_valid, chunk=config.chunk)
+                tri_valid=tri_valid, chunk=config.chunk,
+                use_pallas=config.use_pallas, k_per_tile=config.k_per_tile,
+                pallas_interpret=config.pallas_interpret)
 
             def shadow_fn(li_, world_pos):
                 if li_ != di:

@@ -101,7 +101,8 @@ def _ortho_offcenter(l, r, b, t, zn, zf):
 
 
 def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
-                          tri_valid=None, chunk=64):
+                          tri_valid=None, chunk=64, use_pallas=False,
+                          k_per_tile=512, pallas_interpret=False):
     """Depth-only passes. world_tri_positions [T,3,3]; cascade_vps
     [NUM_CASCADES,4,4] → depth maps [NUM_CASCADES, S, S] (NDC z)."""
     dummy3 = jnp.zeros(world_tri_positions.shape[:2] + (3,), jnp.float32)
@@ -111,8 +112,14 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
 
     def one(vp):
         clip = raster_mod.transform_clip(world_tri_positions, vp[None])
-        g = raster_mod.rasterize(clip, attrs, map_size, map_size,
-                                 tri_valid=tri_valid, chunk=chunk)
+        if use_pallas:
+            from fyrox_tpu.render.pallas_raster import rasterize_pallas
+            g = rasterize_pallas(clip, attrs, map_size, map_size,
+                                 tri_valid=tri_valid, k_per_tile=k_per_tile,
+                                 interpret=pallas_interpret)
+        else:
+            g = raster_mod.rasterize(clip, attrs, map_size, map_size,
+                                     tri_valid=tri_valid, chunk=chunk)
         return g.depth
 
     return jax.vmap(one)(cascade_vps)
@@ -135,33 +142,31 @@ def csm_visibility(world_pos, view, cascade_vps, depth_maps,
                       axis=-1)
     cascade = jnp.clip(cascade, 0, NUM_CASCADES - 1)
 
-    vis_per = []
-    for ci in range(NUM_CASCADES):
-        lc = jnp.einsum("ij,...j->...i", cascade_vps[ci], ph,
-                        precision="highest")
-        ndc = lc[..., :3] / jnp.maximum(jnp.abs(lc[..., 3:4]), 1e-8) \
-            * jnp.sign(lc[..., 3:4])
-        u = (ndc[..., 0] * 0.5 + 0.5) * s
-        v_ = (0.5 - ndc[..., 1] * 0.5) * s
-        z_ref = ndc[..., 2] - config.bias
-        inside = ((u >= 0) & (u < s) & (v_ >= 0) & (v_ < s)
-                  & (jnp.abs(ndc[..., 2]) <= 1.0))
-        dm = depth_maps[ci]
+    # project into ALL cascades (cheap elementwise math), then SELECT the
+    # active cascade's coordinates before sampling — so the expensive
+    # depth-map gathers run once, not once per cascade
+    lc = jnp.einsum("cij,...j->...ci", cascade_vps, ph,
+                    precision="highest")                      # [...,C,4]
+    ndc = lc[..., :3] / jnp.maximum(jnp.abs(lc[..., 3:4]), 1e-8) \
+        * jnp.sign(lc[..., 3:4])
+    sel = cascade[..., None, None]                             # [...,1,1]
+    ndc_sel = jnp.take_along_axis(ndc, jnp.broadcast_to(sel, ndc.shape[:-2] + (1, 3)),
+                                  axis=-2)[..., 0, :]
+    u = (ndc_sel[..., 0] * 0.5 + 0.5) * s
+    v_ = (0.5 - ndc_sel[..., 1] * 0.5) * s
+    z_ref = ndc_sel[..., 2] - config.bias
+    inside = ((u >= 0) & (u < s) & (v_ >= 0) & (v_ < s)
+              & (jnp.abs(ndc_sel[..., 2]) <= 1.0))
 
-        def sample(du, dv):
-            ui = jnp.clip(u.astype(jnp.int32) + du, 0, s - 1)
-            vi = jnp.clip(v_.astype(jnp.int32) + dv, 0, s - 1)
-            occ = dm[vi, ui]
-            return (z_ref <= occ).astype(jnp.float32)
+    def sample(du, dv):
+        ui = jnp.clip(u.astype(jnp.int32) + du, 0, s - 1)
+        vi = jnp.clip(v_.astype(jnp.int32) + dv, 0, s - 1)
+        occ = depth_maps[cascade, vi, ui]
+        return (z_ref <= occ).astype(jnp.float32)
 
-        if config.pcf:
-            acc = sum(sample(du, dv) for du in (-1, 0, 1) for dv in (-1, 0, 1))
-            vis = acc / 9.0
-        else:
-            vis = sample(0, 0)
-        vis_per.append(jnp.where(inside, vis, 1.0))
-
-    out = vis_per[0]
-    for ci in range(1, NUM_CASCADES):
-        out = jnp.where(cascade == ci, vis_per[ci], out)
-    return out
+    if config.pcf:
+        vis = sum(sample(du, dv)
+                  for du in (-1, 0, 1) for dv in (-1, 0, 1)) / 9.0
+    else:
+        vis = sample(0, 0)
+    return jnp.where(inside, vis, 1.0)

@@ -26,6 +26,12 @@ class Navmesh:
     def __post_init__(self):
         self.vertices = np.asarray(self.vertices, np.float32)
         self.triangles = np.asarray(self.triangles, np.int32)
+        # weld coincident vertices so triangles authored as separate quads
+        # still share edges for adjacency (tolerance 1e-5)
+        key = np.round(self.vertices / 1e-5).astype(np.int64)
+        _, first, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+        self.triangles = inverse[self.triangles].astype(np.int32)
         t = self.triangles
         self._centers = self.vertices[t].mean(axis=1)
         # triangle adjacency via shared edges
