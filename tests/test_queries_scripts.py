@@ -1,0 +1,107 @@
+"""Ray casting queries + script system + executor."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.physics import (BALL, CAPSULE, CUBOID, HALFSPACE, BodyType,
+                               PhysicsBuilder, init_physics_state)
+from fyrox_tpu.physics.queries import cast_ray
+from fyrox_tpu.script import Executor, Script, ScriptProcessor
+
+
+def make_query_world():
+    b = PhysicsBuilder()
+    g = b.add_body(body_type=BodyType.STATIC)
+    b.add_collider(g, HALFSPACE, [])
+    s = b.add_body(body_type=BodyType.STATIC, position=(5, 1, 0))
+    b.add_collider(s, BALL, [1.0])
+    c = b.add_body(body_type=BodyType.STATIC, position=(-5, 1, 0))
+    b.add_collider(c, CUBOID, [1.0, 1.0, 1.0])
+    k = b.add_body(body_type=BodyType.STATIC, position=(0, 1, 5))
+    b.add_collider(k, CAPSULE, [0.5, 0.4])
+    t = b.build()
+    return b, t, init_physics_state(b, t, 1)
+
+
+class TestCastRay:
+    def test_hits_each_shape(self):
+        _, t, s = make_query_world()
+        origins = jnp.asarray([[[0.0, 1, 0]] * 4])
+        dirs = jnp.asarray([[[1.0, 0, 0], [-1.0, 0, 0], [0.0, 0, 1],
+                             [0.0, -1, 0]]])
+        out = jax.jit(lambda st: cast_ray(st, t, origins, dirs))(s)
+        hit = np.asarray(out["hit"][0])
+        toi = np.asarray(out["toi"][0])
+        body = np.asarray(out["body"][0])
+        assert hit.all()
+        assert abs(toi[0] - 4.0) < 1e-4 and body[0] == 1    # ball at x=5 r=1
+        assert abs(toi[1] - 4.0) < 1e-4 and body[1] == 2    # box at x=-5 h=1
+        assert abs(toi[2] - 4.6) < 1e-3 and body[2] == 3    # capsule r=0.4
+        assert abs(toi[3] - 1.0) < 1e-4 and body[3] == 0    # ground plane
+        # normals
+        n = np.asarray(out["normal"][0])
+        np.testing.assert_allclose(n[0], [-1, 0, 0], atol=1e-3)
+        np.testing.assert_allclose(n[1], [1, 0, 0], atol=1e-3)
+        np.testing.assert_allclose(n[3], [0, 1, 0], atol=1e-3)
+
+    def test_miss(self):
+        _, t, s = make_query_world()
+        out = cast_ray(s, t, jnp.asarray([[[0.0, 10, 0]]]),
+                       jnp.asarray([[[0.0, 1, 0]]]))
+        assert not bool(out["hit"][0, 0])
+        assert out["collider"][0, 0] == -1
+
+    def test_max_toi(self):
+        _, t, s = make_query_world()
+        out = cast_ray(s, t, jnp.asarray([[[0.0, 1, 0]]]),
+                       jnp.asarray([[[1.0, 0, 0]]]), max_toi=2.0)
+        assert not bool(out["hit"][0, 0])
+
+
+class TestScripts:
+    def test_lifecycle_order_and_messages(self):
+        calls = []
+
+        class S(Script):
+            def __init__(self, tag):
+                self.tag = tag
+
+            def on_init(self, ctx):
+                calls.append(("init", self.tag))
+
+            def on_start(self, ctx):
+                calls.append(("start", self.tag))
+
+            def on_update(self, ctx):
+                calls.append(("update", self.tag))
+
+            def on_message(self, ctx, m):
+                calls.append(("msg", self.tag, m))
+
+        sp = ScriptProcessor()
+        sp.add(S("a"))
+        sp.add(S("b"))
+        sp.send_message("hello")
+        sp.update(None, None, 1 / 60)
+        # all inits before all starts (the reference's ordering contract,
+        # engine/mod.rs test_order)
+        assert calls[:4] == [("init", "a"), ("init", "b"),
+                             ("start", "a"), ("start", "b")]
+        assert ("msg", "a", "hello") in calls and ("msg", "b", "hello") in calls
+        assert calls[-2:] == [("update", "a"), ("update", "b")]
+
+    def test_executor_fixed_timestep_with_script(self):
+        from fyrox_tpu.models import build_flagship
+        engine, _ = build_flagship(n_bones=4, n_verts=16, n_bodies=2)
+        state = engine.init_state(num_worlds=1)
+        ex = Executor(engine, state)
+        ticks = []
+
+        class Counter(Script):
+            def on_update(self, ctx):
+                ticks.append(float(ctx.dt))
+
+        ex.scripts.add(Counter())
+        out = ex.run(duration_s=0.5)
+        assert len(ticks) == 30               # 0.5 s at 60 Hz exactly
+        assert abs(float(out.scene.time[0]) - 0.5) < 1e-4
