@@ -147,7 +147,7 @@ def _make_ops(contacts: ContactBatch):
 def solve_tgs(position, rotation, linvel, angvel, com_local,
               inv_mass, inv_inertia_local, gravity_accel,
               contacts: ContactBatch, params: SolverParams,
-              warm=None):
+              warm=None, joints=None):
     """TGS substepped solve + integrate. Returns
     (pos, rot, linvel, angvel, (λn, λt1, λt2) or None)."""
     eps = 1e-12
@@ -243,9 +243,16 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
                                    precision="highest")
             return lv_, av_
 
+    ii_w_all, _com_off_all = body_kinematics(rotation)
+
     def substep(carry, _):
         pos, rot, lv, av, depth_cur, lam_n, lam_t1, lam_t2 = carry
         lv = lv + h * gravity_accel
+
+        if joints is not None and joints.num_joints > 0:
+            from fyrox_tpu.physics import joints as joints_mod
+            lv, av = joints_mod.solve_joints_velocity(
+                pos, rot, lv, av, inv_mass, ii_w_all, joints, h)
 
         if has_contacts:
             # ---- warmstart this substep (Box2D-v3 per-substep impulses) ----
@@ -310,6 +317,11 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
              warm_n, warm_t1, warm_t2)
     carry, _ = jax.lax.scan(substep, carry, None, length=params.n_substeps)
     pos, rot, lv, av, depth_cur, lam_n, lam_t1_f, lam_t2_f = carry
+
+    if joints is not None and joints.num_joints > 0:
+        from fyrox_tpu.physics import joints as joints_mod
+        for _ in range(params.n_stabilization):
+            pos = joints_mod.joint_position_pass(pos, rot, inv_mass, joints)
 
     if not has_contacts:
         return pos, rot, lv, av, None

@@ -69,6 +69,7 @@ class PhysicsTemplate:
     # scene/dim2/physics) is expressed as z-translation + x/y-rotation locks
     lin_lock: np.ndarray = None    # [B,3]
     ang_lock: np.ndarray = None    # [B,3]
+    joints: object = None          # JointSet (impulse joints, joint.rs:775)
     max_active_pairs: int = 0      # compaction width (0 = use P)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
@@ -137,6 +138,7 @@ class PhysicsBuilder:
     def __init__(self):
         self._bodies = []
         self._colliders = []
+        self._joints = None
 
     def add_body(self, node=-1, body_type=DYNAMIC, position=(0, 0, 0),
                  rotation=(0, 0, 0, 1), lin_damping=0.0, ang_damping=0.0,
@@ -155,6 +157,15 @@ class PhysicsBuilder:
                                  lin_lock=np.asarray(lock_translation, np.float32),
                                  ang_lock=np.asarray(lock_rotation, np.float32)))
         return len(self._bodies) - 1
+
+    def add_joint(self, kind, body_a, body_b, anchor_a=(0, 0, 0),
+                  anchor_b=(0, 0, 0), axis=(0, 0, 1)) -> int:
+        """Impulse joint (scene/joint.rs equivalents): kind from
+        fyrox_tpu.physics.joints.JointKind (BALL/FIXED/REVOLUTE)."""
+        from fyrox_tpu.physics.joints import JointBuilder
+        if self._joints is None:
+            self._joints = JointBuilder()
+        return self._joints.add(kind, body_a, body_b, anchor_a, anchor_b, axis)
 
     def add_collider(self, body, shape, params, density=1.0, friction=0.5,
                      restitution=0.0, offset=(0, 0, 0), offset_rot=(0, 0, 0, 1),
@@ -273,6 +284,7 @@ class PhysicsBuilder:
             pair_a=np.asarray(pa, np.int32),
             pair_b=np.asarray(pb, np.int32),
             pair_kind_ranges=kind_ranges,
+            joints=(self._joints.build() if self._joints is not None else None),
             max_active_pairs=max_active_pairs,
             **solver_kw,
         )
@@ -443,7 +455,7 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     position, rotation, linvel, angvel, lam_out = solver_mod.solve_tgs(
         state.position, state.rotation, state.linvel, angvel,
         jnp.asarray(t.com_local), inv_mass, jnp.asarray(t.inv_inertia_local),
-        accel, contacts, sp, warm=warm)
+        accel, contacts, sp, warm=warm, joints=t.joints)
 
     # ---- axis locks (2D mode / locked DOFs) ----
     if t.lin_lock is not None:

@@ -1,0 +1,82 @@
+"""Joint constraint tests: pendulum, fixed weld, revolute hinge, chains."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.physics import (BALL, BodyType, PhysicsBuilder,
+                               init_physics_state, step_physics)
+from fyrox_tpu.physics.joints import JointKind
+
+DT = 1.0 / 60.0
+
+
+class TestJoints:
+    def test_ball_joint_pendulum_keeps_length(self):
+        b = PhysicsBuilder()
+        anchor = b.add_body(body_type=BodyType.STATIC, position=(0, 5, 0))
+        b.add_collider(anchor, BALL, [0.1])
+        bob = b.add_body(position=(2.0, 5.0, 0))
+        b.add_collider(bob, BALL, [0.2])
+        b.add_joint(JointKind.BALL, anchor, bob,
+                    anchor_a=(0, 0, 0), anchor_b=(-2.0, 0, 0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        lengths = []
+        for i in range(240):
+            s = step(s)
+            if i % 40 == 0:
+                p = np.asarray(s.position[0, 1])
+                anchor_pt = p + np.asarray(
+                    jnp.asarray([-2.0, 0, 0]))  # bob-local anchor (unrotated approx)
+                lengths.append(np.linalg.norm(p - np.asarray([0, 5, 0])))
+        # bob swings (moved from start) but stays ~2m from the pivot
+        assert abs(float(s.position[0, 1, 0]) - 2.0) > 0.2  # swung
+        p = np.asarray(s.position[0, 1])
+        q = np.asarray(s.rotation[0, 1])
+        # world position of the bob-local anchor point
+        from fyrox_tpu.core import quat as qm
+        world_anchor = p + np.asarray(qm.rotate(jnp.asarray(q),
+                                                jnp.asarray([-2.0, 0, 0])))
+        dist = np.linalg.norm(world_anchor - np.asarray([0, 5, 0]))
+        assert dist < 0.15, f"joint separated by {dist}"
+
+    def test_fixed_joint_welds_orientation(self):
+        b = PhysicsBuilder()
+        base = b.add_body(body_type=BodyType.STATIC, position=(0, 3, 0))
+        b.add_collider(base, BALL, [0.1])
+        arm = b.add_body(position=(1.0, 3.0, 0))
+        b.add_collider(arm, BALL, [0.2])
+        b.add_joint(JointKind.FIXED, base, arm,
+                    anchor_a=(0, 0, 0), anchor_b=(-1.0, 0, 0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        for _ in range(240):
+            s = step(s)
+        # arm must NOT fall: held rigidly at its initial pose
+        p = np.asarray(s.position[0, 1])
+        np.testing.assert_allclose(p, [1.0, 3.0, 0.0], atol=0.1)
+        # orientation stays identity-ish
+        q = np.asarray(s.rotation[0, 1])
+        assert abs(abs(q[3]) - 1.0) < 0.02, q
+
+    def test_revolute_hinge_swings_in_plane(self):
+        b = PhysicsBuilder()
+        base = b.add_body(body_type=BodyType.STATIC, position=(0, 4, 0))
+        b.add_collider(base, BALL, [0.1])
+        door = b.add_body(position=(1.0, 4.0, 0))
+        b.add_collider(door, BALL, [0.2])
+        # hinge about z: door swings in the xy-plane only
+        b.add_joint(JointKind.REVOLUTE, base, door,
+                    anchor_a=(0, 0, 0), anchor_b=(-1.0, 0, 0), axis=(0, 0, 1))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        # out-of-plane kick that the hinge must resist
+        s = s._replace(linvel=s.linvel.at[0, 1, 2].set(2.0))
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        for _ in range(240):
+            s = step(s)
+        p = np.asarray(s.position[0, 1])
+        assert abs(p[2]) < 0.12, f"hinge let the door leave its plane: z={p[2]}"
+        assert p[1] < 3.9  # it did swing down under gravity
