@@ -403,6 +403,60 @@ KIND_KERNELS = {
 }
 
 
+# max useful manifold points per canonical pair kind (sphere contacts are
+# single-point; capsules two; box faces four) — lets the dense contact
+# layout skip the all-pairs-get-4-slots waste
+KIND_POINTS = {
+    (sh.BALL, sh.BALL): 1,
+    (sh.BALL, sh.CUBOID): 1,
+    (sh.BALL, sh.CAPSULE): 1,
+    (sh.BALL, sh.HALFSPACE): 1,
+    (sh.CUBOID, sh.CUBOID): 4,
+    (sh.CUBOID, sh.CAPSULE): 2,
+    (sh.CUBOID, sh.HALFSPACE): 4,
+    (sh.CAPSULE, sh.CAPSULE): 1,
+    (sh.CAPSULE, sh.HALFSPACE): 2,
+}
+
+
+def flat_contact_layout(kind_ranges):
+    """Static per-point pair mapping for the compact dense layout.
+
+    Returns (pair_idx [K] int32, K) where each pair contributes
+    KIND_POINTS[kind] contact slots.
+    """
+    import numpy as _np
+    idx = []
+    for (ka, kb), s0, s1 in kind_ranges:
+        npts = KIND_POINTS[(ka, kb)]
+        for p in range(s0, s1):
+            idx.extend([p] * npts)
+    return _np.asarray(idx, _np.int32), len(idx)
+
+
+def generate_contacts_flat(kind_ranges, params_a, pos_a, rot_a,
+                           params_b, pos_b, rot_b, pred):
+    """Kind-grouped narrowphase emitting the COMPACT flat contact layout:
+    dict(normal [W,K,3], point [W,K,3], depth [W,K], active [W,K]) with K
+    from flat_contact_layout (per-kind manifold sizes, no padding to 4)."""
+    normals, points, depths, actives = [], [], [], []
+    for (ka, kb), s0, s1 in kind_ranges:
+        kern = KIND_KERNELS[(ka, kb)]
+        npts = KIND_POINTS[(ka, kb)]
+        sl = slice(s0, s1)
+        m = kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
+                 params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pred)
+        w = m.points.shape[0]
+        normals.append(jnp.repeat(m.normal, npts, axis=1))
+        points.append(m.points[:, :, :npts].reshape(w, -1, 3))
+        depths.append(m.depth[:, :, :npts].reshape(w, -1))
+        actives.append(m.active[:, :, :npts].reshape(w, -1))
+    return dict(normal=jnp.concatenate(normals, 1),
+                point=jnp.concatenate(points, 1),
+                depth=jnp.concatenate(depths, 1),
+                active=jnp.concatenate(actives, 1))
+
+
 def generate_contacts_grouped(kind_ranges, params_a, pos_a, rot_a,
                               params_b, pos_b, rot_b, pred):
     """Narrowphase over a kind-sorted static pair list.

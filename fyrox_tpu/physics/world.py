@@ -94,18 +94,26 @@ class PhysicsTemplate:
     def num_pairs(self):
         return int(self.pair_a.shape[0])
 
+    def flat_layout(self):
+        """(pair_idx [K], K): the compact per-kind contact-slot layout
+        (narrowphase.KIND_POINTS) used in dense mode."""
+        if getattr(self, "_flat_layout", None) is None:
+            from fyrox_tpu.physics.narrowphase import flat_contact_layout
+            self._flat_layout = flat_contact_layout(self.pair_kind_ranges or [])
+        return self._flat_layout
+
     def incidence(self):
-        """Static one-hot contact→body incidence [K,B] (K = 4*num_pairs),
-        cached. Used by the solver's MXU matmul gather/scatter fast path
-        (only valid without broadphase compaction, where contact slot k
-        always maps to the same body)."""
+        """Static one-hot contact→body incidence [K,B] for the compact
+        layout, cached. Used by the solver's MXU matmul gather/scatter fast
+        path (only valid without broadphase compaction, where contact slot
+        k always maps to the same body)."""
         if getattr(self, "_incidence", None) is None:
-            k = self.num_pairs * 4
+            pair_idx, k = self.flat_layout()
             b = self.num_bodies
             inc_a = np.zeros((k, b), np.float32)
             inc_b = np.zeros((k, b), np.float32)
-            ba = np.repeat(self.col_body[self.pair_a], 4)
-            bb = np.repeat(self.col_body[self.pair_b], 4)
+            ba = self.col_body[self.pair_a[pair_idx]]
+            bb = self.col_body[self.pair_b[pair_idx]]
             inc_a[np.arange(k), ba] = 1.0
             inc_b[np.arange(k), bb] = 1.0
             self._incidence = (inc_a, inc_b)
@@ -308,7 +316,10 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     z = jnp.zeros((w, b, 3), jnp.float32)
     cap = min(template.max_active_pairs or template.num_pairs,
               template.num_pairs)
-    kk = cap * 4
+    if cap >= template.num_pairs and template.pair_kind_ranges is not None:
+        _, kk = template.flat_layout()      # compact dense layout
+    else:
+        kk = cap * 4
     return PhysicsState(
         position=jnp.broadcast_to(jnp.asarray(pos, jnp.float32), (w, b, 3)),
         rotation=jnp.broadcast_to(jnp.asarray(rot, jnp.float32), (w, b, 4)),
@@ -391,11 +402,12 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
             return jnp.take_along_axis(
                 arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
 
-        if cap >= t.num_pairs and t.pair_kind_ranges is not None:
-            # dense static pair list: kind-grouped narrowphase (each kernel
-            # on its own contiguous slice; static 1-D collider gathers)
+        dense_mode = cap >= t.num_pairs and t.pair_kind_ranges is not None
+        if dense_mode:
+            # dense static pair list: kind-grouped narrowphase emitting the
+            # COMPACT contact layout (per-kind manifold sizes)
             pa_s, pb_s = t.pair_a, t.pair_b
-            man = np_mod.generate_contacts_grouped(
+            flat = np_mod.generate_contacts_flat(
                 t.pair_kind_ranges,
                 cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
                 cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
@@ -406,35 +418,42 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
                 ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
                 pred=jnp.asarray(0.002, dtype))
 
-        kk = sel.shape[1] * 4
         cb = jnp.asarray(t.col_body)
-        fric = jnp.sqrt(jnp.asarray(t.col_friction)[ia_c] *
-                        jnp.asarray(t.col_friction)[ib_c])
-        rest = jnp.maximum(jnp.asarray(t.col_restitution)[ia_c],
-                           jnp.asarray(t.col_restitution)[ib_c])
-        dense = cap >= t.num_pairs
-        if dense:
+        if dense_mode:
+            pair_idx, kk = t.flat_layout()
             inc_a, inc_b = t.incidence()
-            # keep static indices as host numpy so the solver can use them
-            # as compile-time gather indices
-            body_a = np.repeat(t.col_body[t.pair_a], 4)
-            body_b = np.repeat(t.col_body[t.pair_b], 4)
+            body_a = t.col_body[t.pair_a[pair_idx]]    # static numpy
+            body_b = t.col_body[t.pair_b[pair_idx]]
+            fric_p = np.sqrt(t.col_friction[t.pair_a] * t.col_friction[t.pair_b])
+            rest_p = np.maximum(t.col_restitution[t.pair_a],
+                                t.col_restitution[t.pair_b])
+            contacts = solver_mod.ContactBatch(
+                body_a=body_a, body_b=body_b,
+                normal=flat["normal"],
+                point=flat["point"],
+                depth=flat["depth"],
+                friction=jnp.asarray(fric_p[pair_idx]),
+                restitution=jnp.asarray(rest_p[pair_idx]),
+                active=flat["active"] & sel_valid[:, pair_idx],
+                inc_a=inc_a, inc_b=inc_b,
+            )
         else:
-            inc_a = inc_b = None
-            body_a = jnp.repeat(cb[ia_c], 4, axis=1)
-            body_b = jnp.repeat(cb[ib_c], 4, axis=1)
-        contacts = solver_mod.ContactBatch(
-            body_a=body_a,
-            body_b=body_b,
-            normal=jnp.repeat(man.normal, 4, axis=1),
-            point=man.points.reshape(w, kk, 3),
-            depth=man.depth.reshape(w, kk),
-            friction=jnp.repeat(fric, 4, axis=1),
-            restitution=jnp.repeat(rest, 4, axis=1),
-            active=(man.active.reshape(w, kk)
-                    & jnp.repeat(sel_valid, 4, axis=1)),
-            inc_a=inc_a, inc_b=inc_b,
-        )
+            kk = sel.shape[1] * 4
+            fric = jnp.sqrt(jnp.asarray(t.col_friction)[ia_c] *
+                            jnp.asarray(t.col_friction)[ib_c])
+            rest = jnp.maximum(jnp.asarray(t.col_restitution)[ia_c],
+                               jnp.asarray(t.col_restitution)[ib_c])
+            contacts = solver_mod.ContactBatch(
+                body_a=jnp.repeat(cb[ia_c], 4, axis=1),
+                body_b=jnp.repeat(cb[ib_c], 4, axis=1),
+                normal=jnp.repeat(man.normal, 4, axis=1),
+                point=man.points.reshape(w, kk, 3),
+                depth=man.depth.reshape(w, kk),
+                friction=jnp.repeat(fric, 4, axis=1),
+                restitution=jnp.repeat(rest, 4, axis=1),
+                active=(man.active.reshape(w, kk)
+                        & jnp.repeat(sel_valid, 4, axis=1)),
+            )
 
     sp = solver_mod.SolverParams(
         dt=jnp.asarray(dt, dtype), erp=t.erp,
@@ -449,8 +468,13 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     if contacts is not None and state.warm_n is not None:
         # slot-matched warmstart: only slots still holding the same pair
         same = (state.warm_pair == sel)
-        same4 = jnp.repeat(same, 4, axis=1)
-        warm = (state.warm_n * same4, state.warm_t1 * same4, state.warm_t2 * same4)
+        if contacts.inc_a is not None:
+            pair_idx, _ = t.flat_layout()
+            same_k = same[:, pair_idx]
+        else:
+            same_k = jnp.repeat(same, 4, axis=1)
+        warm = (state.warm_n * same_k, state.warm_t1 * same_k,
+                state.warm_t2 * same_k)
 
     position, rotation, linvel, angvel, lam_out = solver_mod.solve_tgs(
         state.position, state.rotation, state.linvel, angvel,
