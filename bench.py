@@ -21,7 +21,7 @@ def main():
     from fyrox_tpu.animation import skinning
     from fyrox_tpu.models import build_flagship
 
-    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 256))
+    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 128))
     n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 64))
     n_verts = int(os.environ.get("FYROX_BENCH_VERTS", 50_000))
     n_bones = int(os.environ.get("FYROX_BENCH_BONES", 100))
