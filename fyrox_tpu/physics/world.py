@@ -196,74 +196,71 @@ class PhysicsBuilder:
         com = np.zeros((nb, 3), np.float32)
 
         # mass properties: accumulate collider masses about the body origin
+        by_body = {}
+        for c in self._colliders:
+            by_body.setdefault(c["body"], []).append(c)
+
+        def _np_quat_mat(q):
+            x, y, z, w = q
+            return np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]],
+                np.float64)
+
         for bi, body in enumerate(self._bodies):
             if body["body_type"] != DYNAMIC:
                 continue
-            mass = 0.0
-            first_moment = np.zeros(3)
-            for c in self._colliders:
-                if c["body"] != bi:
-                    continue
-                m, _ = sh.mass_properties(c["shape"], c["params"], c["density"])
-                mass += m
-                first_moment += m * c["offset"]
+            cols = by_body.get(bi, [])
+            props = [(sh.mass_properties(c["shape"], c["params"], c["density"]), c)
+                     for c in cols]
+            mass = sum(m for (m, _i), _c in props)
             if mass <= 0.0:
                 # rapier gives massless dynamic bodies unit mass behavior:
                 # keep them translating-only with unit mass
                 inv_mass[bi] = 1.0
                 continue
-            com[bi] = first_moment / mass
+            com[bi] = sum(m * c["offset"] for (m, _i), c in props) / mass
             inertia = np.zeros((3, 3))
-            for c in self._colliders:
-                if c["body"] != bi:
-                    continue
-                m, i_local = sh.mass_properties(c["shape"], c["params"], c["density"])
-                # rotate into body frame
-                q = c["offset_rot"]
-                r = np.asarray(quat.to_mat3(jnp.asarray(q)))
-                i_rot = r @ i_local @ r.T
-                # parallel axis to the body COM
+            for (m, i_local), c in props:
+                r = _np_quat_mat(c["offset_rot"])
                 d = c["offset"] - com[bi]
-                i_pa = m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
-                inertia += i_rot + i_pa
+                inertia += (r @ i_local @ r.T
+                            + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d)))
             inv_mass[bi] = 1.0 / mass
             inv_inertia[bi] = np.linalg.inv(inertia)
 
         body_type = np.asarray([b["body_type"] for b in self._bodies], np.int32)
         col_body = np.asarray([c["body"] for c in self._colliders], np.int32)
 
-        # candidate pairs: skip same body; skip both-non-dynamic; sorted by
-        # effective shape kind so the grouped narrowphase runs each kernel
-        # on one contiguous slice
+        # candidate pairs (vectorized): skip same body; skip both-non-dynamic;
+        # sorted by effective shape kind so the grouped narrowphase runs each
+        # kernel on one contiguous slice
         from fyrox_tpu.physics.narrowphase import effective_kind
-        recs = []
-        for i in range(nc):
-            for j in range(i + 1, nc):
-                bi_, bj_ = col_body[i], col_body[j]
-                if bi_ == bj_:
-                    continue
-                if body_type[bi_] != DYNAMIC and body_type[bj_] != DYNAMIC:
-                    continue
-                ki = effective_kind(self._colliders[i]["shape"])
-                kj = effective_kind(self._colliders[j]["shape"])
-                # canonical order: smaller effective kind first
-                if ki <= kj:
-                    recs.append(((ki, kj), i, j))
-                else:
-                    recs.append(((kj, ki), j, i))
-        recs.sort(key=lambda r: r[0])
-        pa = [r[1] for r in recs]
-        pb = [r[2] for r in recs]
-        # build contiguous kind ranges
+        kinds = np.asarray([effective_kind(c["shape"]) for c in self._colliders],
+                           np.int32)
+        ii, jj = np.triu_indices(nc, k=1)
+        keep = (col_body[ii] != col_body[jj]) &                ((body_type[col_body[ii]] == DYNAMIC)
+                | (body_type[col_body[jj]] == DYNAMIC))
+        ii, jj = ii[keep], jj[keep]
+        # canonical order: smaller effective kind first
+        swap = kinds[ii] > kinds[jj]
+        pa_arr = np.where(swap, jj, ii).astype(np.int64)
+        pb_arr = np.where(swap, ii, jj).astype(np.int64)
+        ka = kinds[pa_arr]
+        kb = kinds[pb_arr]
+        order = np.lexsort((kb, ka))
+        pa_arr, pb_arr, ka, kb = pa_arr[order], pb_arr[order], ka[order], kb[order]
+        pa = pa_arr.tolist() if False else pa_arr
+        pb = pb_arr
         kind_ranges = []
-        i0 = 0
-        while i0 < len(recs):
-            k0 = recs[i0][0]
-            i1 = i0
-            while i1 < len(recs) and recs[i1][0] == k0:
-                i1 += 1
-            kind_ranges.append((k0, i0, i1))
-            i0 = i1
+        if len(pa_arr):
+            combo = ka.astype(np.int64) * 1000 + kb
+            bounds = np.flatnonzero(np.diff(combo)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(combo)]])
+            kind_ranges = [((int(ka[s0]), int(kb[s0])), int(s0), int(e0))
+                           for s0, e0 in zip(starts, ends)]
 
         return PhysicsTemplate(
             body_node=np.asarray([b["node"] for b in self._bodies], np.int32),
