@@ -55,6 +55,21 @@ class SkinTemplate:
         return self._dense_weights
 
 
+def apply_blend_shapes(vertices, shape_deltas, weights):
+    """Morph targets (the reference's blend shapes, mesh/mod.rs:357-360:
+    per-shape weights mixed into base vertices before skinning).
+
+    vertices [V,3] base; shape_deltas [S,V,3]; weights [W,S] in [0,100]
+    (the reference uses percentage weights). Returns [W,V,3] — one MXU
+    matmul over the shape axis.
+    """
+    w = jnp.asarray(weights) / 100.0
+    deltas = jnp.asarray(shape_deltas).reshape(shape_deltas.shape[0], -1)
+    morphed = jnp.einsum("ws,sv->wv", w, deltas, precision="highest")
+    return jnp.asarray(vertices)[None] + morphed.reshape(
+        w.shape[0], -1, 3)
+
+
 def bone_matrices(globals_, skin: SkinTemplate):
     """[W,B,4,4] skinning matrices = bone_global @ inv_bind
     (mesh/mod.rs:781-792)."""
