@@ -125,6 +125,55 @@ class SceneBuilder:
         self._meshes.append(mesh_data)
         return idx
 
+    # -- prefab instantiation -------------------------------------------------
+    def instantiate(self, prefab: "SceneBuilder", parent=-1,
+                    position=None, rotation=None, scale=None,
+                    name_prefix="") -> int:
+        """Deep-copy another builder's nodes into this scene with handle
+        remapping — the Model::instantiate equivalent (fyrox-impl/src/
+        resource/model/mod.rs:354: graph deep copy + handle remap). Returns
+        the instantiated root's index; optional transform overrides apply
+        to the prefab's root node(s) via an inserted pivot."""
+        import copy
+        kw = {}
+        if position is not None:
+            kw["position"] = position
+        if rotation is not None:
+            kw["rotation"] = rotation
+        if scale is not None:
+            kw["scale"] = scale
+        root = self.add_pivot(name_prefix + "instance", parent=parent, **kw)
+        offset = len(self._nodes)
+        cam_off = len(self._cameras["node"])
+        light_off = len(self._lights["node"])
+        mesh_off = len(self._meshes)
+        for rec in prefab._nodes:
+            rec2 = copy.deepcopy(rec)
+            rec2.name = name_prefix + rec2.name
+            rec2.parent = (rec2.parent + offset if rec2.parent >= 0 else root)
+            if rec2.payload >= 0:
+                if rec2.node_type == NodeType.CAMERA:
+                    rec2.payload += cam_off
+                elif rec2.node_type in (NodeType.POINT_LIGHT,
+                                        NodeType.SPOT_LIGHT,
+                                        NodeType.DIRECTIONAL_LIGHT):
+                    rec2.payload += light_off
+                elif rec2.node_type == NodeType.MESH:
+                    rec2.payload += mesh_off
+            self._nodes.append(rec2)
+        for k in self._cameras:
+            vals = list(prefab._cameras[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            self._cameras[k].extend(vals)
+        for k in self._lights:
+            vals = list(prefab._lights[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            self._lights[k].extend(vals)
+        self._meshes.extend(prefab._meshes)
+        return root
+
     # -- pack ----------------------------------------------------------------
     def build(self) -> SceneTemplate:
         n = len(self._nodes)
