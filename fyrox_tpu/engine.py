@@ -50,6 +50,7 @@ class EngineState(NamedTuple):
     scene: WorldState
     physics: Optional[phys_mod.PhysicsState] = None
     animation: Optional[AnimState] = None
+    particles: Optional[NamedTuple] = None
 
 
 @dataclass
@@ -59,6 +60,7 @@ class Engine:
     physics: Optional[phys_mod.PhysicsTemplate] = None
     animations: Optional[track_mod.AnimationSet] = None
     machine: Optional[machine_mod.MachineTemplate] = None
+    particles: Optional[object] = None   # ParticleTemplate
     dt: float = DEFAULT_DT
 
     def init_state(self, num_worlds: int,
@@ -80,7 +82,12 @@ class Engine:
             m = (machine_mod.init_machine_state(self.machine, num_worlds)
                  if self.machine is not None else None)
             anim = AnimState(anim=a, machine=m)
-        return EngineState(scene=scene, physics=phys, animation=anim)
+        parts = None
+        if self.particles is not None:
+            from fyrox_tpu.scene.particles import init_particles
+            parts = init_particles(self.particles, num_worlds)
+        return EngineState(scene=scene, physics=phys, animation=anim,
+                           particles=parts)
 
     def step(self, state: EngineState, machine_params=None,
              dt: Optional[float] = None) -> EngineState:
@@ -117,7 +124,14 @@ class Engine:
             # ---- 5. refresh globals after body sync ----
             scene = graph_mod.update_hierarchical_data(scene, self.template)
 
-        return EngineState(scene=scene, physics=phys, animation=anim)
+        # ---- particle systems (ParticleSystem::update equivalent) ----
+        parts = state.particles
+        if parts is not None and self.particles is not None:
+            from fyrox_tpu.scene.particles import step_particles
+            parts = step_particles(parts, self.particles, dt)
+
+        return EngineState(scene=scene, physics=phys, animation=anim,
+                           particles=parts)
 
     def _sync_bodies_to_nodes(self, scene: WorldState,
                               phys: phys_mod.PhysicsState) -> WorldState:
