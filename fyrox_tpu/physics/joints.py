@@ -3,7 +3,9 @@
 Equivalent of the reference's joint wrappers (fyrox-impl/src/scene/
 joint.rs:775 over rapier's ImpulseJointSet: ball/revolute/prismatic/fixed).
 Round-1 set: BALL (point-to-point), FIXED (point + full angular lock),
-REVOLUTE (point + angular lock of the two off-axis directions).
+REVOLUTE (point + angular lock of the two off-axis directions), PRISMATIC
+(slider: full angular lock + point constraint projected off the slide
+axis).
 
 Solved as velocity constraints with soft positional bias inside the same
 TGS substep loop as contacts (solver.solve_tgs calls joint passes per
@@ -24,11 +26,11 @@ from fyrox_tpu.core import quat
 
 __all__ = ["JointKind", "JointSet", "solve_joints_velocity", "joint_position_pass"]
 
-BALL, FIXED, REVOLUTE = 0, 1, 2
+BALL, FIXED, REVOLUTE, PRISMATIC = 0, 1, 2, 3
 
 
 class JointKind:
-    BALL, FIXED, REVOLUTE = BALL, FIXED, REVOLUTE
+    BALL, FIXED, REVOLUTE, PRISMATIC = BALL, FIXED, REVOLUTE, PRISMATIC
 
 
 @dataclass
@@ -114,7 +116,16 @@ def solve_joints_velocity(pos, rot, lv, av, inv_mass, ii_world, joints: JointSet
     va = _gather(lv, ia) + jnp.cross(_gather(av, ia), ra)
     vb = _gather(lv, ib) + jnp.cross(_gather(av, ib), rb)
     c = pb - pa                                            # positional error
+    kinds_ = jnp.asarray(joints.kind)[None]
+    axis_w0 = quat.rotate(qa, jnp.asarray(joints.axis_a)[None])
+    is_prism = (kinds_ == PRISMATIC)[..., None]
+    c = jnp.where(is_prism,
+                  c - jnp.sum(c * axis_w0, -1, keepdims=True) * axis_w0, c)
     vel_err = vb - va + (erp / h) * c
+    vel_err = jnp.where(
+        is_prism,
+        vel_err - jnp.sum(vel_err * axis_w0, -1, keepdims=True) * axis_w0,
+        vel_err)
     eye = jnp.eye(3, dtype=lv.dtype)
     sa = skew(ra)
     sb = skew(rb)
@@ -144,7 +155,8 @@ def solve_joints_velocity(pos, rot, lv, av, inv_mass, ii_world, joints: JointSet
     # revolute: remove the hinge-axis component (free DOF)
     axis_w = quat.rotate(qa, jnp.asarray(joints.axis_a)[None])
     t_rev = target - jnp.sum(target * axis_w, -1, keepdims=True) * axis_w
-    ang_target = jnp.where((kinds == FIXED)[..., None], target,
+    ang_target = jnp.where(((kinds == FIXED) | (kinds == PRISMATIC))[..., None],
+                  target,
                   jnp.where((kinds == REVOLUTE)[..., None], t_rev,
                             jnp.zeros_like(target)))
     k_ang_mat = ii_a + ii_b + 1e-9 * eye
@@ -165,6 +177,10 @@ def joint_position_pass(pos, rot, inv_mass, joints: JointSet, erp=0.5):
     ra = quat.rotate(_gather(rot, ia), jnp.asarray(joints.anchor_a)[None])
     rb = quat.rotate(_gather(rot, ib), jnp.asarray(joints.anchor_b)[None])
     c = (_gather(pos, ib) + rb) - (_gather(pos, ia) + ra)
+    axis_w = quat.rotate(_gather(rot, ia), jnp.asarray(joints.axis_a)[None])
+    is_prism = (jnp.asarray(joints.kind)[None] == PRISMATIC)[..., None]
+    c = jnp.where(is_prism,
+                  c - jnp.sum(c * axis_w, -1, keepdims=True) * axis_w, c)
     im_a = _gather(inv_mass[..., None], ia)[..., 0][..., None]
     im_b = _gather(inv_mass[..., None], ib)[..., 0][..., None]
     denom = jnp.maximum(im_a + im_b, 1e-9)

@@ -80,3 +80,26 @@ class TestJoints:
         p = np.asarray(s.position[0, 1])
         assert abs(p[2]) < 0.12, f"hinge let the door leave its plane: z={p[2]}"
         assert p[1] < 3.9  # it did swing down under gravity
+
+    def test_prismatic_slides_along_axis_only(self):
+        from fyrox_tpu.physics import CUBOID
+        b = PhysicsBuilder()
+        rail = b.add_body(body_type=BodyType.STATIC, position=(0, 5, 0))
+        b.add_collider(rail, BALL, [0.1])
+        slider = b.add_body(position=(1.0, 5.0, 0))
+        b.add_collider(slider, CUBOID, [0.2, 0.2, 0.2])
+        # slide axis = x; gravity must NOT pull it down, a push must move it
+        # (slider offset from the rail so their colliders never touch)
+        b.add_joint(JointKind.PRISMATIC, rail, slider,
+                    anchor_a=(0, 0, 0), anchor_b=(-1.0, 0, 0), axis=(1, 0, 0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        s = s._replace(linvel=s.linvel.at[0, 1, 0].set(1.0))
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        for _ in range(120):
+            s = step(s)
+        p = np.asarray(s.position[0, 1])
+        assert p[0] > 1.5, f"slider did not slide: {p}"
+        assert abs(p[1] - 5.0) < 0.05 and abs(p[2]) < 0.05, p
+        q = np.asarray(s.rotation[0, 1])
+        assert abs(abs(q[3]) - 1.0) < 0.02  # no rotation picked up
