@@ -64,6 +64,10 @@ class RenderTemplate:
     light_radius: np.ndarray = None
     light_cos_hotspot: np.ndarray = None
     light_cos_falloff: np.ndarray = None
+    # sprites (billboards, sprite.rs)
+    sprite_node: np.ndarray = None   # [S]
+    sprite_size: np.ndarray = None   # [S]
+    sprite_color: np.ndarray = None  # [S,3]
 
     @property
     def num_triangles(self):
@@ -90,9 +94,20 @@ def build_render_template(template: SceneTemplate,
                                       np.float32), (v, 1)))
         emi.append(np.tile(np.asarray(mesh.emission, np.float32), (v, 1)))
         voff += v
+    if not pos and not ns:
+        raise ValueError("scene has no MESH or SPRITE nodes to render")
     if not pos:
-        raise ValueError("scene has no MESH nodes to render")
+        pos = [np.zeros((3, 3), np.float32)]
+        nrm = [np.tile(np.asarray([[0, 1, 0]], np.float32), (3, 1))]
+        tris = [np.zeros((0, 3), np.int32)]
+        vnode = [np.zeros(3, np.int32)]
+        tnode = [np.zeros(0, np.int32)]
+        alb = [np.zeros((3, 3), np.float32)]
+        mat = [np.zeros((3, 2), np.float32)]
+        emi = [np.zeros((3, 3), np.float32)]
 
+    sp = template.sprites if template.sprites else {}
+    ns = len(sp.get("node", []))
     cams = template.cameras
     cam_node = int(cams["node"][camera_index]) if len(cams["node"]) else -1
     li = template.lights
@@ -121,6 +136,12 @@ def build_render_template(template: SceneTemplate,
         light_cos_falloff=(np.cos(np.asarray(li["hotspot"], np.float32) * 0.5
                                   + np.asarray(li["falloff_delta"], np.float32))
                            if nl else np.zeros(0)),
+        sprite_node=(np.asarray(sp["node"], np.int32) if ns
+                     else np.zeros(0, np.int32)),
+        sprite_size=(np.asarray(sp["size"], np.float32) if ns
+                     else np.zeros(0, np.float32)),
+        sprite_color=(np.stack(sp["color"]).astype(np.float32) if ns
+                      else np.zeros((0, 3), np.float32)),
     )
 
 
@@ -165,6 +186,39 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         material=jnp.asarray(rt.material)[tri],
         emission=jnp.asarray(rt.emission)[tri],
     )
+
+    # ---- sprites: camera-facing billboards (sprite.rs) ----
+    n_sprites = rt.sprite_node.shape[0] if rt.sprite_node is not None else 0
+    if n_sprites:
+        centers = globals_[jnp.asarray(rt.sprite_node)][:, :3, 3]   # [S,3]
+        right = view[0, :3]
+        up = view[1, :3]
+        fwd = -view[2, :3]
+        size = jnp.asarray(rt.sprite_size)[:, None]
+        c00 = centers - right * size - up * size
+        c10 = centers + right * size - up * size
+        c11 = centers + right * size + up * size
+        c01 = centers - right * size + up * size
+        # two triangles per sprite, wound front-facing toward the camera
+        quad = jnp.stack([jnp.stack([c00, c10, c11], 1),
+                          jnp.stack([c00, c11, c01], 1)], 1)        # [S,2,3,3]
+        sp_pos = quad.reshape(-1, 3, 3)                              # [2S,3,3]
+        sp_clip = raster_mod.transform_clip(sp_pos.reshape(-1, 3),
+                                            vp[None])[0].reshape(-1, 3, 4)
+        col = jnp.repeat(jnp.asarray(rt.sprite_color), 2, axis=0)
+        sp_attrs = dict(
+            albedo=jnp.broadcast_to(col[:, None], sp_pos.shape),
+            normal=jnp.broadcast_to(-fwd, sp_pos.shape),
+            position=sp_pos,
+            material=jnp.zeros(sp_pos.shape[:2] + (2,), jnp.float32),
+            # sprites are emissive so they read as unlit billboards
+            emission=jnp.broadcast_to(col[:, None], sp_pos.shape),
+        )
+        sp_valid = jnp.repeat(node_vis[jnp.asarray(rt.sprite_node)], 2)
+        tri_clip = jnp.concatenate([tri_clip, sp_clip], 0)
+        attrs = {k: jnp.concatenate([attrs[k], sp_attrs[k]], 0) for k in attrs}
+        tri_valid = jnp.concatenate([tri_valid, sp_valid], 0)
+        tri_pos = jnp.concatenate([tri_pos, sp_pos], 0)
     if config.use_pallas:
         from fyrox_tpu.render.pallas_raster import rasterize_pallas
         gbuf = rasterize_pallas(tri_clip, attrs, config.height, config.width,

@@ -51,6 +51,7 @@ class SceneBuilder:
                                   hotspot=[], falloff_delta=[], intensity=[],
                                   cast_shadows=[])
         self._meshes: list = []
+        self._sprites: dict = dict(node=[], size=[], color=[])
         self.extras: dict = {}
 
     # -- generic node ------------------------------------------------------
@@ -115,6 +116,19 @@ class SceneBuilder:
         li["cast_shadows"].append(bool(cast_shadows))
         return idx
 
+    # -- sprite (billboard; sprite.rs equivalent) ------------------------------
+    def add_sprite(self, name="sprite", parent=-1, size=0.5,
+                   color=(1.0, 1.0, 1.0), **kw) -> int:
+        if kw.get("bbox") is None:
+            kw["bbox"] = (np.full(3, -size, np.float32),
+                          np.full(3, size, np.float32))
+        idx = self.add_node(name, parent, NodeType.SPRITE, **kw)
+        self._nodes[idx].payload = len(self._sprites["node"])
+        self._sprites["node"].append(idx)
+        self._sprites["size"].append(float(size))
+        self._sprites["color"].append(np.asarray(color, np.float32))
+        return idx
+
     # -- mesh ----------------------------------------------------------------
     def add_mesh(self, mesh_data, name="mesh", parent=-1, **kw) -> int:
         """mesh_data: fyrox_tpu.render.mesh.MeshData (or any record)."""
@@ -172,6 +186,11 @@ class SceneBuilder:
                 vals = [v + offset for v in vals]
             self._lights[k].extend(vals)
         self._meshes.extend(prefab._meshes)
+        for k in self._sprites:
+            vals = list(prefab._sprites[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            self._sprites[k].extend(vals)
         return root
 
     # -- pack ----------------------------------------------------------------
@@ -220,6 +239,7 @@ class SceneBuilder:
             cameras={k: np.asarray(v) for k, v in self._cameras.items()},
             lights={k: np.asarray(v) for k, v in self._lights.items()},
             meshes=self._meshes,
+            sprites={k: np.asarray(v) for k, v in self._sprites.items()},
             extras=dict(self.extras),
         )
         return template

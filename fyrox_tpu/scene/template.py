@@ -95,6 +95,7 @@ class SceneTemplate:
     cameras: dict = field(default_factory=dict)       # SoA dict of camera params
     lights: dict = field(default_factory=dict)        # SoA dict of light params
     meshes: list = field(default_factory=list)        # list of MeshData
+    sprites: dict = field(default_factory=dict)       # SoA dict of sprite params
     # physics template (fyrox_tpu.physics), animation template, etc. are
     # attached by their subsystem builders:
     extras: dict = field(default_factory=dict)

@@ -193,3 +193,21 @@ class TestScenePipeline:
         px = np.asarray(color[0][np.asarray(g.mask[0])])
         assert px.shape[0] > 0
         assert px[:, 1].max() < 1e-3, "green (behind-camera) mesh leaked in"
+
+
+class TestSprites:
+    def test_billboards_render_facing_camera(self):
+        b = SceneBuilder()
+        b.add_camera("cam", position=(0, 0, 0))  # looks along +Z
+        b.add_sprite("spark", position=(0, 0, 5), size=1.0, color=(1, 0, 0))
+        b.add_mesh(make_plane(0.01), "dummy", position=(0, -50, 0))
+        t = b.build()
+        state = init_state(t, 1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=8)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        center = np.asarray(color[0, H // 2, W // 2])
+        assert center[0] > 0.5 and center[1] < 0.1, center
+        cov = float(g.mask[0].mean())
+        assert 0.01 < cov < 0.5
