@@ -114,7 +114,13 @@ class Engine:
             scene = scene._replace(position=p, rotation=r, scale=s)
 
         # ---- 2. hierarchy (pre-physics) ----
-        scene = graph_mod.step(scene, self.template, dt)
+        # When every physics body node is a scene root, the body→node sync
+        # needs no parent globals and the post-physics refresh recomputes
+        # everything — so the pre-physics propagation is redundant work.
+        skip_pre = (state.physics is not None and self.physics is not None
+                    and self._bodies_at_root())
+        scene = graph_mod.step(scene, self.template, dt,
+                               update_hierarchy=not skip_pre)
 
         # ---- 3+4. physics + sync-back ----
         phys = state.physics
@@ -132,6 +138,14 @@ class Engine:
 
         return EngineState(scene=scene, physics=phys, animation=anim,
                            particles=parts)
+
+    def _bodies_at_root(self) -> bool:
+        if getattr(self, "_bodies_at_root_cache", None) is None:
+            bn = self.physics.body_node
+            nodes = bn[bn >= 0]
+            self._bodies_at_root_cache = bool(
+                (self.template.parent[nodes] < 0).all()) if len(nodes) else True
+        return self._bodies_at_root_cache
 
     def _sync_bodies_to_nodes(self, scene: WorldState,
                               phys: phys_mod.PhysicsState) -> WorldState:

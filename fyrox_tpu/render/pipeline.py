@@ -31,6 +31,8 @@ __all__ = ["RenderTemplate", "build_render_template", "render_frame",
 class RenderConfig(NamedTuple):
     width: int = 256
     height: int = 256
+    sky_zenith: tuple = (0.0, 0.0, 0.0)    # skybox.rs stand-in: vertical
+    sky_horizon: tuple = (0.0, 0.0, 0.0)   # gradient behind geometry
     shadows: bool = True
     csm: shadows_mod.CsmConfig = shadows_mod.CsmConfig()
     chunk: int = 64
@@ -274,6 +276,14 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                                    ambient=config.ambient, shadow_fn=shadow_fn)
     else:
         color = gbuf.albedo * gbuf.mask[..., None]
+
+    # ---- sky background (skybox.rs equivalent: vertical gradient) ----
+    if any(v > 0 for v in config.sky_zenith) or any(v > 0 for v in config.sky_horizon):
+        ys = jnp.linspace(0.0, 1.0, config.height)[:, None, None]
+        sky = (jnp.asarray(config.sky_zenith) * (1 - ys)
+               + jnp.asarray(config.sky_horizon) * ys)
+        color = jnp.where(gbuf.mask[..., None], color,
+                          jnp.broadcast_to(sky, color.shape))
     return color, gbuf
 
 

@@ -71,11 +71,14 @@ def update_hierarchical_data(state: WorldState, template: SceneTemplate) -> Worl
                           global_enabled=en[:, :-1])
 
 
-def step(state: WorldState, template: SceneTemplate, dt: float) -> WorldState:
+def step(state: WorldState, template: SceneTemplate, dt: float,
+         update_hierarchy: bool = True) -> WorldState:
     """Pure scene-graph part of Graph::update (graph/mod.rs:1459):
     hierarchical data + lifetimes. Physics/animation are layered on top by
-    the engine facade (fyrox_tpu.engine)."""
-    state = update_hierarchical_data(state, template)
+    the engine facade (fyrox_tpu.engine). The engine may skip the
+    hierarchy pass here when it refreshes globals again post-physics."""
+    if update_hierarchy:
+        state = update_hierarchical_data(state, template)
     # Lifetime countdown; expired nodes die (graph/mod.rs:1495-1510 frees
     # nodes whose lifetime crossed zero — here death is a mask, not a free).
     lifetime = state.lifetime - dt
