@@ -28,7 +28,7 @@ __all__ = ["MachineTemplate", "MachineBuilder", "MachineState",
 
 @dataclass
 class MachineTemplate:
-    state_anim: np.ndarray    # [S] clip index driving each state
+    state_anim: np.ndarray    # [S] first clip of each state (back-compat)
     state_names: List[str]
     entry_state: int
     t_from: np.ndarray        # [T] int32
@@ -37,6 +37,10 @@ class MachineTemplate:
     t_invert: np.ndarray      # [T] bool — fire when parameter is False
     t_duration: np.ndarray    # [T] f32 blend time (seconds)
     param_names: List[str] = field(default_factory=list)
+    # N-way BlendAnimations pose sources (machine/node/blend.rs:92):
+    # padded [S, M] clip ids + normalized weights (weight 0 = unused slot)
+    state_clips: np.ndarray = None     # [S, M] int32
+    state_weights: np.ndarray = None   # [S, M] f32
 
     @property
     def num_states(self):
@@ -58,8 +62,12 @@ class MachineBuilder:
         self._params.append(name)
         return len(self._params) - 1
 
-    def add_state(self, name: str, clip: int) -> int:
-        self._states.append((name, int(clip)))
+    def add_state(self, name: str, clip: int = None, clips=None) -> int:
+        """A state's pose source: a single clip (PlayAnimation) or a
+        weighted list [(clip, weight), ...] (BlendAnimations)."""
+        if clips is None:
+            clips = [(int(clip), 1.0)]
+        self._states.append((name, list(clips)))
         return len(self._states) - 1
 
     def set_entry_state(self, state: int):
@@ -71,9 +79,19 @@ class MachineBuilder:
 
     def build(self) -> MachineTemplate:
         tr = self._transitions
+        m = max((len(s[1]) for s in self._states), default=1)
+        clips = np.zeros((len(self._states), m), np.int32)
+        weights = np.zeros((len(self._states), m), np.float32)
+        for i, (_, cl) in enumerate(self._states):
+            total = sum(w for _, w in cl) or 1.0
+            for k, (c, w) in enumerate(cl):
+                clips[i, k] = c
+                weights[i, k] = w / total
         return MachineTemplate(
-            state_anim=np.asarray([s[1] for s in self._states], np.int32),
+            state_anim=clips[:, 0].copy(),
             state_names=[s[0] for s in self._states],
+            state_clips=clips,
+            state_weights=weights,
             entry_state=self._entry,
             t_from=np.asarray([t[0] for t in tr], np.int32),
             t_to=np.asarray([t[1] for t in tr], np.int32),
@@ -139,10 +157,30 @@ def update_machine(mt: MachineTemplate, ms: MachineState, params, dt) -> Machine
                         duration=duration)
 
 
+def _state_pose(mt: MachineTemplate, state_idx, poses: pose_mod.PoseSet):
+    """Pose of a state: its weighted N-way clip blend (BlendAnimations,
+    machine/node/blend.rs:92) — sequential normalized accumulation."""
+    if mt.state_clips is None:
+        return pose_mod.select_anim_pose(poses,
+                                         jnp.asarray(mt.state_anim)[state_idx])
+    clips = jnp.asarray(mt.state_clips)[state_idx]      # [W,M]
+    weights = jnp.asarray(mt.state_weights)[state_idx]  # [W,M]
+    m = clips.shape[-1]
+    acc = pose_mod.select_anim_pose(poses, clips[:, 0])
+    cum = weights[:, 0]
+    for k in range(1, m):
+        pk = pose_mod.select_anim_pose(poses, clips[:, k])
+        new_cum = cum + weights[:, k]
+        frac = jnp.where(new_cum > 1e-8, weights[:, k] / jnp.maximum(new_cum, 1e-8), 0.0)
+        acc = pose_mod.blend_pose(acc, pk, frac)
+        cum = new_cum
+    return acc
+
+
 def evaluate_pose(mt: MachineTemplate, ms: MachineState, poses: pose_mod.PoseSet):
     """Final pose = blend(source_state_pose, current_state_pose, blend)
-    (Transition::blend_factor drives State mixing, machine/mod.rs:347)."""
-    state_anim = jnp.asarray(mt.state_anim)
-    pa = pose_mod.select_anim_pose(poses, state_anim[ms.source])
-    pb = pose_mod.select_anim_pose(poses, state_anim[ms.current])
+    (Transition::blend_factor drives State mixing, machine/mod.rs:347).
+    Each state's own pose is its N-way clip blend."""
+    pa = _state_pose(mt, ms.source, poses)
+    pb = _state_pose(mt, ms.current, poses)
     return pose_mod.blend_pose(pa, pb, ms.blend)

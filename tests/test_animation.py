@@ -196,3 +196,37 @@ class TestSkinning:
         bm = skinning.bone_matrices(state.globals_, skin)
         out = np.asarray(skinning.skin_positions_dense(bm, skin))
         np.testing.assert_allclose(out[0], skin.vertices + np.array([0, 5, 0]), atol=1e-4)
+
+
+class TestBlendAnimationsState:
+    def test_two_clip_weighted_state(self):
+        """A state sourcing 50/50 from two clips poses at their midpoint
+        (BlendAnimations N-way blend)."""
+        aset = make_simple_set()
+        mb = MachineBuilder()
+        mb.add_state("mix", clips=[(0, 0.5), (1, 0.5)])
+        mt = mb.build()
+        ms = init_machine_state(mt, 1)
+        anim = init_animation_state(aset, 1)
+        anim = anim._replace(time=jnp.full((1, 2), 0.5))
+        sampled = track.sample_tracks(aset, anim)
+        poses = pose.build_poses(aset, sampled, n_nodes=1)
+        out = machine.evaluate_pose(mt, ms, poses)
+        p = np.asarray(out[0])
+        np.testing.assert_allclose(p[0, 0], [0.25, 0.25, 0], atol=1e-5)
+
+    def test_uneven_weights(self):
+        aset = make_simple_set()
+        mb = MachineBuilder()
+        mb.add_state("mix", clips=[(0, 3.0), (1, 1.0)])
+        mt = mb.build()
+        ms = init_machine_state(mt, 1)
+        anim = init_animation_state(aset, 1)
+        anim = anim._replace(time=jnp.full((1, 2), 1.0))
+        # clamp/wrap: both clips loop length 1.0 → time wraps to 0... use 0.5
+        anim = anim._replace(time=jnp.full((1, 2), 0.5))
+        sampled = track.sample_tracks(aset, anim)
+        poses = pose.build_poses(aset, sampled, n_nodes=1)
+        out = machine.evaluate_pose(mt, ms, poses)
+        p = np.asarray(out[0])
+        np.testing.assert_allclose(p[0, 0], [0.375, 0.125, 0], atol=1e-5)
