@@ -230,3 +230,24 @@ class TestBlendAnimationsState:
         out = machine.evaluate_pose(mt, ms, poses)
         p = np.asarray(out[0])
         np.testing.assert_allclose(p[0, 0], [0.375, 0.125, 0], atol=1e-5)
+
+
+class TestSpriteSheet:
+    def test_frame_advance_and_wrap(self):
+        from fyrox_tpu.animation.spritesheet import (SpriteSheetAnimation,
+                                                     current_frame,
+                                                     frame_uv_rect)
+        sheet = SpriteSheetAnimation(columns=4, rows=2, fps=10.0)
+        t = jnp.asarray([0.0, 0.15, 0.75, 0.85])  # frames 0,1,7,wrap->0
+        f = np.asarray(current_frame(sheet, t))
+        np.testing.assert_array_equal(f, [0, 1, 7, 0])
+        uv = np.asarray(frame_uv_rect(sheet, jnp.asarray([0, 5])))
+        np.testing.assert_allclose(uv[0], [0, 0, 0.25, 0.5], atol=1e-6)
+        np.testing.assert_allclose(uv[1], [0.25, 0.5, 0.5, 1.0], atol=1e-6)
+
+    def test_non_looping_clamps(self):
+        from fyrox_tpu.animation.spritesheet import (SpriteSheetAnimation,
+                                                     current_frame)
+        sheet = SpriteSheetAnimation(columns=3, rows=1, fps=10.0, looping=False)
+        f = np.asarray(current_frame(sheet, jnp.asarray([10.0])))
+        assert f[0] == 2
