@@ -13,7 +13,7 @@ from fyrox_tpu.core import ray as ray_mod
 from fyrox_tpu.physics import shapes as sh
 from fyrox_tpu.physics.world import PhysicsState, PhysicsTemplate, _collider_world
 
-__all__ = ["cast_ray"]
+__all__ = ["cast_ray", "sphere_cast", "compute_contacts"]
 
 _BIG = 3.0e38
 
@@ -118,3 +118,70 @@ def cast_ray(state: PhysicsState, t: PhysicsTemplate, origin, direction,
 
     return dict(hit=hit, toi=jnp.where(hit, best_toi, jnp.inf),
                 collider=collider, body=body, point=point, normal=normal)
+
+
+def sphere_cast(state: PhysicsState, t: PhysicsTemplate, origin, direction,
+                radius, max_toi=jnp.inf):
+    """Swept-sphere cast (the reference's shape cast, physics/mod.rs:1371)
+    via Minkowski inflation: a sphere of radius r swept along a ray hits a
+    shape exactly when the ray hits the shape inflated by r. Balls/capsules
+    inflate exactly; cuboids use the rounded-box approximation (inflated
+    half-extents — conservative near corners); halfspaces offset by r.
+
+    origin/direction [W,R,3], radius scalar or [W,R]. Same return dict as
+    cast_ray.
+    """
+    import dataclasses
+    r = jnp.asarray(radius, jnp.float32)
+    params = t.col_params.copy()
+    shape = t.col_shape
+    rr = float(r) if r.ndim == 0 else float(jnp.max(r))  # static inflation
+    for ci in range(t.num_colliders):
+        k = shape[ci]
+        if k == sh.BALL:
+            params[ci, 0] += rr
+        elif k == sh.CUBOID:
+            params[ci, :3] += rr
+        elif k in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
+            params[ci, 1] += rr
+        # HALFSPACE handled by toi adjustment below (plane through origin)
+    t_inf = dataclasses.replace(t, col_params=params)
+    t_inf._incidence = None
+    t_inf._flat_layout = getattr(t, "_flat_layout", None)
+    out = cast_ray(state, t_inf, origin, direction, max_toi=max_toi)
+    # halfspace: shift the plane toward the sphere by r along its normal
+    # (cast_ray used the uninflated plane; correct toi by r / |d·n|)
+    best_type = jnp.asarray(t.col_shape)[jnp.maximum(out["collider"], 0)]
+    is_plane = (best_type == sh.HALFSPACE) & out["hit"]
+    d = jnp.asarray(direction, jnp.float32)
+    dn = jnp.abs(jnp.sum(d * out["normal"], -1))
+    toi_adj = jnp.where(is_plane,
+                        jnp.maximum(out["toi"] - r / jnp.maximum(dn, 1e-6), 0.0),
+                        out["toi"])
+    out["toi"] = toi_adj
+    out["point"] = jnp.asarray(origin) + d * jnp.where(out["hit"], toi_adj,
+                                                       0.0)[..., None]
+    return out
+
+
+def compute_contacts(state: PhysicsState, t: PhysicsTemplate, pred=0.002):
+    """Contact introspection (the reference's narrow-phase contact queries,
+    physics/mod.rs:2002-2018): runs the kind-grouped narrowphase over the
+    static pair list and returns the flat manifold dict plus per-contact
+    body pairs. Requires a dense (uncompacted) template."""
+    from fyrox_tpu.physics import narrowphase as np_mod
+    import numpy as _np
+    if t.pair_kind_ranges is None:
+        raise ValueError("compute_contacts requires a dense pair list")
+    cpos, crot = _collider_world(state, t)
+    cparams = jnp.asarray(t.col_params)
+    pa_s, pb_s = t.pair_a, t.pair_b
+    flat = np_mod.generate_contacts_flat(
+        t.pair_kind_ranges,
+        cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
+        cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
+        pred=jnp.asarray(pred, jnp.float32))
+    pair_idx, _ = t.flat_layout()
+    flat["body_a"] = _np.asarray(t.col_body[t.pair_a[pair_idx]])
+    flat["body_b"] = _np.asarray(t.col_body[t.pair_b[pair_idx]])
+    return flat

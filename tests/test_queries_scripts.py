@@ -105,3 +105,34 @@ class TestScripts:
         out = ex.run(duration_s=0.5)
         assert len(ticks) == 30               # 0.5 s at 60 Hz exactly
         assert abs(float(out.scene.time[0]) - 0.5) < 1e-4
+
+
+class TestShapeCastAndContacts:
+    def test_sphere_cast_hits_earlier_than_ray(self):
+        from fyrox_tpu.physics.queries import sphere_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[0.0, 1, 0]]])
+        d = jnp.asarray([[[1.0, 0, 0]]])
+        ray_out = cast_ray(s, t, o, d)
+        sw_out = sphere_cast(s, t, o, d, radius=0.5)
+        assert bool(sw_out["hit"][0, 0])
+        # swept sphere reaches the ball (surface at x=4) 0.5 earlier
+        assert abs(float(sw_out["toi"][0, 0]) - 3.5) < 1e-3
+        assert float(sw_out["toi"][0, 0]) < float(ray_out["toi"][0, 0])
+
+    def test_compute_contacts_reports_touching_pair(self):
+        from fyrox_tpu.physics import BodyType, PhysicsBuilder, init_physics_state
+        from fyrox_tpu.physics.queries import compute_contacts
+        b = PhysicsBuilder()
+        b1 = b.add_body(position=(0, 0, 0))
+        b.add_collider(b1, BALL, [1.0])
+        b2 = b.add_body(position=(1.5, 0, 0))
+        b.add_collider(b2, BALL, [1.0])
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        c = compute_contacts(s, t)
+        act = np.asarray(c["active"][0])
+        assert act.any()
+        k = int(np.nonzero(act)[0][0])
+        assert abs(float(c["depth"][0, k]) - 0.5) < 1e-5
+        assert {int(c["body_a"][k]), int(c["body_b"][k])} == {0, 1}
