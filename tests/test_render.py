@@ -211,3 +211,42 @@ class TestSprites:
         assert center[0] > 0.5 and center[1] < 0.1, center
         cov = float(g.mask[0].mean())
         assert 0.01 < cov < 0.5
+
+
+class TestSsao:
+    def test_corner_darker_than_open_plane(self):
+        """Two perpendicular planes forming an inside corner: pixels near
+        the crease occlude more than pixels on open ground."""
+        from fyrox_tpu.render.ssao import SsaoConfig, compute_ssao
+        from fyrox_tpu.scene import camera as cam_mod
+        b = SceneBuilder()
+        cam_rot = quat.face_towards(jnp.asarray([0.3, -0.5, 1.0]),
+                                    jnp.asarray([0.0, 1.0, 0.0]))
+        cam = b.add_camera("cam", position=(-2, 3, -4),
+                           rotation=np.asarray(cam_rot))
+        b.add_mesh(make_plane(10.0, albedo=(0.6, 0.6, 0.6)), "floor")
+        # wall: plane rotated to be vertical, forming a corner at z=0
+        wall_rot = quat.from_euler(-np.pi / 2, 0.0, 0.0)
+        b.add_mesh(make_plane(10.0, albedo=(0.6, 0.6, 0.6)), "wall",
+                   position=(0, 0, 0), rotation=np.asarray(wall_rot))
+        t = b.build()
+        state = init_state(t, 1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=16)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        g0 = jax.tree.map(lambda x: x[0], g)
+        view = cam_mod.view_matrix(state.globals_[0, cam])
+        proj = cam_mod.perspective(jnp.asarray(rt.fov_y), jnp.asarray(1.0),
+                                   jnp.asarray(rt.z_near), jnp.asarray(rt.z_far))
+        vp = proj @ view
+        cam_pos = state.globals_[0, cam, :3, 3]
+        ao = np.asarray(compute_ssao(g0, vp, cam_pos,
+                                     SsaoConfig(num_samples=16, radius=0.8)))
+        pos = np.asarray(g0.position)
+        mask = np.asarray(g0.mask)
+        near_corner = mask & (np.abs(pos[..., 2]) < 0.4) & (pos[..., 1] < 0.3)
+        open_floor = mask & (pos[..., 2] < -2.0) & (pos[..., 1] < 0.1)
+        assert near_corner.sum() > 10 and open_floor.sum() > 10
+        assert ao[near_corner].mean() < ao[open_floor].mean() - 0.05
+        assert 0.9 < ao[open_floor].mean() <= 1.0
