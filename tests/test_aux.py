@@ -165,3 +165,31 @@ class TestSound:
         assert not bool(src2.playing[0])
         # samples past the buffer end are silent
         assert float(jnp.abs(block[150:]).max()) == 0.0
+
+
+class TestBinaural:
+    def test_itd_and_shadow(self):
+        """A source hard right arrives earlier + brighter in the right ear."""
+        from fyrox_tpu.sound.binaural import (render_block_binaural,
+                                              spherical_head_hrir)
+        sr = 44100
+        click = np.zeros(513, np.float32)
+        click[0] = 1.0
+        out = np.asarray(render_block_binaural(
+            jnp.asarray(click)[None], jnp.asarray([np.pi / 2]),
+            jnp.asarray([1.0])))
+        l, r = out[:, 0], out[:, 1]
+        # right ear peak earlier and stronger
+        assert np.argmax(np.abs(r)) < np.argmax(np.abs(l))
+        assert np.abs(r).max() > np.abs(l).max()
+        # centered source: symmetric
+        out_c = np.asarray(render_block_binaural(
+            jnp.asarray(click)[None], jnp.asarray([0.0]), jnp.asarray([1.0])))
+        np.testing.assert_allclose(out_c[:, 0], out_c[:, 1], atol=1e-4)
+
+    def test_hrir_energy_normalized(self):
+        from fyrox_tpu.sound.binaural import spherical_head_hrir
+        h = np.asarray(spherical_head_hrir(jnp.asarray([0.0, 1.0, -2.0])))
+        assert h.shape == (3, 2, 64)
+        assert np.isfinite(h).all()
+        assert (np.abs(h).sum(-1) > 0.1).all()
