@@ -134,6 +134,36 @@ class SceneTemplate:
             self._doubling = tables
         return self._doubling
 
+    def validate(self):
+        """Integrity check (Graph::restore_integrity equivalent, tested at
+        scene/graph/mod.rs:2504): verifies parent indices, acyclicity,
+        payload-table bounds. Returns a list of problem strings (empty =
+        healthy); callers may Log and continue per the reference's
+        log-and-continue philosophy."""
+        problems = []
+        n = self.num_nodes
+        if (self.parent >= n).any():
+            problems.append("parent index out of range")
+        else:
+            try:
+                SceneTemplate.compute_levels(self.parent)
+            except ValueError:
+                problems.append("cycle in hierarchy")
+        for table, name, kinds in ((self.cameras, "camera", (NodeType.CAMERA,)),
+                                   (self.lights, "light",
+                                    (NodeType.POINT_LIGHT, NodeType.SPOT_LIGHT,
+                                     NodeType.DIRECTIONAL_LIGHT))):
+            for node in table.get("node", []):
+                if not (0 <= node < n):
+                    problems.append(f"{name} payload points at missing node {node}")
+                elif self.node_type[node] not in [int(k) for k in kinds]:
+                    problems.append(f"{name} payload on non-{name} node {node}")
+        for i in range(n):
+            if self.node_type[i] == NodeType.MESH:
+                if not (0 <= self.payload[i] < len(self.meshes)):
+                    problems.append(f"mesh node {i} payload out of range")
+        return problems
+
     @staticmethod
     def compute_levels(parent: np.ndarray):
         """Group node indices by hierarchy depth (host-side, build time).

@@ -157,3 +157,22 @@ class TestCamera:
         vis = fr.intersects_aabb(planes[:, None], mins, maxs)
         assert bool(vis[0, visible]) and bool(vis[1, visible])
         assert not bool(vis[0, hidden]) and not bool(vis[1, hidden])
+
+
+class TestIntegrity:
+    def test_validate_healthy_and_broken(self):
+        """Graph::restore_integrity-style checks (graph/mod.rs:2504)."""
+        b = SceneBuilder()
+        b.add_camera("cam")
+        b.add_pivot("p")
+        t = b.build()
+        assert t.validate() == []
+        # corrupt: camera payload pointing at a pivot
+        t.cameras["node"] = np.asarray([1])
+        problems = t.validate()
+        assert any("camera" in p for p in problems)
+        # corrupt: out-of-range parent
+        t2 = b.build()
+        t2.parent = t2.parent.copy()
+        t2.parent[1] = 99
+        assert any("parent" in p for p in t2.validate())
