@@ -42,13 +42,14 @@ def main():
         return state, jnp.sum(verts[..., 0])  # force materialization
 
     state, chk = roll(state)           # compile
-    jax.block_until_ready(chk)
+    float(chk)   # hard sync: host-transfer (block_until_ready can return
+                 # early through the axon tunnel)
 
     n_calls = max(int(os.environ.get("FYROX_BENCH_CALLS", 5)), 1)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, chk = roll(state)
-    jax.block_until_ready(chk)
+    float(chk)   # hard sync
     elapsed = time.perf_counter() - t0
 
     env_steps = n_worlds * steps_per_call * n_calls
