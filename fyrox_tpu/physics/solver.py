@@ -127,12 +127,19 @@ def _make_ops(contacts: ContactBatch):
 
     ia, ib = contacts.body_a, contacts.body_b
 
+    # Dynamic-incidence fast path for compacted contacts: the contact→body
+    # mapping is FIXED within a step, so build one-hot [W,K,B] tensors once
+    # and run every gather/scatter as an f32 matmul (the dynamic-scatter
+    # path costs ~7ms per scatter at [8,32k]→[8,1k] on v5e; the one-hot
+    # matmuls amortize to ~10x less). Gated by memory: the one-hot pair
+    # costs 2·W·K·B·4 bytes.
+    w = ia.shape[0]
+
     def take2(arr, idx):
         return jnp.take_along_axis(
             arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
 
     def scat(arr, val_a, val_b):
-        w = arr.shape[0]
         rows = jnp.arange(w)[:, None]
         out = arr
         if val_a is not None:
@@ -142,6 +149,42 @@ def _make_ops(contacts: ContactBatch):
         return out
 
     return (lambda x: take2(x, ia)), (lambda x: take2(x, ib)), scat
+
+
+def _make_dynamic_incidence_ops(contacts: ContactBatch, num_bodies: int):
+    """One-hot [W,K,B] incidence built once per step for compacted
+    (dynamic-slot) contacts; all gathers/scatters become f32 matmuls."""
+    ia, ib = contacts.body_a, contacts.body_b
+    body_ids = jnp.arange(num_bodies, dtype=ia.dtype)
+    inc_a = (ia[..., None] == body_ids).astype(jnp.float32)   # [W,K,B]
+    inc_b = (ib[..., None] == body_ids).astype(jnp.float32)
+
+    def gath(inc, x):
+        if x.ndim == 2:
+            return jnp.einsum("wkb,wb->wk", inc, x, precision="highest")
+        if x.ndim == 3:
+            return jnp.einsum("wkb,wbc->wkc", inc, x, precision="highest")
+        return jnp.einsum("wkb,wbcd->wkcd", inc, x, precision="highest")
+
+    def scat(arr, val_a, val_b):
+        out = arr
+        if val_a is not None:
+            if val_a.ndim == 2:
+                out = out + jnp.einsum("wkb,wk->wb", inc_a, val_a,
+                                       precision="highest")
+            else:
+                out = out + jnp.einsum("wkb,wkc->wbc", inc_a, val_a,
+                                       precision="highest")
+        if val_b is not None:
+            if val_b.ndim == 2:
+                out = out + jnp.einsum("wkb,wk->wb", inc_b, val_b,
+                                       precision="highest")
+            else:
+                out = out + jnp.einsum("wkb,wkc->wbc", inc_b, val_b,
+                                       precision="highest")
+        return out
+
+    return (lambda x: gath(inc_a, x)), (lambda x: gath(inc_b, x)), scat
 
 
 def solve_tgs(position, rotation, linvel, angvel, com_local,
@@ -166,7 +209,15 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
         return ii_world, com_off
 
     if has_contacts:
-        gath_a, gath_b, scat = _make_ops(contacts)
+        if (contacts.inc_a is None and contacts.body_a.ndim == 2):
+            kk = contacts.body_a.shape[1]
+            onehot_bytes = 2 * w * kk * b * 4
+            if onehot_bytes <= (2 << 30):
+                gath_a, gath_b, scat = _make_dynamic_incidence_ops(contacts, b)
+            else:
+                gath_a, gath_b, scat = _make_ops(contacts)
+        else:
+            gath_a, gath_b, scat = _make_ops(contacts)
         act = contacts.active
         actf = act.astype(dtype)
         n = contacts.normal
