@@ -41,6 +41,10 @@ class MachineTemplate:
     # padded [S, M] clip ids + normalized weights (weight 0 = unused slot)
     state_clips: np.ndarray = None     # [S, M] int32
     state_weights: np.ndarray = None   # [S, M] f32
+    # BlendSpace pose sources (machine/node/blendspace.rs): sparse list of
+    # (state index, BlendSpaceTemplate); states listed here sample their
+    # pose from the 2D blend space instead of the clip list
+    state_spaces: list = field(default_factory=list)
 
     @property
     def num_states(self):
@@ -62,12 +66,16 @@ class MachineBuilder:
         self._params.append(name)
         return len(self._params) - 1
 
-    def add_state(self, name: str, clip: int = None, clips=None) -> int:
-        """A state's pose source: a single clip (PlayAnimation) or a
-        weighted list [(clip, weight), ...] (BlendAnimations)."""
+    def add_state(self, name: str, clip: int = None, clips=None,
+                  blendspace=None) -> int:
+        """A state's pose source: a single clip (PlayAnimation), a weighted
+        list [(clip, weight), ...] (BlendAnimations), or a
+        `BlendSpaceTemplate` (machine/node/blendspace.rs) sampled with the
+        [W,2] point passed to evaluate_pose."""
         if clips is None:
-            clips = [(int(clip), 1.0)]
-        self._states.append((name, list(clips)))
+            clips = [(int(blendspace.clips[0]) if blendspace is not None
+                      else int(clip), 1.0)]
+        self._states.append((name, list(clips), blendspace))
         return len(self._states) - 1
 
     def set_entry_state(self, state: int):
@@ -82,7 +90,7 @@ class MachineBuilder:
         m = max((len(s[1]) for s in self._states), default=1)
         clips = np.zeros((len(self._states), m), np.int32)
         weights = np.zeros((len(self._states), m), np.float32)
-        for i, (_, cl) in enumerate(self._states):
+        for i, (_, cl, _bs) in enumerate(self._states):
             total = sum(w for _, w in cl) or 1.0
             for k, (c, w) in enumerate(cl):
                 clips[i, k] = c
@@ -99,6 +107,8 @@ class MachineBuilder:
             t_invert=np.asarray([t[3] for t in tr], bool),
             t_duration=np.asarray([t[4] for t in tr], np.float32),
             param_names=list(self._params),
+            state_spaces=[(i, s[2]) for i, s in enumerate(self._states)
+                          if s[2] is not None],
         )
 
 
@@ -157,30 +167,53 @@ def update_machine(mt: MachineTemplate, ms: MachineState, params, dt) -> Machine
                         duration=duration)
 
 
-def _state_pose(mt: MachineTemplate, state_idx, poses: pose_mod.PoseSet):
+def _where_pose(sel, pa, pb):
+    """Per-world select between two pose tuples. sel: [W] bool."""
+    out = []
+    for a, b in zip(pa, pb):
+        s = sel
+        while s.ndim < a.ndim:
+            s = s[..., None]
+        out.append(jnp.where(s, a, b))
+    return tuple(out)
+
+
+def _state_pose(mt: MachineTemplate, state_idx, poses: pose_mod.PoseSet,
+                sampling=None):
     """Pose of a state: its weighted N-way clip blend (BlendAnimations,
-    machine/node/blend.rs:92) — sequential normalized accumulation."""
+    machine/node/blend.rs:92) — sequential normalized accumulation — or,
+    for states with a blend space source, the triangulated 2D blend
+    (machine/node/blendspace.rs:120) sampled at `sampling` [W,2]."""
     if mt.state_clips is None:
-        return pose_mod.select_anim_pose(poses,
-                                         jnp.asarray(mt.state_anim)[state_idx])
-    clips = jnp.asarray(mt.state_clips)[state_idx]      # [W,M]
-    weights = jnp.asarray(mt.state_weights)[state_idx]  # [W,M]
-    m = clips.shape[-1]
-    acc = pose_mod.select_anim_pose(poses, clips[:, 0])
-    cum = weights[:, 0]
-    for k in range(1, m):
-        pk = pose_mod.select_anim_pose(poses, clips[:, k])
-        new_cum = cum + weights[:, k]
-        frac = jnp.where(new_cum > 1e-8, weights[:, k] / jnp.maximum(new_cum, 1e-8), 0.0)
-        acc = pose_mod.blend_pose(acc, pk, frac)
-        cum = new_cum
+        acc = pose_mod.select_anim_pose(poses,
+                                        jnp.asarray(mt.state_anim)[state_idx])
+    else:
+        clips = jnp.asarray(mt.state_clips)[state_idx]      # [W,M]
+        weights = jnp.asarray(mt.state_weights)[state_idx]  # [W,M]
+        m = clips.shape[-1]
+        acc = pose_mod.select_anim_pose(poses, clips[:, 0])
+        cum = weights[:, 0]
+        for k in range(1, m):
+            pk = pose_mod.select_anim_pose(poses, clips[:, k])
+            new_cum = cum + weights[:, k]
+            frac = jnp.where(new_cum > 1e-8, weights[:, k] / jnp.maximum(new_cum, 1e-8), 0.0)
+            acc = pose_mod.blend_pose(acc, pk, frac)
+            cum = new_cum
+    if sampling is not None:
+        from fyrox_tpu.animation import blendspace as bs_mod
+        for s, bst in (mt.state_spaces or []):
+            bs_pose = bs_mod.blendspace_pose(bst, sampling, poses)
+            acc = _where_pose(state_idx == s, bs_pose, acc)
     return acc
 
 
-def evaluate_pose(mt: MachineTemplate, ms: MachineState, poses: pose_mod.PoseSet):
+def evaluate_pose(mt: MachineTemplate, ms: MachineState, poses: pose_mod.PoseSet,
+                  sampling=None):
     """Final pose = blend(source_state_pose, current_state_pose, blend)
     (Transition::blend_factor drives State mixing, machine/mod.rs:347).
-    Each state's own pose is its N-way clip blend."""
-    pa = _state_pose(mt, ms.source, poses)
-    pb = _state_pose(mt, ms.current, poses)
+    Each state's own pose is its N-way clip blend or 2D blend space;
+    `sampling` [W,2] is the blend-space sampling point parameter
+    (Parameter::SamplingPoint, blendspace.rs:127)."""
+    pa = _state_pose(mt, ms.source, poses, sampling)
+    pb = _state_pose(mt, ms.current, poses, sampling)
     return pose_mod.blend_pose(pa, pb, ms.blend)
