@@ -1,5 +1,7 @@
 """Core batched math: the fyrox-core + fyrox-math equivalent layer."""
 
-from fyrox_tpu.core import aabb, curve, frustum, quat, ray, transform
+from fyrox_tpu.core import (aabb, curve, frustum, quat, ray, transform,
+                            triangulator)
 
-__all__ = ["aabb", "curve", "frustum", "quat", "ray", "transform"]
+__all__ = ["aabb", "curve", "frustum", "quat", "ray", "transform",
+           "triangulator"]

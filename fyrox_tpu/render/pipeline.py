@@ -70,6 +70,11 @@ class RenderTemplate:
     sprite_node: np.ndarray = None   # [S]
     sprite_size: np.ndarray = None   # [S]
     sprite_color: np.ndarray = None  # [S,3]
+    # LOD groups (scene/base.rs:61 LevelOfDetail): flattened per-object
+    # entries — object node, [begin, end] normalized-distance range
+    lod_obj: np.ndarray = None       # [Lo] int32
+    lod_begin: np.ndarray = None     # [Lo] f32
+    lod_end: np.ndarray = None       # [Lo] f32
 
     @property
     def num_triangles(self):
@@ -144,7 +149,24 @@ def build_render_template(template: SceneTemplate,
                      else np.zeros(0, np.float32)),
         sprite_color=(np.stack(sp["color"]).astype(np.float32) if ns
                       else np.zeros((0, 3), np.float32)),
+        **_flatten_lod(template),
     )
+
+
+def _flatten_lod(template):
+    """Flatten builder-attached LOD groups (LodGroup, scene/base.rs:129)
+    into per-object (node, begin, end) arrays for the culling pass."""
+    obj, beg, end = [], [], []
+    for levels in template.extras.get("lod_groups", []):
+        for b, e, objects in levels:
+            b, e = sorted((float(np.clip(b, 0, 1)), float(np.clip(e, 0, 1))))
+            for o in objects:
+                obj.append(int(o))
+                beg.append(b)
+                end.append(e)
+    return dict(lod_obj=np.asarray(obj, np.int32),
+                lod_begin=np.asarray(beg, np.float32),
+                lod_end=np.asarray(end, np.float32))
 
 
 def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
@@ -179,6 +201,23 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
     else:
         node_vis = jnp.ones(globals_.shape[0], bool)
     node_vis = node_vis & gvis
+
+    # LOD filter (renderer/bundle.rs:898): objects listed in a LOD level are
+    # visible only when their normalized camera distance lies in the level's
+    # range; the filter hides whole subtrees (bundle.rs:994), propagated here
+    # with the template's pointer-doubling ancestor tables.
+    if rt.lod_obj is not None and rt.lod_obj.shape[0]:
+        cam_pos = cam_g[:3, 3]
+        obj = jnp.asarray(rt.lod_obj)
+        opos = globals_[obj][:, :3, 3]
+        dist = jnp.linalg.norm(opos - cam_pos[None], axis=-1)
+        nd = (dist - rt.z_near) / jnp.maximum(rt.z_far - rt.z_near, 1e-6)
+        in_range = (nd >= jnp.asarray(rt.lod_begin)) & (nd <= jnp.asarray(rt.lod_end))
+        lod_vis = jnp.ones(globals_.shape[0] + 1, bool).at[obj].set(in_range)
+        for p_r in scene_template.doubling_pointers():
+            lod_vis = lod_vis & lod_vis[jnp.asarray(p_r)]
+        node_vis = node_vis & lod_vis[:-1]
+
     tri_valid = node_vis[jnp.asarray(rt.tri_node)]
 
     attrs = dict(

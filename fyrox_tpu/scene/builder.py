@@ -129,6 +129,15 @@ class SceneBuilder:
         self._sprites["color"].append(np.asarray(color, np.float32))
         return idx
 
+    def add_lod_group(self, levels):
+        """Attach a LOD group (LodGroup, scene/base.rs:129): levels is a
+        list of (begin, end, [node indices]) with begin/end the normalized
+        camera-distance range ((dist - z_near)/(z_far - z_near)) in which
+        the listed nodes — and their subtrees — are rendered."""
+        self.extras.setdefault("lod_groups", []).append(
+            [(float(b), float(e), [int(o) for o in objs])
+             for b, e, objs in levels])
+
     # -- mesh ----------------------------------------------------------------
     def add_mesh(self, mesh_data, name="mesh", parent=-1, **kw) -> int:
         """mesh_data: fyrox_tpu.render.mesh.MeshData (or any record)."""

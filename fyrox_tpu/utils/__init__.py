@@ -3,12 +3,14 @@
 Equivalent of fyrox-impl/src/utils/ (astar.rs, navmesh.rs, behavior/).
 """
 
-from fyrox_tpu.utils import astar, behavior, navmesh
+from fyrox_tpu.utils import astar, behavior, navmesh, watcher
 from fyrox_tpu.utils.astar import astar as astar_search
 from fyrox_tpu.utils.astar import build_grid_graph, distance_field, pack_adjacency
 from fyrox_tpu.utils.behavior import BehaviorTree, BehaviorTreeBuilder, Status
 from fyrox_tpu.utils.navmesh import Navmesh, NavmeshAgent
+from fyrox_tpu.utils.watcher import FileSystemWatcher
 
-__all__ = ["astar", "behavior", "navmesh", "astar_search", "build_grid_graph",
+__all__ = ["astar", "behavior", "navmesh", "watcher", "FileSystemWatcher",
+           "astar_search", "build_grid_graph",
            "distance_field", "pack_adjacency", "BehaviorTree",
            "BehaviorTreeBuilder", "Status", "Navmesh", "NavmeshAgent"]

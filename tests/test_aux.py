@@ -193,3 +193,89 @@ class TestBinaural:
         assert h.shape == (3, 2, 64)
         assert np.isfinite(h).all()
         assert (np.abs(h).sum(-1) > 0.1).all()
+
+
+# ---------------------------------------------------------------- triangulator
+
+class TestTriangulator:
+    def test_quad_convex(self):
+        from fyrox_tpu.core.triangulator import triangulate
+        quad = [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
+        tris = triangulate(quad)
+        assert tris.shape == (2, 3)
+        assert _area(quad, tris) == 1.0
+
+    def test_quad_concave_splits_at_reflex(self):
+        from fyrox_tpu.core.triangulator import triangulate
+        # dart: vertex 3 is reflex — the diagonal must start there
+        quad = [[0, 0, 0], [2, 0, 0], [0, 2, 0], [0.4, 0.4, 0]]
+        tris = triangulate(quad)
+        assert tris.shape == (2, 3)
+        assert 3 in tris[0] and 3 in tris[1]
+
+    def test_ear_clipping_L_polygon(self):
+        from fyrox_tpu.core.triangulator import triangulate
+        poly = [[0, 0, 0], [2, 0, 0], [2, 1, 0], [1, 1, 0], [1, 2, 0], [0, 2, 0]]
+        tris = triangulate(poly)
+        assert tris.shape == (4, 3)
+        assert abs(_area(poly, tris) - 3.0) < 1e-6
+
+    def test_vertical_plane_projection(self):
+        from fyrox_tpu.core.triangulator import triangulate
+        # pentagon in the x=0 plane (dominant axis ≠ z)
+        poly = [[0, 0, 0], [0, 0, 2], [0, 1, 3], [0, 2, 2], [0, 2, 0]]
+        tris = triangulate(poly)
+        assert tris.shape == (3, 3)
+        assert abs(_area_yz(poly, tris) - 5.0) < 1e-6
+
+
+def _area(poly, tris):
+    import numpy as _np
+    p = _np.asarray(poly, float)
+    return float(sum(abs(_np.cross(p[b] - p[a], p[c] - p[a])[2]) / 2
+                     for a, b, c in tris))
+
+
+def _area_yz(poly, tris):
+    import numpy as _np
+    p = _np.asarray(poly, float)[:, 1:]
+    return float(sum(abs((p[b] - p[a])[0] * (p[c] - p[a])[1]
+                         - (p[b] - p[a])[1] * (p[c] - p[a])[0]) / 2
+                     for a, b, c in tris))
+
+
+# -------------------------------------------------------------------- watcher
+
+class TestFileSystemWatcher:
+    def test_detects_change_and_hot_reloads(self, tmp_path):
+        import time
+        from fyrox_tpu.resource import ResourceManager
+        from fyrox_tpu.utils.watcher import FileSystemWatcher
+        f = tmp_path / "mesh.json"
+        f.write_text('{"v": 1}')
+        rm = ResourceManager()
+        rm.register_loader(".json", lambda p: open(p).read())
+        res = rm.request(str(f)).wait()
+        assert '"v": 1' in res.data
+        w = FileSystemWatcher([str(tmp_path)], interval=0.0, manager=rm)
+        assert w.poll(now=1.0) == []            # nothing changed yet
+        time.sleep(0.01)
+        f.write_text('{"v": 2}')
+        import os
+        os.utime(f, (time.time() + 5, time.time() + 5))  # force mtime change
+        reloaded = []
+        w.add_listener(reloaded.append)
+        changed = w.update(now=2.0)
+        assert [str(f)] == [str(c) for c in changed]
+        assert reloaded and str(f) in reloaded[0]
+        assert '"v": 2' in rm.request(str(f)).wait().data
+        rm.shutdown()
+
+    def test_new_and_deleted_files_reported(self, tmp_path):
+        from fyrox_tpu.utils.watcher import FileSystemWatcher
+        w = FileSystemWatcher([str(tmp_path)], interval=0.0)
+        g = tmp_path / "new.txt"
+        g.write_text("x")
+        assert [str(g)] == w.poll(now=1.0)
+        g.unlink()
+        assert [str(g)] == w.poll(now=2.0)

@@ -250,3 +250,41 @@ class TestSsao:
         assert near_corner.sum() > 10 and open_floor.sum() > 10
         assert ao[near_corner].mean() < ao[open_floor].mean() - 0.05
         assert 0.9 < ao[open_floor].mean() <= 1.0
+
+
+class TestLodGroups:
+    def _scene(self, cube_z):
+        b = SceneBuilder()
+        b.add_camera("cam", position=(0, 1, -4))
+        # two LOD variants of one object: red near, green far, stacked at
+        # the same spot; a LOD group picks one by camera distance
+        pivot = b.add_pivot("obj", position=(0, 1, cube_z))
+        near = b.add_mesh(make_cube(1.5, albedo=(1.0, 0.0, 0.0)), "near",
+                          parent=pivot)
+        far = b.add_mesh(make_cube(1.5, albedo=(0.0, 1.0, 0.0)), "far",
+                         parent=pivot)
+        # child of the near variant: must be hidden with its parent
+        child = b.add_mesh(make_cube(0.5, albedo=(0.0, 0.0, 1.0)), "badge",
+                           parent=near, position=(0, 1.2, 0))
+        b.add_light("directional", "sun",
+                    rotation=np.asarray(quat.from_euler(np.pi / 2, 0.0, 0.0)),
+                    intensity=3.0)
+        b.add_lod_group([(0.0, 0.005, [near]), (0.005, 1.0, [far])])
+        t = b.build()
+        state = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=16)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        return np.asarray(color[0]), g
+
+    def test_lod_selects_level_by_distance(self):
+        # z_far = 2048 → normalized 0.005 boundary ≈ 10.2m real distance
+        img_near, _ = self._scene(cube_z=1.0)    # ~5m → level 0 (red + badge)
+        img_far, _ = self._scene(cube_z=26.0)    # ~30m → level 1 (green)
+        r, gr, bl = img_near[..., 0], img_near[..., 1], img_near[..., 2]
+        assert (r > gr * 2 + 0.02).any(), "near frame should show the red LOD"
+        assert (bl > r + 0.02).any(), "near frame should show the child badge"
+        r, gr, bl = img_far[..., 0], img_far[..., 1], img_far[..., 2]
+        assert (gr > r * 2 + 0.02).any(), "far frame should show the green LOD"
+        assert not (bl > gr + 0.02).any(), \
+            "child badge must be hidden with its filtered parent"
