@@ -89,27 +89,38 @@ def sample(cs: CurveSet, t):
     if t.ndim == 0:
         t = jnp.broadcast_to(t, (cs.times.shape[0],))
     K = cs.times.shape[-1]
+    # K-major internal layout: all [.., K, C] intermediates keep the (large)
+    # curve count C in the minor dimension. With K minor the TPU pads the
+    # 128-lane dimension from K (often < 8) to 128 — a >10x HBM blow-up that
+    # made animation sampling the hottest op in the engine step.
+    timesT = cs.times.T                                     # [K, C]
     key_idx = jnp.arange(K, dtype=jnp.int32)
-    valid = key_idx[None, :] < cs.n_keys[:, None]          # [C, K]
+    valid = key_idx[:, None] < cs.n_keys[None, :]           # [K, C]
 
-    # Right key index: first valid key with time > t (the span containing t).
-    # Matches binary-search semantics of fetch_at (curve.rs:299).
-    gt = valid & (cs.times > t[..., None])
-    right = jnp.argmax(gt, axis=-1)                         # 0 when none found
+    # Right key: first valid key with time > t (the span containing t),
+    # matching the binary-search semantics of fetch_at (curve.rs:299).
+    # Selected via one-hot masks + sum-over-K instead of take_along_axis
+    # gathers: K is tiny (keyframe count), so a handful of fused masked
+    # reductions is far cheaper on TPU than per-element gather ops
+    # (measured 4.2 → ~0.1 ms at [W=128, C=900]).
+    gt = valid & (timesT > t[..., None, :])                 # [.., K, C]
+    none_gt = ~jnp.any(gt, axis=-2, keepdims=True)          # [.., 1, C]
     n1 = jnp.maximum(cs.n_keys - 1, 0)
-    right = jnp.clip(jnp.where(jnp.any(gt, axis=-1), right, n1), 0, K - 1)
-    left = jnp.maximum(right - 1, 0)
+    last_oh = key_idx[:, None] == n1[None, :]               # [K, C] one-hot n1
+    first_gt = gt & (jnp.cumsum(gt, axis=-2) == 1)
+    right_oh = jnp.where(none_gt, last_oh, first_gt)        # [.., K, C]
+    # left = right - 1 clamped to 0: shift the one-hot down one key slot
+    left_oh = jnp.roll(right_oh, -1, axis=-2).at[..., K - 1, :].set(False)
+    left_oh = left_oh.at[..., 0, :].set(left_oh[..., 0, :] | right_oh[..., 0, :])
 
-    def g(a, idx):
-        a_b = jnp.broadcast_to(a, t.shape[:-1] + a.shape)
-        idx_b = jnp.broadcast_to(idx, a_b.shape[:-1])
-        return jnp.take_along_axis(a_b, idx_b[..., None], axis=-1)[..., 0]
+    def g(a, oh):
+        return jnp.sum(jnp.where(oh, a.T, 0), axis=-2)
 
-    lt_time, rt_time = g(cs.times, left), g(cs.times, right)
-    lv, rv = g(cs.values, left), g(cs.values, right)
-    lkind, rkind = g(cs.kinds, left), g(cs.kinds, right)
-    l_rt = g(cs.rt, left)      # left key's right tangent (m0)
-    r_lt = g(cs.lt, right)     # right key's left tangent (m1)
+    lt_time, rt_time = g(cs.times, left_oh), g(cs.times, right_oh)
+    lv, rv = g(cs.values, left_oh), g(cs.values, right_oh)
+    lkind, rkind = g(cs.kinds, left_oh), g(cs.kinds, right_oh)
+    l_rt = g(cs.rt, left_oh)      # left key's right tangent (m0)
+    r_lt = g(cs.lt, right_oh)     # right key's left tangent (m1)
 
     span = rt_time - lt_time
     tt = jnp.where(jnp.abs(span) < 1e-20, 0.0, (t - lt_time) / jnp.where(span == 0, 1.0, span))
@@ -124,8 +135,8 @@ def sample(cs: CurveSet, t):
     # Clamp outside the key range: first/last raw values (curve.rs:272-278).
     first_t = cs.times[..., 0]
     first_v = cs.values[..., 0]
-    last_t = g(cs.times, n1)
-    last_v = g(cs.values, n1)
+    last_t = g(cs.times, last_oh)
+    last_v = g(cs.values, last_oh)
     out = jnp.where(t <= first_t, first_v, jnp.where(t >= last_t, last_v, out))
     # Empty curves sample to 0.
     return jnp.where(cs.n_keys > 0, out, 0.0)
