@@ -99,9 +99,11 @@ def ball_cuboid(pa, ra, pb, rot_b, half_b, pred):
     # inside: push along the axis of least penetration
     pen_axis = half_b - jnp.abs(rel)
     axis = jnp.argmin(pen_axis, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(rel, axis[..., None], axis=-1))[..., 0]
-    sign = jnp.where(sign == 0, 1.0, sign)
     eye = jnp.eye(3, dtype=rel.dtype)
+    # masked reduction instead of take_along_axis (tiny-axis gathers are
+    # slow on TPU; see core/curve.py sample)
+    sign = jnp.sign(jnp.sum(rel * eye[axis], axis=-1))
+    sign = jnp.where(sign == 0, 1.0, sign)
     n_in = eye[axis] * sign[..., None]
     depth_out = ra - dist
     depth_in = ra + jnp.min(pen_axis, axis=-1)
@@ -209,9 +211,12 @@ def cuboid_halfspace(pa, rot_a, half_a, pp, rot_p, pred):
     corners = pa[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_a, corners_local,
                                             precision="highest")       # [...,8,3]
     depth = d[..., None] - jnp.sum(n[..., None, :] * corners, axis=-1)  # [...,8]
-    # take the 4 deepest corners
+    # take the 4 deepest corners — selected with a one-hot contraction
+    # rather than take_along_axis (tiny-axis gathers are slow on TPU)
     top_d, top_i = jax.lax.top_k(depth, 4)
-    pts = jnp.take_along_axis(corners, top_i[..., None], axis=-2)
+    oh = (top_i[..., :, None]
+          == jnp.arange(8, dtype=top_i.dtype)).astype(pa.dtype)       # [...,4,8]
+    pts = jnp.einsum("...ko,...od->...kd", oh, corners)
     m = _empty_like(pa)
     return Manifold(-n, pts, top_d, top_d > -pred)
 
@@ -294,10 +299,10 @@ def cuboid_cuboid(pa, rot_a, half_a, pb, rot_b, half_b, pred):
         ax = _box_axes(rot)
         dots = jnp.stack([jnp.sum(a * axis_dir, -1) for a in ax], axis=-1)  # [...,3]
         face_i = jnp.argmax(jnp.abs(dots), axis=-1)
-        sign = jnp.sign(jnp.take_along_axis(dots, face_i[..., None], -1))[..., 0]
-        sign = jnp.where(sign == 0, 1.0, sign)
         eye = jnp.eye(3, dtype=p.dtype)
         fa = eye[face_i]  # one-hot of face axis [...,3]
+        sign = jnp.sign(jnp.sum(dots * fa, axis=-1))
+        sign = jnp.where(sign == 0, 1.0, sign)
         # local tangent axes = the other two
         ta = eye[(face_i + 1) % 3]
         tb = eye[(face_i + 2) % 3]
