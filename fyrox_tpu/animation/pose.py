@@ -92,7 +92,10 @@ def apply_overwrite(poses: PoseSet, enabled, position, rotation, scale):
         p = jnp.where(enabled[..., None] & mask[None], prio, 0)  # [W,A,N]
         win = jnp.argmax(p, axis=1)                              # [W,N] winning clip
         has = jnp.max(p, axis=1) > 0                             # [W,N]
-        chosen = jnp.take_along_axis(vals, win[:, None, :, None], axis=1)[:, 0]
+        # one-hot contraction over the (small) clip axis — tiny-axis
+        # take_along_axis gathers are slow on TPU (see core/curve.py)
+        oh = (win[:, None] == jnp.arange(vals.shape[1])[None, :, None])
+        chosen = jnp.einsum("wan,wand->wnd", oh.astype(vals.dtype), vals)
         return jnp.where(has[..., None], chosen, cur)
 
     return (overwrite(poses.position, poses.pos_mask, position),
@@ -103,10 +106,10 @@ def apply_overwrite(poses: PoseSet, enabled, position, rotation, scale):
 def select_anim_pose(poses: PoseSet, anim_idx):
     """Gather one clip's pose per world: anim_idx [W] → ([W,N,3],[W,N,4],[W,N,3],
     masks [W,N] ×3)."""
-    idx = anim_idx[:, None, None]
-
+    # one-hot contraction over the clip axis (not take_along_axis: slow)
     def sel(vals):
-        return jnp.take_along_axis(vals, idx[..., None], axis=1)[:, 0]
+        oh = (anim_idx[:, None] == jnp.arange(vals.shape[1])).astype(vals.dtype)
+        return jnp.einsum("wa,wand->wnd", oh, vals)
 
     def selm(mask):
         return mask[anim_idx]  # [W,N]
