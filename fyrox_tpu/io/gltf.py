@@ -191,9 +191,12 @@ def load_gltf(path: str) -> GltfScene:
                        np.tile(np.eye(4, dtype=np.float32),
                                (len(joints), 1, 1)))
                 j4 = _accessor(doc, bufs, attrs["JOINTS_0"]).astype(np.int32)
-                w4 = _accessor(doc, bufs, attrs["WEIGHTS_0"]).astype(np.float32)
-                if w4.dtype != np.float32:
-                    w4 = w4.astype(np.float32) / np.iinfo(w4.dtype).max
+                w4_raw = _accessor(doc, bufs, attrs["WEIGHTS_0"])
+                if w4_raw.dtype != np.float32:
+                    # normalized u8/u16 weights per glTF spec
+                    w4 = w4_raw.astype(np.float32) / np.iinfo(w4_raw.dtype).max
+                else:
+                    w4 = w4_raw
                 w4 = w4 / np.maximum(w4.sum(-1, keepdims=True), 1e-8)
                 scene.skins.append(SkinTemplate(
                     bones=np.asarray(joints, np.int32), inv_bind=ibm,
@@ -231,14 +234,23 @@ def load_gltf(path: str) -> GltfScene:
                                        [keysets(vals[:, k]) for k in range(3)])
                 elif path == "rotation":
                     # quat keys → euler XYZ keys (engine rotation tracks are
-                    # euler, matching the reference's UnitQuaternionEuler)
-                    q = vals.astype(np.float32)
-                    m = np.asarray(quat_mod.to_mat3(jnp.asarray(q)))
+                    # euler, matching the reference's UnitQuaternionEuler).
+                    # Two continuity passes so interpolation between adjacent
+                    # keys takes the short way: (1) pick q vs -q per key to
+                    # keep dot(q_i, q_{i-1}) >= 0, (2) np.unwrap each euler
+                    # component so keys straddling ±π don't lerp through 0.
+                    q = vals.astype(np.float64)
+                    if len(q) > 1:
+                        flips = np.cumprod(np.where(
+                            np.sum(q[1:] * q[:-1], -1) < 0.0, -1.0, 1.0))
+                        q[1:] *= flips[:, None]
+                    m = np.asarray(quat_mod.to_mat3(jnp.asarray(
+                        q.astype(np.float32))), np.float64)
                     sy = -m[:, 2, 0]
                     sy = np.clip(sy, -1, 1)
                     ey = np.arcsin(sy)
-                    ex = np.arctan2(m[:, 2, 1], m[:, 2, 2])
-                    ez = np.arctan2(m[:, 1, 0], m[:, 0, 0])
+                    ex = np.unwrap(np.arctan2(m[:, 2, 1], m[:, 2, 2]))
+                    ez = np.unwrap(np.arctan2(m[:, 1, 0], m[:, 0, 0]))
                     ab.add_rotation_track(clip, node,
                                           [keysets(ex), keysets(ey), keysets(ez)])
         scene.animations = ab

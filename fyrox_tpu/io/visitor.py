@@ -156,10 +156,11 @@ def read_rgs(data: bytes) -> Tuple[VisitorNode, int]:
     """Parse a binary .rgs blob → (root node, version)."""
     r = _Reader(data)
     magic = r.take(4)
-    if magic == MAGIC_ASCII or magic == MAGIC_ASCII + b":"[:0]:
+    if data[:5] == MAGIC_ASCII + b":":
         return _read_ascii(data)
-    if data[:5] == b"FTAX:":
-        return _read_ascii(data)
+    if magic == MAGIC_ASCII:
+        raise ValueError("FTAX magic without ':' separator — truncated or "
+                         "corrupt ASCII visitor stream")
     if magic == MAGIC_BINARY_LEGACY:
         version = 0
     elif magic == MAGIC_BINARY:

@@ -42,6 +42,23 @@ class JointSet:
     anchor_a: np.ndarray      # [J,3] body-local
     anchor_b: np.ndarray      # [J,3]
     axis_a: np.ndarray        # [J,3] local hinge axis (revolute)
+    # rapier joints store local reference frames (local_frame1/2): the
+    # relative orientation a FIXED/REVOLUTE/PRISMATIC joint holds is the one
+    # at creation time, not identity. ref_rot = qa0^-1 * qb0 (xyzw).
+    ref_rot: np.ndarray = None  # [J,4]
+    # COM offsets of the two bodies (body-local), so lever arms are measured
+    # from the COM (impulses change COM velocity, not origin velocity).
+    com_a: np.ndarray = None   # [J,3]
+    com_b: np.ndarray = None   # [J,3]
+
+    def __post_init__(self):
+        j = self.kind.shape[0]
+        if self.ref_rot is None:
+            self.ref_rot = np.tile(np.array([0, 0, 0, 1], np.float32), (j, 1))
+        if self.com_a is None:
+            self.com_a = np.zeros((j, 3), np.float32)
+        if self.com_b is None:
+            self.com_b = np.zeros((j, 3), np.float32)
 
     @property
     def num_joints(self):
@@ -53,22 +70,35 @@ class JointBuilder:
         self._j = []
 
     def add(self, kind, body_a, body_b, anchor_a=(0, 0, 0), anchor_b=(0, 0, 0),
-            axis=(0, 0, 1)):
+            axis=(0, 0, 1), ref_rot=(0, 0, 0, 1)):
         self._j.append((kind, body_a, body_b,
                         np.asarray(anchor_a, np.float32),
                         np.asarray(anchor_b, np.float32),
-                        np.asarray(axis, np.float32)))
+                        np.asarray(axis, np.float32),
+                        np.asarray(ref_rot, np.float32)))
         return len(self._j) - 1
 
-    def build(self) -> JointSet:
+    def build(self, com_local=None) -> JointSet:
+        """com_local: optional [B,3] body COM table to resolve per-joint
+        COM offsets (lever arms are measured from the COM)."""
         j = self._j
+        ba = np.asarray([x[1] for x in j], np.int32)
+        bb = np.asarray([x[2] for x in j], np.int32)
+        if com_local is not None and len(j):
+            com_a = np.asarray(com_local, np.float32)[ba]
+            com_b = np.asarray(com_local, np.float32)[bb]
+        else:
+            com_a = com_b = np.zeros((len(j), 3), np.float32)
         return JointSet(
             kind=np.asarray([x[0] for x in j], np.int32),
-            body_a=np.asarray([x[1] for x in j], np.int32),
-            body_b=np.asarray([x[2] for x in j], np.int32),
+            body_a=ba,
+            body_b=bb,
             anchor_a=np.stack([x[3] for x in j]) if j else np.zeros((0, 3), np.float32),
             anchor_b=np.stack([x[4] for x in j]) if j else np.zeros((0, 3), np.float32),
             axis_a=np.stack([x[5] for x in j]) if j else np.zeros((0, 3), np.float32),
+            ref_rot=np.stack([x[6] for x in j]) if j else np.zeros((0, 4), np.float32),
+            com_a=com_a,
+            com_b=com_b,
         )
 
 
@@ -94,10 +124,11 @@ def solve_joints_velocity(pos, rot, lv, av, inv_mass, ii_world, joints: JointSet
     ib = joints.body_b
     qa = _gather(rot, ia)
     qb = _gather(rot, ib)
-    ra = quat.rotate(qa, jnp.asarray(joints.anchor_a)[None])
-    rb = quat.rotate(qb, jnp.asarray(joints.anchor_b)[None])
-    pa = _gather(pos, ia) + ra
-    pb = _gather(pos, ib) + rb
+    # lever arms from the COM: anchor_world - com_world = R @ (anchor - com)
+    ra = quat.rotate(qa, jnp.asarray(joints.anchor_a - joints.com_a)[None])
+    rb = quat.rotate(qb, jnp.asarray(joints.anchor_b - joints.com_b)[None])
+    pa = _gather(pos, ia) + quat.rotate(qa, jnp.asarray(joints.anchor_a)[None])
+    pb = _gather(pos, ib) + quat.rotate(qb, jnp.asarray(joints.anchor_b)[None])
 
     im_a = _gather(inv_mass[..., None], ia)[..., 0]
     im_b = _gather(inv_mass[..., None], ib)[..., 0]
@@ -149,8 +180,13 @@ def solve_joints_velocity(pos, rot, lv, av, inv_mass, ii_world, joints: JointSet
     wb = _gather(av, ib)
     rel_w = wb - wa
     # orientation drift bias for FIXED: relative rotation log (small angle)
+    # measured against the creation-time reference frame q_ref = qa0^-1 qb0
+    # (rapier's local_frame1/2 semantics) — NOT against identity.
     q_rel = quat.mul(quat.conjugate(qa), qb)
-    ang_err = 2.0 * q_rel[..., :3] * jnp.sign(q_rel[..., 3:4])
+    q_err = quat.mul(quat.conjugate(jnp.asarray(joints.ref_rot)[None]), q_rel)
+    # q_err lives in A's local frame; the impulse is applied with world-frame
+    # inertia, so rotate the small-angle error vector into world space.
+    ang_err = quat.rotate(qa, 2.0 * q_err[..., :3] * jnp.sign(q_err[..., 3:4]))
     target = rel_w + (erp / h) * ang_err
     # revolute: remove the hinge-axis component (free DOF)
     axis_w = quat.rotate(qa, jnp.asarray(joints.axis_a)[None])

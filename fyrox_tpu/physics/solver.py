@@ -198,6 +198,12 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
     h = params.dt / params.n_substeps
     has_contacts = contacts is not None
     w, b = position.shape[:2]
+    # Rigid-body translation state is the body ORIGIN, but linvel is the COM
+    # velocity: a torque-free spinning body must keep its COM fixed while the
+    # origin orbits it. When every COM offset is zero (the common case) the
+    # origin IS the COM and the conversion is skipped at trace time.
+    com_np = np.asarray(com_local) if not isinstance(com_local, jax.core.Tracer) else None
+    has_com_offset = com_np is None or bool(np.any(com_np))
 
     def body_kinematics(rot):
         rmat = quat.to_mat3(rot)
@@ -357,10 +363,17 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
             vn_end = jnp.sum(rel_vel(lv, av) * n, -1)
             depth_cur = depth_cur - h * vn_end
 
-        pos = pos + h * lv
         dq = 0.5 * h * quat.mul(
             jnp.concatenate([av, jnp.zeros_like(av[..., :1])], -1), rot)
-        rot = quat.normalize(rot + dq)
+        new_rot = quat.normalize(rot + dq)
+        if has_com_offset:
+            com_b = jnp.broadcast_to(jnp.asarray(com_local)[None],
+                                     pos.shape)
+            com = pos + quat.rotate(rot, com_b) + h * lv
+            pos = com - quat.rotate(new_rot, com_b)
+        else:
+            pos = pos + h * lv
+        rot = new_rot
         return (pos, rot, lv, av, depth_cur, lam_n, lam_t1, lam_t2), None
 
     depth0 = contacts.depth if has_contacts else zk
@@ -402,6 +415,12 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
             dtheta = jnp.einsum("wbij,wbj->wbi", ii_world0, torque,
                                 precision="highest")
             pos_ = pos_ + dpos
+            if has_com_offset:
+                # NGS rotates about the COM; the origin sits at -com_off
+                # from it and must follow: dorigin = dtheta x (-com_off).
+                com_b = jnp.broadcast_to(jnp.asarray(com_local)[None],
+                                         pos_.shape)
+                pos_ = pos_ + jnp.cross(dtheta, -quat.rotate(rot_, com_b))
             dq = 0.5 * quat.mul(
                 jnp.concatenate([dtheta, jnp.zeros_like(dtheta[..., :1])], -1), rot_)
             rot_ = quat.normalize(rot_ + dq)

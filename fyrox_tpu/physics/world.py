@@ -167,13 +167,28 @@ class PhysicsBuilder:
         return len(self._bodies) - 1
 
     def add_joint(self, kind, body_a, body_b, anchor_a=(0, 0, 0),
-                  anchor_b=(0, 0, 0), axis=(0, 0, 1)) -> int:
+                  anchor_b=(0, 0, 0), axis=(0, 0, 1), ref_rot=None) -> int:
         """Impulse joint (scene/joint.rs equivalents): kind from
-        fyrox_tpu.physics.joints.JointKind (BALL/FIXED/REVOLUTE)."""
+        fyrox_tpu.physics.joints.JointKind (BALL/FIXED/REVOLUTE).
+
+        ref_rot: relative orientation (xyzw) the joint holds. Default None
+        captures the bodies' creation-time relative rotation qa0^-1*qb0
+        (rapier local_frame semantics)."""
         from fyrox_tpu.physics.joints import JointBuilder
         if self._joints is None:
             self._joints = JointBuilder()
-        return self._joints.add(kind, body_a, body_b, anchor_a, anchor_b, axis)
+        if ref_rot is None:
+            qa = np.asarray(self._bodies[body_a]["rotation"], np.float64)
+            qb = np.asarray(self._bodies[body_b]["rotation"], np.float64)
+            ax, ay, az, aw = -qa[0], -qa[1], -qa[2], qa[3]  # qa^-1
+            bx, by, bz, bw = qb
+            ref_rot = np.asarray([
+                aw * bx + ax * bw + ay * bz - az * by,
+                aw * by - ax * bz + ay * bw + az * bx,
+                aw * bz + ax * by - ay * bx + az * bw,
+                aw * bw - ax * bx - ay * by - az * bz], np.float32)
+        return self._joints.add(kind, body_a, body_b, anchor_a, anchor_b,
+                                axis, ref_rot)
 
     def add_collider(self, body, shape, params, density=1.0, friction=0.5,
                      restitution=0.0, offset=(0, 0, 0), offset_rot=(0, 0, 0, 1),
@@ -289,7 +304,8 @@ class PhysicsBuilder:
             pair_a=np.asarray(pa, np.int32),
             pair_b=np.asarray(pb, np.int32),
             pair_kind_ranges=kind_ranges,
-            joints=(self._joints.build() if self._joints is not None else None),
+            joints=(self._joints.build(com_local=com)
+                    if self._joints is not None else None),
             max_active_pairs=max_active_pairs,
             **solver_kw,
         )

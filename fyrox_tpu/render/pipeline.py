@@ -101,7 +101,8 @@ def build_render_template(template: SceneTemplate,
                                       np.float32), (v, 1)))
         emi.append(np.tile(np.asarray(mesh.emission, np.float32), (v, 1)))
         voff += v
-    if not pos and not ns:
+    n_sprites = len((template.sprites or {}).get("node", []))
+    if not pos and not n_sprites:
         raise ValueError("scene has no MESH or SPRITE nodes to render")
     if not pos:
         pos = [np.zeros((3, 3), np.float32)]

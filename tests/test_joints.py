@@ -103,3 +103,32 @@ class TestJoints:
         assert abs(p[1] - 5.0) < 0.05 and abs(p[2]) < 0.05, p
         q = np.asarray(s.rotation[0, 1])
         assert abs(abs(q[3]) - 1.0) < 0.02  # no rotation picked up
+
+
+class TestJointReferenceFrames:
+    def test_fixed_joint_holds_initial_relative_rotation(self):
+        """rapier stores local_frame1/2 at creation: a fixed joint between
+        bodies created 90 deg apart must HOLD that pose, not torque them
+        into alignment (advisor round-1 finding)."""
+        from fyrox_tpu.core import quat as q
+        b = PhysicsBuilder()
+        qa = (0, 0, 0, 1)
+        qb = tuple(np.asarray(q.from_euler(0.0, 0.0, np.pi / 2)))
+        b0 = b.add_body(body_type=BodyType.STATIC, position=(0, 0, 0), rotation=qa)
+        b1 = b.add_body(body_type=BodyType.DYNAMIC, position=(0, -1, 0),
+                        rotation=qb, gravity_scale=0.0)
+        b.add_collider(b0, BALL, [0.1])
+        b.add_collider(b1, BALL, [0.1], density=1.0)
+        b.add_joint(JointKind.FIXED, b0, b1, anchor_a=(0, -0.5, 0),
+                    anchor_b=(0, 0.5, 0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        step = jax.jit(lambda s: step_physics(s, t, 1.0 / 60.0))
+        for _ in range(120):
+            s = step(s)
+        got = np.asarray(s.rotation[0, 1])
+        want = np.asarray(qb)
+        # same orientation up to sign
+        dot = abs(float(np.sum(got * want)))
+        assert dot > 0.999, (got, want)
+        np.testing.assert_allclose(np.asarray(s.angvel[0, 1]), 0.0, atol=1e-3)

@@ -242,3 +242,50 @@ class TestContacts:
             s = step(s)
         x = np.asarray(s.position[:, 1, 0])
         assert abs(x[0]) < 1e-5 and abs(x[2]) < 1e-5 and x[1] > 2.0
+
+
+class TestComOffset:
+    """Bodies whose collider (hence COM) is offset from the body origin.
+
+    Rigid-body translation state is the origin, but linvel is COM velocity:
+    a torque-free spinning body must keep its COM exactly fixed while the
+    origin orbits it (advisor round-1 high finding)."""
+
+    def test_spinning_offset_body_keeps_com_fixed(self):
+        b = PhysicsBuilder()
+        bi = b.add_body(body_type=BodyType.DYNAMIC, position=(0, 0, 0),
+                        gravity_scale=0.0)
+        b.add_collider(bi, BALL, [0.5], offset=(1.0, 0.0, 0.0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        np.testing.assert_allclose(np.asarray(t.com_local[0]), [1, 0, 0], atol=1e-7)
+        s = s._replace(angvel=s.angvel.at[0, 0].set(jnp.asarray([0.0, 2 * np.pi, 0.0])))
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        for _ in range(60):  # one full revolution about Y
+            s = step(s)
+        rot = np.asarray(s.rotation[0, 0])
+        pos = np.asarray(s.position[0, 0])
+        com_world = pos + np.asarray(quat.rotate(jnp.asarray(rot),
+                                                 jnp.asarray([1.0, 0.0, 0.0])))
+        # COM stays at its initial world position (1,0,0); momentum conserved
+        np.testing.assert_allclose(com_world, [1, 0, 0], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(s.linvel[0, 0]), 0.0, atol=1e-6)
+        # the origin stays on the radius-1 circle around the COM
+        np.testing.assert_allclose(
+            float(np.linalg.norm(pos - np.asarray([1.0, 0.0, 0.0]))), 1.0,
+            atol=2e-3)
+
+    def test_offset_body_free_fall_translates_com(self):
+        b = PhysicsBuilder()
+        bi = b.add_body(body_type=BodyType.DYNAMIC, position=(0, 100, 0))
+        b.add_collider(bi, BALL, [0.5], offset=(0.0, 0.0, 2.0))
+        t = b.build()
+        s = init_physics_state(b, t, 1)
+        step = jax.jit(lambda s: step_physics(s, t, DT))
+        for _ in range(30):
+            s = step(s)
+        # no spin: origin falls exactly like a point mass
+        assert abs(float(s.position[0, 0, 1]) - 100.0) > 0.1
+        np.testing.assert_allclose(float(s.position[0, 0, 0]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.rotation[0, 0]), [0, 0, 0, 1],
+                                   atol=1e-5)

@@ -288,3 +288,20 @@ class TestLodGroups:
         assert (gr > r * 2 + 0.02).any(), "far frame should show the green LOD"
         assert not (bl > gr + 0.02).any(), \
             "child badge must be hidden with its filtered parent"
+
+
+class TestSpriteOnlyScene:
+    def test_sprite_only_scene_builds_and_renders(self):
+        """Regression: build_render_template crashed (NameError) on scenes
+        with sprites but no MESH nodes (round-1 VERDICT weak #5)."""
+        b = SceneBuilder()
+        b.add_camera("cam", position=(0, 0, 0))
+        b.add_sprite("spark", position=(0, 0, 5), size=1.0, color=(0, 0, 1))
+        t = b.build()
+        state = init_state(t, 1)
+        state = graph.update_hierarchical_data(state, t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=8)
+        color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
+        center = np.asarray(color[0, H // 2, W // 2])
+        assert center[2] > 0.3, center
