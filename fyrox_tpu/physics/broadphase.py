@@ -1,0 +1,357 @@
+"""Hash-grid broadphase for large collider counts, fully batched.
+
+Replaces rapier's SAP `DefaultBroadPhase` (external crate; wired at
+fyrox-impl/src/scene/graph/physics/mod.rs:1120) with a TPU-native design.
+The round-1 all-pairs candidate list is O(C^2) (500k pairs at 1k
+colliders); this module is O(C * S):
+
+  1. quantize each collider's fat-AABB *min corner* to a COARSE x/y grid
+     (cell size >= the largest collider AABB extent — overlapping pairs
+     then sit within +-1 x/y cell) and a FINE z grid (cell/8).
+  2. pack (x, y, z_fine) into one int32 key (9+9+13 bits, raster order
+     with z in the low bits) and sort colliders by key ([W,C] argsort).
+  3. for each collider, overlap candidates live in the 9 (dx,dy) neighbor
+     columns restricted to the EXACT z-interval [min_z - cell, max_z]:
+     nine contiguous key ranges, each found with two vmapped binary
+     searches. (The fine z-interval is what keeps tightly packed piles
+     from needing huge windows.)
+  4. a fixed per-collider window of S candidate slots walks the
+     concatenation of the 9 ranges (exclusive-prefix bookkeeping), making
+     the candidate tensor a static [W, C*S] shape.
+  5. validity = distinct bodies, at least one dynamic, fat-AABB overlap.
+  6. stream-compact per *manifold-size class* (1/2/4 contact points) with
+     cumsum + searchsorted — no top_k, no sort over candidates.
+
+Candidates are DIRECTED: pair (i, j) is emitted from i's scan AND (j, i)
+from j's. The twin slots compute the identical canonical manifold (the
+kernel sees the same canonically-ordered inputs), so the solver can apply
+only the *self* half of each impulse — Newton's third law holds exactly
+while every scatter becomes a segment-sum over a list that is sorted by
+construction (slots are grouped by scanning collider, and colliders are
+sorted by body index at build time).
+
+Colliders whose AABB is unbounded or much larger than the median
+(HALFSPACE, later trimesh/heightfield) are "big": excluded from the grid
+and paired with every collider via Nbig extra static slots per collider.
+Big colliders must be non-dynamic (asserted at build).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.physics import shapes as sh
+
+__all__ = ["GridConfig", "build_grid_config", "grid_candidates",
+           "CLASS_NPTS", "pair_class_table"]
+
+# key packing: coarse cells in x/y (9 bits each), FINE z quantization in
+# the low 13 bits. A (dx,dy) neighbor column is then scanned over an exact
+# z-interval [min_i - cell, max_i] instead of three full cells — ~4x fewer
+# candidate slots for tightly packed piles.
+_QBITS_XY = 9
+_QRANGE_XY = 1 << _QBITS_XY      # 512 coarse cells per horizontal axis
+_QHALF_XY = _QRANGE_XY // 2
+_QBITS_Z = 13
+_QRANGE_Z = 1 << _QBITS_Z        # 8192 fine z cells
+_QHALF_Z = _QRANGE_Z // 2
+_ZFINE = 8                       # fine z resolution = cell / _ZFINE
+
+# manifold-size classes: 0 -> 1 point, 1 -> 2 points, 2 -> 4 points
+CLASS_NPTS = (1, 2, 4)
+
+
+def pair_class_table():
+    """[6,6] int32: manifold-size class of each (kind_a, kind_b) combo
+    (effective kinds — cylinder/cone collapse onto capsule). Mirrors
+    narrowphase.KIND_POINTS for both orderings."""
+    from fyrox_tpu.physics.narrowphase import KIND_POINTS, effective_kind
+    tab = np.zeros((6, 6), np.int32)
+    npts_to_class = {1: 0, 2: 1, 4: 2}
+    for (ka, kb), npts in KIND_POINTS.items():
+        tab[ka, kb] = npts_to_class[npts]
+        tab[kb, ka] = npts_to_class[npts]
+    # cylinder/cone mirror their capsule proxy rows/cols
+    for t in (sh.CYLINDER, sh.CONE):
+        tab[t, :] = tab[sh.CAPSULE, :]
+        tab[:, t] = tab[:, sh.CAPSULE]
+        for u in (sh.CYLINDER, sh.CONE):
+            tab[t, u] = tab[sh.CAPSULE, sh.CAPSULE]
+    return tab
+
+
+@dataclass
+class GridConfig:
+    """Host-side static broadphase layout (hangs off PhysicsTemplate)."""
+    grid_cols: np.ndarray          # [Cg] collider indices in the grid
+    big_cols: np.ndarray           # [Nbig] oversized/unbounded colliders
+    cell: float                    # grid cell size
+    window: int                    # S: neighbor candidate slots per collider
+    caps: Tuple[int, int, int]     # compaction width per manifold class
+    windows_body: Tuple[int, int, int]   # Mw: max pairs/body per class
+    cls_tab: np.ndarray            # [6,6] manifold class per kind pair
+    # static per-slot scanning collider: slot s -> collider  [Cg*(S+Nbig)]
+    slot_i: np.ndarray = None
+    # static effective kind per collider / per slot-i (narrowphase class)
+    _kinds: np.ndarray = None          # [C]
+    _kind_i: np.ndarray = None         # [Cg*(S+Nbig)]
+    _num_colliders: int = 0
+
+    @property
+    def n_slots(self):
+        return int(self.slot_i.shape[0])
+
+
+def build_grid_config(col_shape, col_params, col_body, body_type,
+                      margin, window=48, caps=None, windows_body=None,
+                      big_factor=8.0) -> Optional[GridConfig]:
+    """Choose cell size, split big colliders, lay out the static slot map.
+
+    Returns None when the scene has no grid-eligible colliders.
+    """
+    nc = int(col_shape.shape[0])
+    if nc == 0:
+        return None
+    # rotation-independent AABB radius bound per collider
+    bound = np.zeros(nc, np.float64)
+    for i in range(nc):
+        t = int(col_shape[i])
+        p = np.asarray(col_params[i], np.float64)
+        if t == sh.BALL:
+            bound[i] = p[0]
+        elif t == sh.CUBOID:
+            bound[i] = float(np.linalg.norm(p[:3]))
+        elif t in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
+            bound[i] = p[0] + p[1]
+        else:                       # HALFSPACE & future unbounded shapes
+            bound[i] = np.inf
+    finite = np.isfinite(bound)
+    med = np.median(bound[finite]) if finite.any() else 1.0
+    big = ~finite | (bound > big_factor * max(med, 1e-6))
+    dyn = body_type[col_body] == 0   # BodyType.DYNAMIC
+    if np.any(big & dyn):
+        raise ValueError("dynamic colliders cannot be broadphase-big "
+                         "(unbounded or oversized shapes must be static)")
+    grid_cols = np.flatnonzero(~big).astype(np.int32)
+    big_cols = np.flatnonzero(big).astype(np.int32)
+    if grid_cols.size == 0:
+        return None
+    cell = float(2.0 * bound[grid_cols].max() + 2.0 * margin)
+
+    cls_tab = pair_class_table()
+    kinds = np.asarray([_eff_kind(int(k)) for k in col_shape], np.int32)
+    present = np.zeros(3, bool)
+    for ka in np.unique(kinds[grid_cols]):
+        for kb in np.unique(kinds):
+            present[cls_tab[ka, kb]] = True
+    if caps is None:
+        cg = int(grid_cols.size)
+        # generous defaults: ~12 directed grid partners per collider plus
+        # the big-pair slots, split across the classes that can occur
+        base = 12 * cg + 4 * cg * big_cols.size
+        npresent = max(int(present.sum()), 1)
+        caps = tuple(-(-base // npresent) if present[c] else 0
+                     for c in range(3))
+    else:
+        caps = tuple(int(c) if present[k] else 0
+                     for k, c in enumerate(caps))
+    if windows_body is None:
+        windows_body = (48, 16, 32)
+
+    nslot = window + big_cols.size
+    slot_i = np.repeat(grid_cols, nslot)
+    return GridConfig(grid_cols=grid_cols, big_cols=big_cols, cell=cell,
+                      window=int(window), caps=tuple(int(c) for c in caps),
+                      windows_body=tuple(int(m) for m in windows_body),
+                      cls_tab=cls_tab, slot_i=slot_i,
+                      _kinds=kinds, _kind_i=kinds[slot_i],
+                      _num_colliders=nc)
+
+
+def _eff_kind(t):
+    return sh.CAPSULE if t in (sh.CYLINDER, sh.CONE) else t
+
+
+def _pack_xyz(qx, qy, qz):
+    """Pack coarse x/y cells + fine z cell into one positive int32 key."""
+    qxc = jnp.clip(qx + _QHALF_XY, 0, _QRANGE_XY - 1)
+    qyc = jnp.clip(qy + _QHALF_XY, 0, _QRANGE_XY - 1)
+    qzc = jnp.clip(qz + _QHALF_Z, 0, _QRANGE_Z - 1)
+    return (qxc << (_QBITS_XY + _QBITS_Z)) | (qyc << _QBITS_Z) | qzc
+
+
+_searchsorted_l = jax.vmap(partial(jnp.searchsorted, side="left"))
+_searchsorted_r = jax.vmap(partial(jnp.searchsorted, side="right"))
+
+
+class CandidateSet(NamedTuple):
+    """Per manifold-size class, the compacted directed pair list."""
+    ia: jnp.ndarray        # [W,P] scanning collider (sorted ascending)
+    ib: jnp.ndarray        # [W,P] partner collider
+    valid: jnp.ndarray     # [W,P] bool
+    pid: jnp.ndarray       # [W,P] int32 = ia*C+ib (warmstart identity)
+
+
+def grid_candidates(gb: GridConfig, col_body, dyn_col, amin, amax
+                    ) -> List[CandidateSet]:
+    """Directed candidate pairs per manifold class.
+
+    col_body: [C] int32 (static HOST numpy), dyn_col: [C] bool (static
+    HOST numpy), amin/amax: [W,C,3] fat world AABBs (traced). Returns one
+    CandidateSet per class (caps of zero produce empty sets).
+    """
+    col_body = np.asarray(col_body)
+    dyn_col = np.asarray(dyn_col)
+    w = amin.shape[0]
+    gcols = jnp.asarray(gb.grid_cols)
+    cg = int(gb.grid_cols.size)
+    s_grid = gb.window
+    nbig = int(gb.big_cols.size)
+    nslot = s_grid + nbig
+
+    gmin = amin[:, gcols]
+    gmax = amax[:, gcols]
+    qx = jnp.floor(gmin[..., 0] / gb.cell).astype(jnp.int32)    # [W,Cg]
+    qy = jnp.floor(gmin[..., 1] / gb.cell).astype(jnp.int32)
+    zfine = gb.cell / _ZFINE
+    qz = jnp.floor(gmin[..., 2] / zfine).astype(jnp.int32)
+    key = _pack_xyz(qx, qy, qz)                                 # [W,Cg]
+    order = jnp.argsort(key, axis=1)                            # [W,Cg]
+    skey = jnp.take_along_axis(key, order, axis=1)
+
+    # nine (dx,dy) column ranges over the EXACT z-interval: a z-overlapping
+    # partner j is registered at min_j in [min_i - cell, max_i]
+    qz_lo = jnp.floor((gmin[..., 2] - gb.cell) / zfine).astype(jnp.int32)
+    qz_hi = jnp.floor(gmax[..., 2] / zfine).astype(jnp.int32)
+    los, his = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            los.append(_searchsorted_l(skey, _pack_xyz(qx + dx, qy + dy, qz_lo)))
+            his.append(_searchsorted_r(skey, _pack_xyz(qx + dx, qy + dy, qz_hi)))
+    lo9 = jnp.stack(los, axis=-1)                # [W,Cg,9]
+    hi9 = jnp.stack(his, axis=-1)
+    cnt9 = hi9 - lo9
+    pfx9 = jnp.cumsum(cnt9, axis=-1)             # inclusive prefix
+    pfx_ex = pfx9 - cnt9                         # exclusive prefix
+    total = pfx9[..., -1]                        # [W,Cg]
+
+    # window walk: slot m lies in range r with pfx_ex[r] <= m < pfx9[r]
+    m = jnp.arange(s_grid, dtype=jnp.int32)                      # [S]
+    in_r = ((m[None, None, :, None] >= pfx_ex[:, :, None, :])
+            & (m[None, None, :, None] < pfx9[:, :, None, :]))     # [W,Cg,S,9]
+    pos = jnp.sum(jnp.where(
+        in_r, lo9[:, :, None, :] + (m[None, None, :, None]
+                                    - pfx_ex[:, :, None, :]), 0),
+        axis=-1)                                                  # [W,Cg,S]
+    in_window = m[None, None, :] < jnp.minimum(total, s_grid)[..., None]
+    pos = jnp.clip(pos, 0, max(cg - 1, 0))
+    jg = jnp.take_along_axis(order, pos.reshape(w, -1), axis=1)   # [W,Cg*S]
+    j_grid = gcols[jg].reshape(w, cg, s_grid)                     # collider idx
+
+    # big-partner slots (static per slot)
+    if nbig:
+        jbig = jnp.broadcast_to(jnp.asarray(gb.big_cols)[None, None, :],
+                                (w, cg, nbig))
+        j = jnp.concatenate([j_grid, jbig], axis=2)               # [W,Cg,nslot]
+        in_window = jnp.concatenate(
+            [in_window, jnp.ones((w, cg, nbig), bool)], axis=2)
+    else:
+        j = j_grid
+
+    i_static = gb.slot_i                                          # [Cg*nslot]
+    i_col = jnp.asarray(i_static)[None, :]                        # [1,Cg*nslot]
+    jf = j.reshape(w, -1)
+
+    body_i = jnp.asarray(col_body[i_static])[None, :]
+    body_j = jnp.asarray(col_body)[jf]
+    dyn_i = jnp.asarray(dyn_col[i_static])[None, :]
+    dyn_j = jnp.asarray(dyn_col)[jf]
+
+    valid = (in_window.reshape(w, -1)
+             & (jf != i_col)
+             & (body_j != body_i)
+             & (dyn_i | dyn_j))
+
+    # fat AABB overlap (i side static-indexed, j side gathered)
+    amin_i = amin[:, i_static]
+    amax_i = amax[:, i_static]
+
+    def gat3(arr, idx):
+        return jnp.take_along_axis(arr, idx[..., None], axis=1)
+
+    amin_j = gat3(amin, jf)
+    amax_j = gat3(amax, jf)
+    valid &= jnp.all((amin_i <= amax_j) & (amax_i >= amin_j), axis=-1)
+
+    return _compact_classes(gb, i_static, jf, valid, w)
+
+
+def _compact_classes(gb: GridConfig, i_static, jf, valid, w):
+    """Split candidate slots by manifold class and stream-compact each."""
+    # class of slot = cls_tab[kind_i, kind_j]; the caller attached kinds to
+    # the config at build time
+    kind_i = gb._kind_i                     # [slots] static np
+    kinds_all = jnp.asarray(gb._kinds)      # [C]
+    kind_j = kinds_all[jf]                  # [W,slots]
+    cls = jnp.asarray(gb.cls_tab)[jnp.asarray(kind_i)[None, :], kind_j]
+
+    out = []
+    c_total = int(gb._num_colliders)
+    for c, cap in enumerate(gb.caps):
+        if cap <= 0:
+            z = jnp.zeros((w, 0), jnp.int32)
+            out.append(CandidateSet(z, z, jnp.zeros((w, 0), bool), z))
+            continue
+        mask = valid & (cls == c)
+        csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)        # [W,slots]
+        targets = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        pos = _searchsorted_l(csum, jnp.broadcast_to(targets[None], (w, cap)))
+        sel_valid = targets[None, :] <= csum[:, -1:]
+        pos = jnp.clip(pos, 0, csum.shape[1] - 1)
+        ia = jnp.asarray(i_static)[pos]                          # [W,cap]
+        ib = jnp.take_along_axis(jf, pos, axis=1)
+        pid = jnp.where(sel_valid, ia * c_total + ib, -1)
+        out.append(CandidateSet(ia=ia, ib=ib, valid=sel_valid, pid=pid))
+    return out
+
+
+def broadphase_stats(t, state):
+    """Debug/diagnostic: per-class candidate demand of the CURRENT state.
+
+    Returns dict with, per manifold class: needed pairs (max over worlds),
+    the configured cap, plus the max per-collider candidate count vs the
+    window and max pairs-per-body vs windows_body. Use it to right-size
+    GridConfig caps/windows for a scene (overflow silently drops contacts).
+    """
+    from fyrox_tpu.physics import world as wm
+    import jax.numpy as jnp
+    gb = t.grid
+    cpos, crot = wm._collider_world(state, t)
+    ctype = jnp.asarray(t.col_shape)
+    cparams = jnp.asarray(t.col_params)
+    margin = t.allowed_linear_error + 0.05
+    he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
+    amin, amax = cpos - he, cpos + he
+    col_body = np.asarray(t.col_body)
+    dyn_col = (np.asarray(t.body_type)[col_body] == 0)
+    sets = grid_candidates(gb, col_body, dyn_col, amin, amax)
+    out = {}
+    b = int(np.asarray(t.body_type).shape[0])
+    for cls, cs in enumerate(sets):
+        if cs.ia.shape[1] == 0:
+            out[cls] = dict(needed=0, cap=gb.caps[cls])
+            continue
+        v = np.asarray(cs.valid)
+        bs = col_body[np.asarray(cs.ia)]
+        per_body = np.zeros((v.shape[0], b), np.int64)
+        for w in range(v.shape[0]):
+            np.add.at(per_body[w], bs[w][v[w]], 1)
+        out[cls] = dict(needed=int(v.sum(axis=1).max()), cap=gb.caps[cls],
+                        max_pairs_per_body=int(per_body.max()),
+                        window_body=gb.windows_body[cls])
+    return out

@@ -424,6 +424,47 @@ KIND_POINTS = {
 }
 
 
+# kind combos per manifold-size class (canonical effective ordering);
+# class 0 = 1 point, 1 = 2 points, 2 = 4 points — see broadphase.CLASS_NPTS
+CLASS_COMBOS = {
+    0: [(sh.BALL, sh.BALL), (sh.BALL, sh.CUBOID), (sh.BALL, sh.CAPSULE),
+        (sh.BALL, sh.HALFSPACE), (sh.CAPSULE, sh.CAPSULE)],
+    1: [(sh.CUBOID, sh.CAPSULE), (sh.CAPSULE, sh.HALFSPACE)],
+    2: [(sh.CUBOID, sh.CUBOID), (sh.CUBOID, sh.HALFSPACE)],
+}
+
+
+def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
+                            type_b, params_b, pos_b, rot_b, pred):
+    """Manifolds for canonically-ordered pairs KNOWN to be in one
+    manifold-size class: runs only that class's kernels (the grid
+    broadphase compacts candidates per class, so e.g. box-box clipping
+    never runs on sphere pairs). Inputs as generate_contacts; returns a
+    Manifold with the point axis sliced to the class's size."""
+    npts = {0: 1, 1: 2, 2: 4}[cls]
+    is_capsuleish_a = (type_a == sh.CAPSULE) | (type_a == sh.CYLINDER) | (type_a == sh.CONE)
+    is_capsuleish_b = (type_b == sh.CAPSULE) | (type_b == sh.CYLINDER) | (type_b == sh.CONE)
+    eff_a = jnp.where(is_capsuleish_a, sh.CAPSULE, type_a)
+    eff_b = jnp.where(is_capsuleish_b, sh.CAPSULE, type_b)
+
+    out = _empty_like(pos_a)
+
+    def sel(cond, m_true, m_false):
+        c1 = cond[..., None]
+        c2 = cond[..., None, None]
+        return Manifold(jnp.where(c1, m_true.normal, m_false.normal),
+                        jnp.where(c2, m_true.points, m_false.points),
+                        jnp.where(c1, m_true.depth, m_false.depth),
+                        jnp.where(c1, m_true.active, m_false.active))
+
+    for (ka, kb) in CLASS_COMBOS[cls]:
+        kern = KIND_KERNELS[(ka, kb)]
+        m = kern(params_a, pos_a, rot_a, params_b, pos_b, rot_b, pred)
+        out = sel((eff_a == ka) & (eff_b == kb), m, out)
+    return Manifold(normal=out.normal, points=out.points[..., :npts, :],
+                    depth=out.depth[..., :npts], active=out.active[..., :npts])
+
+
 def flat_contact_layout(kind_ranges):
     """Static per-point pair mapping for the compact dense layout.
 

@@ -34,6 +34,13 @@ __all__ = ["BodyType", "PhysicsTemplate", "PhysicsBuilder", "PhysicsState",
 
 DYNAMIC, STATIC, KINEMATIC = 0, 1, 2
 
+# speculative contact activation / fat-AABB margin. Wider than rapier's
+# prediction_distance (0.002, physics/mod.rs:855) by design: the TGS
+# sep/h bias turns every activated-but-separated contact into an exact
+# approach limiter, which is what lets piles dropped from height settle
+# without transient interpenetration.
+SPECULATIVE_MARGIN = 0.05
+
 
 class BodyType:
     DYNAMIC, STATIC, KINEMATIC = DYNAMIC, STATIC, KINEMATIC
@@ -71,6 +78,7 @@ class PhysicsTemplate:
     ang_lock: np.ndarray = None    # [B,3]
     joints: object = None          # JointSet (impulse joints, joint.rs:775)
     max_active_pairs: int = 0      # compaction width (0 = use P)
+    grid: object = None            # broadphase.GridConfig (hash-grid mode)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
     allowed_linear_error: float = 0.002
@@ -80,6 +88,7 @@ class PhysicsTemplate:
     n_pgs: int = 1               # num_internal_pgs_iterations
     n_stabilization: int = 4     # num_internal_stabilization_iterations
     warmstart_coefficient: float = 1.0   # physics/mod.rs:877
+    mass_split_pow: float = 0.5          # solver.SolverParams.mass_split_pow
     gravity: tuple = (0.0, -9.81, 0.0)   # physics/mod.rs:1118
 
     @property
@@ -203,9 +212,17 @@ class PhysicsBuilder:
                                     node=node))
         return len(self._colliders) - 1
 
-    def build(self, max_active_pairs=0, **solver_kw) -> "PhysicsTemplate":
+    def build(self, max_active_pairs=0, broadphase="auto",
+              grid_window=48, grid_caps=None, grid_windows_body=None,
+              **solver_kw) -> "PhysicsTemplate":
+        """broadphase: "dense" = static all-pairs candidate list (best for
+        small scenes — unlocks the static-incidence MXU solver path);
+        "grid" = hash-grid + directed segment solver (O(C) — required at
+        large collider counts); "auto" picks grid at >= 192 colliders."""
         nb = len(self._bodies)
         nc = len(self._colliders)
+        if broadphase == "auto":
+            broadphase = "grid" if nc >= 192 else "dense"
         inv_mass = np.zeros(nb, np.float32)
         inv_inertia = np.zeros((nb, 3, 3), np.float32)
         com = np.zeros((nb, 3), np.float32)
@@ -248,34 +265,51 @@ class PhysicsBuilder:
         body_type = np.asarray([b["body_type"] for b in self._bodies], np.int32)
         col_body = np.asarray([c["body"] for c in self._colliders], np.int32)
 
-        # candidate pairs (vectorized): skip same body; skip both-non-dynamic;
-        # sorted by effective shape kind so the grouped narrowphase runs each
-        # kernel on one contiguous slice
-        from fyrox_tpu.physics.narrowphase import effective_kind
-        kinds = np.asarray([effective_kind(c["shape"]) for c in self._colliders],
-                           np.int32)
-        ii, jj = np.triu_indices(nc, k=1)
-        keep = (col_body[ii] != col_body[jj]) &                ((body_type[col_body[ii]] == DYNAMIC)
-                | (body_type[col_body[jj]] == DYNAMIC))
-        ii, jj = ii[keep], jj[keep]
-        # canonical order: smaller effective kind first
-        swap = kinds[ii] > kinds[jj]
-        pa_arr = np.where(swap, jj, ii).astype(np.int64)
-        pb_arr = np.where(swap, ii, jj).astype(np.int64)
-        ka = kinds[pa_arr]
-        kb = kinds[pb_arr]
-        order = np.lexsort((kb, ka))
-        pa_arr, pb_arr, ka, kb = pa_arr[order], pb_arr[order], ka[order], kb[order]
-        pa = pa_arr.tolist() if False else pa_arr
-        pb = pb_arr
-        kind_ranges = []
-        if len(pa_arr):
-            combo = ka.astype(np.int64) * 1000 + kb
-            bounds = np.flatnonzero(np.diff(combo)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(combo)]])
-            kind_ranges = [((int(ka[s0]), int(kb[s0])), int(s0), int(e0))
-                           for s0, e0 in zip(starts, ends)]
+        col_shape_arr = np.asarray([c["shape"] for c in self._colliders], np.int32)
+        col_params_arr = (np.stack([c["params"] for c in self._colliders])
+                          if nc else np.zeros((0, 6), np.float32))
+
+        grid_cfg = None
+        if broadphase == "grid" and nc:
+            from fyrox_tpu.physics.broadphase import build_grid_config
+            margin = solver_kw.get("allowed_linear_error", 0.002) + 0.05
+            grid_cfg = build_grid_config(
+                col_shape_arr, col_params_arr, col_body, body_type,
+                margin=margin, window=grid_window, caps=grid_caps,
+                windows_body=grid_windows_body)
+
+        if grid_cfg is not None:
+            pa = pb = np.zeros(0, np.int32)
+            kind_ranges = None
+        else:
+            # dense mode: static all-pairs candidate list, sorted by
+            # effective shape kind so the grouped narrowphase runs each
+            # kernel on one contiguous slice
+            from fyrox_tpu.physics.narrowphase import effective_kind
+            kinds = np.asarray([effective_kind(c["shape"])
+                                for c in self._colliders], np.int32)
+            ii, jj = np.triu_indices(nc, k=1)
+            keep = (col_body[ii] != col_body[jj]) &                ((body_type[col_body[ii]] == DYNAMIC)
+                    | (body_type[col_body[jj]] == DYNAMIC))
+            ii, jj = ii[keep], jj[keep]
+            # canonical order: smaller effective kind first
+            swap = kinds[ii] > kinds[jj]
+            pa_arr = np.where(swap, jj, ii).astype(np.int64)
+            pb_arr = np.where(swap, ii, jj).astype(np.int64)
+            ka = kinds[pa_arr]
+            kb = kinds[pb_arr]
+            order = np.lexsort((kb, ka))
+            pa_arr, pb_arr, ka, kb = pa_arr[order], pb_arr[order], ka[order], kb[order]
+            pa = pa_arr
+            pb = pb_arr
+            kind_ranges = []
+            if len(pa_arr):
+                combo = ka.astype(np.int64) * 1000 + kb
+                bounds = np.flatnonzero(np.diff(combo)) + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(combo)]])
+                kind_ranges = [((int(ka[s0]), int(kb[s0])), int(s0), int(e0))
+                               for s0, e0 in zip(starts, ends)]
 
         return PhysicsTemplate(
             body_node=np.asarray([b["node"] for b in self._bodies], np.int32),
@@ -307,6 +341,7 @@ class PhysicsBuilder:
             joints=(self._joints.build(com_local=com)
                     if self._joints is not None else None),
             max_active_pairs=max_active_pairs,
+            grid=grid_cfg,
             **solver_kw,
         )
 
@@ -327,12 +362,17 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     w = num_worlds
     b = template.num_bodies
     z = jnp.zeros((w, b, 3), jnp.float32)
-    cap = min(template.max_active_pairs or template.num_pairs,
-              template.num_pairs)
-    if cap >= template.num_pairs and template.pair_kind_ranges is not None:
-        _, kk = template.flat_layout()      # compact dense layout
+    if template.grid is not None:
+        from fyrox_tpu.physics.broadphase import CLASS_NPTS
+        kk = sum(c * n for c, n in zip(template.grid.caps, CLASS_NPTS))
+        cap = sum(template.grid.caps)
     else:
-        kk = cap * 4
+        cap = min(template.max_active_pairs or template.num_pairs,
+                  template.num_pairs)
+        if cap >= template.num_pairs and template.pair_kind_ranges is not None:
+            _, kk = template.flat_layout()      # compact dense layout
+        else:
+            kk = cap * 4
     return PhysicsState(
         position=jnp.broadcast_to(jnp.asarray(pos, jnp.float32), (w, b, 3)),
         rotation=jnp.broadcast_to(jnp.asarray(rot, jnp.float32), (w, b, 4)),
@@ -378,15 +418,28 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     angvel = state.angvel + dt * jnp.where(
         dyn, jnp.einsum("wbij,wbj->wbi", ii_world, state.torque, precision="highest"), 0.0)
 
+    if t.grid is not None:
+        return _step_physics_grid(state, t, dt, accel, angvel, inv_mass)
+
     # ---- broadphase + narrowphase (once per step, rapier-style) ----
     contacts = None
     if t.num_pairs > 0:
         cpos, crot = _collider_world(state, t)
         ctype = jnp.asarray(t.col_shape)
         cparams = jnp.asarray(t.col_params)
-        margin = t.allowed_linear_error + 0.05  # fat AABBs (prediction margin)
+        # fat AABBs; the same margin is the speculative-contact activation
+        # distance: a contact that will close within the step must already
+        # be active so the solver's sep/h bias can absorb the approach
+        # (high-speed impacts otherwise punch 0.1-0.2 into the ground in
+        # one step and dense piles never recover)
+        margin = t.allowed_linear_error + SPECULATIVE_MARGIN
         he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
         amin, amax = cpos - he, cpos + he
+        # halfspace AABB = its actual half-volume (see _step_physics_grid)
+        is_hs = (ctype == sh.HALFSPACE)[None, :, None]
+        n_hs = crot[..., :, 1]
+        amax = jnp.where(is_hs, cpos + sh._HUGE * (1.0 - n_hs) + margin, amax)
+        amin = jnp.where(is_hs, cpos - sh._HUGE * (1.0 + n_hs) - margin, amin)
 
         pa = jnp.asarray(t.pair_a)
         pb = jnp.asarray(t.pair_b)
@@ -424,12 +477,12 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
                 t.pair_kind_ranges,
                 cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
                 cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
-                pred=jnp.asarray(0.002, dtype))
+                pred=jnp.asarray(margin, dtype))
         else:
             man = np_mod.generate_contacts(
                 ctype[ia_c], cparams[ia_c], gat2(cpos, ia_c), gat2(crot, ia_c),
                 ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
-                pred=jnp.asarray(0.002, dtype))
+                pred=jnp.asarray(margin, dtype))
 
         cb = jnp.asarray(t.col_body)
         if dense_mode:
@@ -449,6 +502,7 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
                 restitution=jnp.asarray(rest_p[pair_idx]),
                 active=flat["active"] & sel_valid[:, pair_idx],
                 inc_a=inc_a, inc_b=inc_b,
+                own_pts=np.bincount(pair_idx)[pair_idx].astype(np.float32),
             )
         else:
             kk = sel.shape[1] * 4
@@ -475,7 +529,8 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         restitution_threshold=t.restitution_threshold,
         n_substeps=t.n_substeps, n_pgs=t.n_pgs,
         n_stabilization=t.n_stabilization,
-        warmstart_coefficient=t.warmstart_coefficient)
+        warmstart_coefficient=t.warmstart_coefficient,
+        mass_split_pow=t.mass_split_pow)
 
     warm = None
     if contacts is not None and state.warm_n is not None:
@@ -515,6 +570,144 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     else:
         warm_n, warm_t1, warm_t2 = state.warm_n, state.warm_t1, state.warm_t2
         warm_pair = state.warm_pair
+    return PhysicsState(position=position, rotation=rotation,
+                        linvel=linvel, angvel=angvel,
+                        force=jnp.zeros_like(state.force),
+                        torque=jnp.zeros_like(state.torque),
+                        warm_n=warm_n, warm_t1=warm_t1, warm_t2=warm_t2,
+                        warm_pair=warm_pair)
+
+
+def _apply_locks_damping(state, t, dt, position, rotation, linvel, angvel):
+    """Shared post-solve: axis locks (2D mode / locked DOFs) then rapier
+    damping v *= 1/(1+dt*d)."""
+    if t.lin_lock is not None:
+        linvel = linvel * jnp.asarray(t.lin_lock)[None]
+        angvel = angvel * jnp.asarray(t.ang_lock)[None]
+        keep = jnp.asarray(t.lin_lock)[None]
+        position = position * keep + state.position * (1.0 - keep)
+    ld = jnp.asarray(t.lin_damping)[None, :, None]
+    ad = jnp.asarray(t.ang_damping)[None, :, None]
+    linvel = linvel / (1.0 + dt * ld)
+    angvel = angvel / (1.0 + dt * ad)
+    return position, rotation, linvel, angvel
+
+
+def _step_physics_grid(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
+    """Grid-broadphase step: directed candidate sets per manifold class →
+    per-class narrowphase (canonical ordering shared by twin slots) →
+    solve_tgs_directed (windowed segment-sum scatters)."""
+    from fyrox_tpu.physics import broadphase as bp_mod
+
+    w = state.position.shape[0]
+    dtype = state.position.dtype
+    b = t.num_bodies
+    gb = t.grid
+
+    cpos, crot = _collider_world(state, t)
+    ctype = jnp.asarray(t.col_shape)
+    cparams = jnp.asarray(t.col_params)
+    margin = t.allowed_linear_error + SPECULATIVE_MARGIN
+    he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
+    amin, amax = cpos - he, cpos + he
+    # halfspace AABB = its actual half-volume (clip along the plane normal,
+    # exact for axis-aligned planes, conservative otherwise): an airborne
+    # body then stops being a ground candidate until it is near the plane
+    is_hs = (ctype == sh.HALFSPACE)[None, :, None]
+    n_hs = crot[..., :, 1]
+    amax = jnp.where(is_hs, cpos + sh._HUGE * (1.0 - n_hs) + margin, amax)
+    amin = jnp.where(is_hs, cpos - sh._HUGE * (1.0 + n_hs) - margin, amin)
+
+    col_body_np = np.asarray(t.col_body)
+    dyn_col = (np.asarray(t.body_type)[col_body_np] == DYNAMIC)
+    sets = bp_mod.grid_candidates(gb, col_body_np, dyn_col, amin, amax)
+
+    kinds = jnp.asarray(gb._kinds)
+    cb = jnp.asarray(t.col_body)
+    fric = jnp.asarray(t.col_friction)
+    rest = jnp.asarray(t.col_restitution)
+    pred = jnp.asarray(margin, dtype)
+
+    def gat2(arr, idx):  # arr [W,C,...], idx [W,P]
+        return jnp.take_along_axis(
+            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1)
+
+    segs = []            # aligned with classes having cap > 0
+    seg_cls = []
+    warm_in = []
+    # slice the stored warm arrays per class (flat layout: per-class
+    # [P_c * n_c] points and [P_c] pair ids, concatenated)
+    koff, poff = 0, 0
+    for cls, cs in enumerate(sets):
+        cap = cs.ia.shape[1]
+        if cap == 0:
+            continue
+        npts = bp_mod.CLASS_NPTS[cls]
+        ia, ib, valid = cs.ia, cs.ib, cs.valid
+        ek_a = kinds[ia]
+        ek_b = kinds[ib]
+        swap = (ek_a > ek_b) | ((ek_a == ek_b) & (ia > ib))
+        iA = jnp.where(swap, ib, ia)
+        iB = jnp.where(swap, ia, ib)
+        m = np_mod.generate_contacts_class(
+            cls, ctype[iA], cparams[iA], gat2(cpos, iA), gat2(crot, iA),
+            ctype[iB], cparams[iB], gat2(cpos, iB), gat2(crot, iB), pred)
+        body_self = cb[ia]
+        seg = solver_mod.DirectedSeg(
+            body_a=cb[iA], body_b=cb[iB],
+            sigma=jnp.where(swap, -1.0, 1.0).astype(dtype),
+            body_self=body_self,
+            bounds=solver_mod.segment_bounds(body_self, b),
+            normal=m.normal, point=m.points, depth=m.depth,
+            active=m.active & valid[:, :, None],
+            friction=jnp.sqrt(fric[ia] * fric[ib]),
+            restitution=jnp.maximum(rest[ia], rest[ib]),
+            window=gb.windows_body[cls])
+        segs.append(seg)
+        seg_cls.append(cls)
+
+        if state.warm_n is not None:
+            kk = cap * npts
+            same = (state.warm_pair[:, poff:poff + cap] == cs.pid) & valid
+            same_k = jnp.repeat(same, npts, axis=1)
+            warm_in.append(tuple(
+                (arr[:, koff:koff + kk] * same_k).reshape(w, cap, npts)
+                for arr in (state.warm_n, state.warm_t1, state.warm_t2)))
+        koff += cap * npts
+        poff += cap
+
+    sp = solver_mod.SolverParams(
+        dt=jnp.asarray(dt, dtype), erp=t.erp,
+        allowed_linear_error=t.allowed_linear_error,
+        max_corrective_velocity=t.max_corrective_velocity,
+        restitution_threshold=t.restitution_threshold,
+        n_substeps=t.n_substeps, n_pgs=t.n_pgs,
+        n_stabilization=t.n_stabilization,
+        warmstart_coefficient=t.warmstart_coefficient,
+        mass_split_pow=t.mass_split_pow)
+
+    position, rotation, linvel, angvel, lam_out = solver_mod.solve_tgs_directed(
+        state.position, state.rotation, state.linvel, angvel,
+        jnp.asarray(t.com_local), inv_mass, jnp.asarray(t.inv_inertia_local),
+        accel, segs, sp, warm=(warm_in if warm_in else None), joints=t.joints)
+
+    position, rotation, linvel, angvel = _apply_locks_damping(
+        state, t, dt, position, rotation, linvel, angvel)
+
+    # warm bookkeeping back to the flat layout
+    if state.warm_n is not None and lam_out:
+        warm_n = jnp.concatenate(
+            [lam[0].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_t1 = jnp.concatenate(
+            [lam[1].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_t2 = jnp.concatenate(
+            [lam[2].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_pair = jnp.concatenate(
+            [cs.pid for cs in sets if cs.ia.shape[1] > 0], axis=1)
+    else:
+        warm_n, warm_t1, warm_t2 = state.warm_n, state.warm_t1, state.warm_t2
+        warm_pair = state.warm_pair
+
     return PhysicsState(position=position, rotation=rotation,
                         linvel=linvel, angvel=angvel,
                         force=jnp.zeros_like(state.force),

@@ -1,0 +1,84 @@
+"""Golden-trace fidelity tests: batched float32 solver vs the sequential
+float64 oracle (physics/oracle.py).
+
+Strategy: evolve a scene with the batched engine, and at sampled states
+run ONE step of both implementations from the identical state (warmstart
+zeroed — the oracle is warm-free) and diff positions/velocities. This
+pins the whole narrowphase + Jacobi/TGS solve + NGS + integration chain
+to the independent scalar implementation at the 1e-4 level (f32 forward
+vs f64 reference), the measurable stand-in for BASELINE.md's
+"match rapier CPU to 1e-5/step" with no Rust toolchain in this image.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fyrox_tpu.physics import (BALL, CAPSULE, CUBOID, HALFSPACE, BodyType,
+                               PhysicsBuilder)
+from fyrox_tpu.physics import oracle as orc
+from fyrox_tpu.physics import world as wm
+
+
+def _compare_trajectory(pb, broadphase, steps, samples, tol):
+    t = pb.build(broadphase=broadphase)
+    s = wm.init_physics_state(pb, t, 1)
+    step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+    worst = 0.0
+    for i in range(steps):
+        if i in samples:
+            cold = s._replace(warm_n=jnp.zeros_like(s.warm_n),
+                              warm_t1=jnp.zeros_like(s.warm_t1),
+                              warm_t2=jnp.zeros_like(s.warm_t2))
+            dev = wm.step_physics(cold, t, 1 / 60)
+            ref = orc.oracle_step(orc.state_from_device(cold), t, 1 / 60)
+            dp = np.abs(np.asarray(dev.position[0]) - ref.position).max()
+            dv = np.abs(np.asarray(dev.linvel[0]) - ref.linvel).max()
+            dw = np.abs(np.asarray(dev.angvel[0]) - ref.angvel).max()
+            worst = max(worst, dp, dv, dw)
+        s = step(s)
+    assert worst < tol, f"worst single-step deviation {worst:.3e} >= {tol}"
+    return worst
+
+
+def _stack():
+    pb = PhysicsBuilder()
+    g = pb.add_body(body_type=BodyType.STATIC)
+    pb.add_collider(g, HALFSPACE, [], friction=0.8)
+    for k in range(3):
+        b = pb.add_body(position=(0.02 * k, 0.55 + 1.08 * k, -0.01 * k))
+        pb.add_collider(b, CUBOID, [0.5, 0.5, 0.5], friction=0.8)
+    return pb
+
+
+def _mixed_cluster():
+    rng = np.random.default_rng(3)
+    pb = PhysicsBuilder()
+    g = pb.add_body(body_type=BodyType.STATIC)
+    pb.add_collider(g, HALFSPACE, [], friction=0.5, restitution=0.2)
+    shapes = [(BALL, [0.25]), (CUBOID, [0.2, 0.25, 0.2]),
+              (CAPSULE, [0.2, 0.15])]
+    for i in range(9):
+        kind, params = shapes[i % 3]
+        p = (rng.uniform(-0.8, 0.8), 0.5 + 0.5 * (i // 3),
+             rng.uniform(-0.8, 0.8))
+        b = pb.add_body(position=p)
+        pb.add_collider(b, kind, params, friction=0.4, restitution=0.1)
+    return pb
+
+
+def test_oracle_stack_dense():
+    _compare_trajectory(_stack(), "dense", steps=60,
+                        samples={0, 20, 40, 59}, tol=2e-4)
+
+
+def test_oracle_mixed_dense():
+    _compare_trajectory(_mixed_cluster(), "dense", steps=60,
+                        samples={0, 15, 30, 59}, tol=2e-4)
+
+
+def test_oracle_mixed_grid():
+    """The grid/directed path must land on the same oracle trace — this
+    pins broadphase compaction + twin symmetry + windowed scatters."""
+    _compare_trajectory(_mixed_cluster(), "grid", steps=60,
+                        samples={0, 15, 30, 59}, tol=2e-4)
