@@ -21,8 +21,10 @@ def main():
     from fyrox_tpu.animation import skinning
     from fyrox_tpu.models import build_flagship
 
-    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 128))
-    n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 64))
+    # Defaults are the BASELINE.json flagship config: 1k-body pile (the
+    # honest headline — round 1 benched a 16x easier 64-body config).
+    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 32))
+    n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 1000))
     n_verts = int(os.environ.get("FYROX_BENCH_VERTS", 50_000))
     n_bones = int(os.environ.get("FYROX_BENCH_BONES", 100))
     steps_per_call = int(os.environ.get("FYROX_BENCH_STEPS", 20))

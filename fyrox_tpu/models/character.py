@@ -117,12 +117,21 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
     pb, _ = build_pile_scene(sb, n_bodies=n_bodies, seed=seed + 1)
     sb.add_camera("main_camera", position=(0, 3.0, -10.0))
     template = sb.build()
-    if max_active_pairs is None:
-        # dense (uncompacted) pair lists unlock the static-incidence MXU
-        # solver path + kind-grouped narrowphase; compaction only pays off
-        # for very large body counts
-        max_active_pairs = 0
-    pt = pb.build(max_active_pairs=max_active_pairs)
+    if n_bodies >= 192:
+        # hash-grid broadphase + directed segment solver; caps sized from
+        # the measured settled/peak candidate demand of the 1k pile
+        # (broadphase.broadphase_stats: settled ~8k/5.4k, peak 10.5k/7.2k
+        # directed pairs per world at n_bodies=1000)
+        per = max(n_bodies, 1)
+        pt = pb.build(broadphase="grid",
+                      grid_caps=(12 * per, 0, 8 * per),
+                      grid_windows_body=(64, 16, 48))
+    else:
+        if max_active_pairs is None:
+            # dense (uncompacted) pair lists unlock the static-incidence
+            # MXU solver path + kind-grouped narrowphase
+            max_active_pairs = 0
+        pt = pb.build(max_active_pairs=max_active_pairs, broadphase="dense")
 
     import jax.numpy as jnp
     from fyrox_tpu.scene import graph as graph_mod, init_state as _init

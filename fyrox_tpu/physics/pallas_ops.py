@@ -1,0 +1,138 @@
+"""TPU Pallas primitives for irregular physics memory ops, plane layout.
+
+Motivation (measured on v5e via the axon tunnel): XLA's general gather /
+scatter lowers to ~0.6 GB/s on TPU — a single [8,12000,8] take_along_axis
+costs ~5 ms — and Mosaic's `tpu.dynamic_gather` only indexes within one
+vreg, falling back to scalar code for real tables. The workhorse that IS
+fast on this hardware is the MXU. These kernels express gather and
+scatter-add as one-hot matmuls built entirely from Mosaic-native
+patterns: sublane broadcasts, `broadcasted_iota` compares, and one
+`dot_general` + one contiguous block write per 1024-contact block — no
+(N,1)-shaped layouts, no strided sub-writes, nothing that lowers to
+scalar loops or relayouts.
+
+Data layout ("planes"): attribute-major, lane-minor, FLAT —
+  body planes     [W, A, BP]   (BP = bodies padded to 128)
+  contact planes  [W, A, KP]   (KP = contacts padded to 1024)
+so every elementwise solver op runs on clean lane-major f32 arrays with
+no trailing-3 layout padding.
+
+Cost model: a gather/scatter of A attributes over K contacts and B bodies
+costs O(K*B) VPU compares + O(K*B*A) MXU MACs per world — for the 1k-body
+flagship (K≈20k, B≈1k, A≈8) that's ~20M compares + 160M MACs per world:
+microseconds of hardware, vs ~5 ms per XLA gather.
+
+On non-TPU backends every op falls back to the equivalent XLA gather
+formulation, so one solver implementation runs everywhere and the CPU
+test suite exercises the same code path.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["BLK", "pad_to", "pad_contacts", "plane_gather", "plane_scatter"]
+
+BLK = 1024        # contacts per kernel block
+
+
+def _is_tpu():
+    return jax.default_backend() == "tpu"
+
+
+def pad_to(n, mult):
+    return -(-max(n, 1) // mult) * mult
+
+
+def pad_contacts(x, k_pad, fill=0):
+    """[W, K] → [W, k_pad]."""
+    w, k = x.shape
+    if k_pad > k:
+        x = jnp.concatenate(
+            [x, jnp.full((w, k_pad - k), fill, x.dtype)], axis=1)
+    return x
+
+
+# --------------------------------------------------------------------------
+# gather: out[a, k] = planes[a, idx[k]]
+# --------------------------------------------------------------------------
+
+def _gather_kernel(planes_ref, idx_ref, out_ref, *, bp):
+    row = idx_ref[0]                                     # [1, BLK]
+    ohT = (jnp.broadcast_to(row, (bp, BLK))
+           == jax.lax.broadcasted_iota(jnp.int32, (bp, BLK), 0)
+           ).astype(planes_ref.dtype)                    # [BP, BLK]
+    out_ref[0] = jax.lax.dot_general(
+        planes_ref[0], ohT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [A, BLK]
+
+
+def plane_gather(planes, idx):
+    """planes [W,A,BP], idx [W,1,KP] int32 (< BP) → [W,A,KP]."""
+    w, a_cnt, bp = planes.shape
+    kp = idx.shape[2]
+    if not _is_tpu():
+        out = jnp.take_along_axis(
+            planes, jnp.broadcast_to(idx, (w, a_cnt, kp)), axis=2)
+        return out
+    assert kp % BLK == 0, "contact planes must be padded to 1024"
+    kern = functools.partial(_gather_kernel, bp=bp)
+    return pl.pallas_call(
+        kern,
+        grid=(w, kp // BLK),
+        in_specs=[pl.BlockSpec((1, a_cnt, bp), lambda i, j: (i, 0, 0)),
+                  pl.BlockSpec((1, 1, BLK), lambda i, j: (i, 0, j))],
+        out_specs=pl.BlockSpec((1, a_cnt, BLK), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((w, a_cnt, kp), planes.dtype),
+    )(planes, idx)
+
+
+# --------------------------------------------------------------------------
+# scatter-add: out[a, b] = sum_k vals[a, k] * (idx[k] == b)
+# --------------------------------------------------------------------------
+
+def _scatter_kernel(vals_ref, idx_ref, out_ref, *, bp):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    row = idx_ref[0]                                     # [1, BLK]
+    ohT = (jnp.broadcast_to(row, (bp, BLK))
+           == jax.lax.broadcasted_iota(jnp.int32, (bp, BLK), 0)
+           ).astype(vals_ref.dtype)                      # [BP, BLK]
+    out_ref[0] += jax.lax.dot_general(
+        vals_ref[0], ohT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [A, BP]
+
+
+def plane_scatter(vals, idx, b_pad):
+    """vals [W,A,KP], idx [W,1,KP] int32 → [W,A,b_pad] sums.
+
+    Out-of-range indices (>= b_pad) drop silently (the one-hot never
+    matches) — point padding slots at b_pad or zero their values.
+    """
+    w, a_cnt, kp = vals.shape
+    if not _is_tpu():
+        flat_i = idx[:, 0]
+        out = jnp.zeros((w, a_cnt, b_pad), vals.dtype)
+        return out.at[jnp.arange(w)[:, None, None],
+                      jnp.arange(a_cnt)[None, :, None],
+                      flat_i[:, None, :]].add(vals, mode="drop")
+    assert kp % BLK == 0
+    kern = functools.partial(_scatter_kernel, bp=b_pad)
+    return pl.pallas_call(
+        kern,
+        grid=(w, kp // BLK),
+        in_specs=[pl.BlockSpec((1, a_cnt, BLK), lambda i, j: (i, 0, j)),
+                  pl.BlockSpec((1, 1, BLK), lambda i, j: (i, 0, j))],
+        out_specs=pl.BlockSpec((1, a_cnt, b_pad), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((w, a_cnt, b_pad), vals.dtype),
+    )(vals, idx)

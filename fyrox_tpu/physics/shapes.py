@@ -20,9 +20,16 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["BALL", "CUBOID", "CAPSULE", "CYLINDER", "CONE", "HALFSPACE",
+           "CONVEX", "HEIGHTFIELD", "TRIMESH", "NUM_KINDS",
            "shape_aabb_half_extents", "mass_properties"]
 
 BALL, CUBOID, CAPSULE, CYLINDER, CONE, HALFSPACE = 0, 1, 2, 3, 4, 5
+# extended shapes (collider.rs:511 parity). CONVEX params: [radius_bound];
+# geometry lives in PhysicsTemplate.shape_data (padded hull arrays).
+# HEIGHTFIELD params: [cell_x, cell_z, radius_bound]; heights in shape_data.
+# TRIMESH params: [radius_bound]; triangles in shape_data.
+CONVEX, HEIGHTFIELD, TRIMESH = 6, 7, 8
+NUM_KINDS = 9
 
 _HUGE = 1.0e9
 
@@ -46,11 +53,19 @@ def shape_aabb_half_extents(shape_type, params, rot_mat):
     cyl = jnp.einsum("...ij,...j->...i", absm, cyl_local, precision="highest")
     huge = jnp.full(ball.shape, _HUGE, ball.dtype)
 
+    # rotation-invariant sphere bounds for the data-backed shapes
+    conv = jnp.stack([r, r, r], axis=-1)                       # params[0]
+    hf_b = jnp.stack([params[..., 2]] * 3, axis=-1)
+    tm_b = conv
+
     st = shape_type[..., None]
     out = jnp.where(st == BALL, ball,
           jnp.where(st == CUBOID, box,
           jnp.where(st == CAPSULE, cap,
-          jnp.where((st == CYLINDER) | (st == CONE), cyl, huge))))
+          jnp.where((st == CYLINDER) | (st == CONE), cyl,
+          jnp.where(st == CONVEX, conv,
+          jnp.where(st == HEIGHTFIELD, hf_b,
+          jnp.where(st == TRIMESH, tm_b, huge)))))))
     return out
 
 
@@ -105,5 +120,12 @@ def mass_properties(shape_type: int, params: np.ndarray, density: float):
         ix = m * (3.0 / 20.0 * r * r + 3.0 / 80.0 * h * h) + m * (h / 4.0) ** 2
         return m, np.diag([ix, iy, ix])
     if shape_type == HALFSPACE:
+        return 0.0, np.zeros((3, 3))
+    if shape_type in (HEIGHTFIELD, TRIMESH):
+        # static-only scenery shapes carry no mass
+        return 0.0, np.zeros((3, 3))
+    if shape_type == CONVEX:
+        # computed from hull geometry by the builder (convex.hull_mass);
+        # params alone cannot describe it
         return 0.0, np.zeros((3, 3))
     raise ValueError(f"unsupported shape type {shape_type}")
