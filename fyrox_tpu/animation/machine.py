@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from fyrox_tpu.animation import pose as pose_mod
 
 __all__ = ["MachineTemplate", "MachineBuilder", "MachineState",
-           "init_machine_state", "update_machine", "evaluate_pose"]
+           "init_machine_state", "update_machine", "evaluate_pose",
+           "Parameters", "make_parameters", "LayerSpec", "LayeredMachine",
+           "init_layered_state", "update_layers", "evaluate_layers"]
 
 
 @dataclass
@@ -217,3 +219,88 @@ def evaluate_pose(mt: MachineTemplate, ms: MachineState, poses: pose_mod.PoseSet
     pa = _state_pose(mt, ms.source, poses, sampling)
     pb = _state_pose(mt, ms.current, poses, sampling)
     return pose_mod.blend_pose(pa, pb, ms.blend)
+
+
+# --------------------------------------------------------------------------
+# typed parameters + layered machines (machine/layer.rs:590, mask.rs:220,
+# parameter.rs)
+# --------------------------------------------------------------------------
+
+class Parameters(NamedTuple):
+    """The reference's Parameter enum (fyrox-animation/src/machine/
+    parameter.rs) as batched typed arrays: Rule → bools, Weight → floats,
+    SamplingPoint → points, Index → indices."""
+    bools: jnp.ndarray      # [W, Pb] bool
+    floats: jnp.ndarray     # [W, Pf] f32
+    points: jnp.ndarray     # [W, Pp, 2] f32
+    indices: jnp.ndarray    # [W, Pi] int32
+
+
+def make_parameters(num_worlds, bools=0, floats=0, points=0, indices=0):
+    w = num_worlds
+    return Parameters(
+        bools=jnp.zeros((w, max(bools, 1)), bool),
+        floats=jnp.zeros((w, max(floats, 1)), jnp.float32),
+        points=jnp.zeros((w, max(points, 1), 2), jnp.float32),
+        indices=jnp.zeros((w, max(indices, 1)), jnp.int32))
+
+
+@dataclass
+class LayerSpec:
+    """One machine layer (MachineLayer, machine/layer.rs:590): its own
+    state graph, a blend weight (fixed or a float parameter), and a bone
+    mask (LayerMask, machine/mask.rs:220 — nodes NOT in the mask keep the
+    lower layers' pose)."""
+    machine: MachineTemplate
+    mask: np.ndarray = None          # [N_nodes] bool (None = all nodes)
+    weight: float = 1.0
+    weight_param: int = -1           # float-parameter index (-1 = fixed)
+    sampling_param: int = -1         # point-parameter index for blendspaces
+
+
+@dataclass
+class LayeredMachine:
+    layers: List[LayerSpec]
+
+
+def init_layered_state(lm: LayeredMachine, num_worlds):
+    return tuple(init_machine_state(l.machine, num_worlds)
+                 for l in lm.layers)
+
+
+def update_layers(lm: LayeredMachine, states, params: Parameters, dt):
+    """Tick every layer's transition logic against the shared parameter
+    set (Machine::evaluate_pose drives each layer, machine/mod.rs:347)."""
+    return tuple(update_machine(l.machine, s, params.bools, dt)
+                 for l, s in zip(lm.layers, states))
+
+
+def evaluate_layers(lm: LayeredMachine, states, poses: pose_mod.PoseSet,
+                    params: Parameters = None):
+    """Final pose: layer 0's pose, then each upper layer blended on top
+    with per-node weight = layer_weight * bone_mask (layer.rs blend over
+    LayerMask). A masked-off node keeps the lower layers' value exactly."""
+    out = None
+    for li, (spec, ms) in enumerate(zip(lm.layers, states)):
+        sampling = None
+        if spec.sampling_param >= 0 and params is not None:
+            sampling = params.points[:, spec.sampling_param]
+        p = evaluate_pose(spec.machine, ms, poses, sampling)
+        if out is None:
+            out = p
+            continue
+        if spec.weight_param >= 0 and params is not None:
+            wgt = params.floats[:, spec.weight_param]
+        else:
+            wgt = jnp.asarray(spec.weight, jnp.float32)
+        wgt = jnp.broadcast_to(jnp.asarray(wgt)[..., None],
+                               out[0].shape[:2])              # [W,N]
+        if spec.mask is not None:
+            wgt = wgt * jnp.asarray(spec.mask, jnp.float32)[None]
+        # masked nodes must keep the lower layer even where the upper
+        # pose carries a value: zero the upper pose's masks there
+        if spec.mask is not None:
+            mk = jnp.asarray(spec.mask, bool)[None]
+            p = (p[0], p[1], p[2], p[3] & mk, p[4] & mk, p[5] & mk)
+        out = pose_mod.blend_pose(out, p, wgt)
+    return out

@@ -12,7 +12,7 @@ from fyrox_tpu.animation import machine as machine_mod
 from fyrox_tpu.animation import pose as pose_mod
 from fyrox_tpu.animation import track as track_mod
 
-__all__ = ["step_player", "step_absm"]
+__all__ = ["step_player", "step_absm", "step_absm_layered"]
 
 
 def step_player(aset: track_mod.AnimationSet, anim: track_mod.AnimationState,
@@ -54,3 +54,24 @@ def step_absm(aset: track_mod.AnimationSet, mt: machine_mod.MachineTemplate,
             final, position, rotation, scale)
     anim = track_mod.tick_times(aset, anim, dt)
     return anim, ms, position, rotation, scale
+
+
+def step_absm_layered(aset, lm: machine_mod.LayeredMachine, anim, states,
+                      params: machine_mod.Parameters,
+                      position, rotation, scale, dt):
+    """Layered ABSM tick (Machine with multiple MachineLayers,
+    machine/layer.rs:590): every layer's transitions advance against the
+    shared typed Parameters, then the layer poses composite bottom-up with
+    per-node bone-mask weights (mask.rs:220).
+
+    Returns (anim, layer_states, position, rotation, scale)."""
+    n_nodes = position.shape[1]
+    sampled = track_mod.sample_tracks(aset, anim)
+    states = machine_mod.update_layers(lm, states, params, dt)
+    if sampled:
+        poses = pose_mod.build_poses(aset, sampled, n_nodes)
+        final = machine_mod.evaluate_layers(lm, states, poses, params)
+        position, rotation, scale = pose_mod.apply_pose(
+            final, position, rotation, scale)
+    anim = track_mod.tick_times(aset, anim, dt)
+    return anim, states, position, rotation, scale

@@ -214,3 +214,34 @@ def face_towards(direction, up):
     y = jnp.cross(z, x)
     m = jnp.stack([x, y, z], axis=-1)  # columns
     return from_mat3(m)
+
+
+# --------------------------------------------------------------------------
+# tiny-matrix products as broadcast-multiply-sum. XLA lowers batched 3x3
+# einsums to MXU dot_generals padded to 128x128 tiles — measured ~13 ms for
+# one [32,21k] batch of 3x3 matmuls on v5e, vs ~free as a VPU
+# broadcast-reduce. Every hot-path small-matrix product must go through
+# these (or an equivalent formulation), never jnp.einsum/@.
+# --------------------------------------------------------------------------
+
+def mv(m, v):
+    """[..., i, j] @ [..., j] -> [..., i] (leading dims broadcast)."""
+    return jnp.sum(m * v[..., None, :], -1)
+
+
+def mtv(m, v):
+    """m^T @ v: [..., j, i], [..., j] -> [..., i]."""
+    return jnp.sum(m * v[..., :, None], -2)
+
+
+def mvb(m, v):
+    """[..., i, j] applied to a point batch [..., k, j] -> [..., k, i]."""
+    return jnp.sum(m[..., None, :, :] * v[..., None, :], -1)
+
+
+def sandwich_inv_inertia(rmat, inv_inertia_local):
+    """R @ I^-1_local @ R^T for [..., 3, 3] world rotations and a
+    broadcastable local inverse inertia ([B,3,3] or [...,3,3])."""
+    tmp = jnp.sum(rmat[..., :, :, None] * inv_inertia_local[..., None, :, :],
+                  -2)                                    # [..., i, k]
+    return jnp.sum(tmp[..., :, None, :] * rmat[..., None, :, :], -1)

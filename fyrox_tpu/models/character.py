@@ -118,14 +118,11 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
     sb.add_camera("main_camera", position=(0, 3.0, -10.0))
     template = sb.build()
     if n_bodies >= 192:
-        # hash-grid broadphase + directed segment solver; caps sized from
-        # the measured settled/peak candidate demand of the 1k pile
-        # (broadphase.broadphase_stats: settled ~8k/5.4k, peak 10.5k/7.2k
-        # directed pairs per world at n_bodies=1000)
-        per = max(n_bodies, 1)
-        pt = pb.build(broadphase="grid",
-                      grid_caps=(12 * per, 0, 8 * per),
-                      grid_windows_body=(64, 16, 48))
+        # slab broadphase (static per-collider per-class candidate
+        # windows + MXU one-hot gathers) — the TPU production path.
+        # Windows sized from the measured per-collider AABB-valid
+        # directed-partner demand of the settled 1k pile.
+        pt = pb.build(broadphase="slab", slab_window=(12, 8, 10))
     else:
         if max_active_pairs is None:
             # dense (uncompacted) pair lists unlock the static-incidence

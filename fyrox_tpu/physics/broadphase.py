@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from fyrox_tpu.physics import shapes as sh
 
 __all__ = ["GridConfig", "build_grid_config", "grid_candidates",
-           "CLASS_NPTS", "pair_class_table"]
+           "CLASS_NPTS", "pair_class_table",
+           "SlabConfig", "build_slab_config", "slab_candidates"]
 
 # key packing: coarse cells in x/y (9 bits each), FINE z quantization in
 # the low 13 bits. A (dx,dy) neighbor column is then scanned over an exact
@@ -74,6 +75,8 @@ def pair_class_table():
     tab = np.zeros((6, 6), np.int32)
     npts_to_class = {1: 0, 2: 1, 4: 2}
     for (ka, kb), npts in KIND_POINTS.items():
+        if ka > sh.HALFSPACE or kb > sh.HALFSPACE:
+            continue        # convex/heightfield/trimesh are dense-mode only
         tab[ka, kb] = npts_to_class[npts]
         tab[kb, ka] = npts_to_class[npts]
     # cylinder/cone mirror their capsule proxy rows/cols
@@ -317,6 +320,306 @@ def _compact_classes(gb: GridConfig, i_static, jf, valid, w):
         ib = jnp.take_along_axis(jf, pos, axis=1)
         pid = jnp.where(sel_valid, ia * c_total + ib, -1)
         out.append(CandidateSet(ia=ia, ib=ib, valid=sel_valid, pid=pid))
+    return out
+
+
+# --------------------------------------------------------------------------
+# slab broadphase: static per-collider candidate windows (no compaction)
+# --------------------------------------------------------------------------
+
+@dataclass
+class SlabConfig:
+    """Static per-collider slot layout for the MXU-native physics path.
+
+    Design (round-2 redesign of the compacted grid path, whose global
+    stream-compaction searchsorted + take_along_axis gathers measured
+    ~0.6 GB/s on v5e — the XLA gather lowering is near-scalar on TPU):
+
+      * every grid collider owns a STATIC window of `s_grid` candidate
+        slots (+1 per "big" collider); slots hold the partner collider
+        index found by the hash-grid walk. No stream compaction, no
+        per-step dynamic shapes.
+      * the scanning side of every slot is static → solver gathers on the
+        self side are a broadcast, and the impulse scatter is a
+        reshape-sum over the slot window + one tiny static one-hot
+        matmul (collider → body).
+      * partner-side lookups run through pallas_ops.gather_rows (one-hot
+        MXU matmul; ~30x faster than jnp.take_along_axis here).
+      * searchsorted → pallas_ops.count_lt (fused compare-reduce).
+
+    Candidates stay DIRECTED (pair (i,j) from i's scan and (j,i) from
+    j's): twin slots see identical canonically-ordered kernel inputs, so
+    applying only the self half of each impulse keeps Newton's third law
+    exact (see grid docstring above).
+    """
+    grid_cols: np.ndarray      # [Cg] collider idx in the grid
+    big_cols: np.ndarray       # [Nbig] oversized/unbounded (static-only)
+    cell: float
+    s_class: Tuple[int, int, int]  # compacted slots per collider per
+                                   # manifold class (1/2/4 contact points)
+    kinds: np.ndarray          # [C] effective kind per collider
+    inc_gc: np.ndarray         # [Cg,C] f32 one-hot collider-select
+    inc_gb: np.ndarray         # [Cg,B] f32 grid-collider -> body
+    cls_tab: np.ndarray = None # [6,6] manifold class per kind pair
+    present: Tuple[bool, bool, bool] = (True, True, True)
+    sweep_cap: np.ndarray = None   # [C] max CCD sweep per collider keeping
+                                   # total AABB extent <= cell (the ±1-cell
+                                   # column walk's correctness bound)
+    num_colliders: int = 0
+    num_bodies: int = 0
+    s_walk: int = 48           # stage-1 window: raw 9-column candidates
+                               # (compacted per collider per class by the
+                               # AABB/validity filter)
+
+    def nslot(self, cls):
+        if not self.present[cls]:
+            return 0
+        return self.s_class[cls] + int(self.big_cols.size)
+
+    @property
+    def slot_points(self):
+        """Total contact points across classes (warm array width)."""
+        cg = int(self.grid_cols.size)
+        return cg * sum(self.nslot(c) * CLASS_NPTS[c] for c in range(3))
+
+    @property
+    def n_slots(self):
+        cg = int(self.grid_cols.size)
+        return cg * sum(self.nslot(c) for c in range(3))
+
+
+def build_slab_config(col_shape, col_params, col_body, body_type,
+                      margin, window=(12, 6, 10), walk=48, big_factor=8.0):
+    """Host-side slab layout. Returns None with no grid-eligible colliders.
+
+    `window`: static candidate slots per collider PER MANIFOLD CLASS
+    (1/2/4-point; an int applies to all three). Overflowing candidates
+    drop silently — size from broadphase peak demand.
+    """
+    nc = int(col_shape.shape[0])
+    if nc == 0:
+        return None
+    if np.any(col_shape > sh.HALFSPACE):
+        raise NotImplementedError(
+            "convex/heightfield/trimesh colliders are dense-broadphase "
+            "only for now (use broadphase='dense')")
+    bound = np.zeros(nc, np.float64)
+    for i in range(nc):
+        t = int(col_shape[i])
+        p = np.asarray(col_params[i], np.float64)
+        if t == sh.BALL:
+            bound[i] = p[0]
+        elif t == sh.CUBOID:
+            bound[i] = float(np.linalg.norm(p[:3]))
+        elif t in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
+            bound[i] = p[0] + p[1]
+        else:
+            bound[i] = np.inf
+    finite = np.isfinite(bound)
+    med = np.median(bound[finite]) if finite.any() else 1.0
+    big = ~finite | (bound > big_factor * max(med, 1e-6))
+    dyn = body_type[col_body] == 0
+    if np.any(big & dyn):
+        raise ValueError("dynamic colliders cannot be broadphase-big")
+    grid_cols = np.flatnonzero(~big).astype(np.int32)
+    big_cols = np.flatnonzero(big).astype(np.int32)
+    if grid_cols.size == 0:
+        return None
+    cell = float(2.0 * bound[grid_cols].max() + 2.0 * margin)
+    kinds = np.asarray([_eff_kind(int(k)) for k in col_shape], np.int32)
+    cg = grid_cols.size
+    nb = int(body_type.shape[0])
+    inc_gc = np.zeros((cg, nc), np.float32)
+    inc_gc[np.arange(cg), grid_cols] = 1.0
+    inc_gb = np.zeros((cg, nb), np.float32)
+    inc_gb[np.arange(cg), col_body[grid_cols]] = 1.0
+    cls_tab = pair_class_table()
+    present = np.zeros(3, bool)
+    for ka in np.unique(kinds[grid_cols]):
+        for kb in np.unique(kinds):
+            present[cls_tab[ka, kb]] = True
+    if isinstance(window, int):
+        window = (window, window, window)
+    s_class = tuple(int(window[c]) if present[c] else 0 for c in range(3))
+    sweep_cap = np.maximum(
+        cell - 2.0 * (np.where(np.isfinite(bound), bound, 0.0) + margin),
+        0.0).astype(np.float32)
+    return SlabConfig(grid_cols=grid_cols, big_cols=big_cols, cell=cell,
+                      s_class=s_class, kinds=kinds,
+                      inc_gc=inc_gc, inc_gb=inc_gb, cls_tab=cls_tab,
+                      present=tuple(bool(p) for p in present),
+                      sweep_cap=sweep_cap,
+                      num_colliders=nc, num_bodies=nb, s_walk=int(walk))
+
+
+class SlabCandidates(NamedTuple):
+    """[W,K] slot tensors, K = Cg * (s_grid + nbig), collider-major."""
+    j_real: jnp.ndarray    # partner collider index (garbage when ~valid)
+    body_j: jnp.ndarray
+    valid: jnp.ndarray
+    swap: jnp.ndarray      # canonical order flips (kind_i, i) > (kind_j, j)
+    pid: jnp.ndarray       # i*C + j warmstart identity (-1 invalid)
+
+
+def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
+                    ) -> List[SlabCandidates]:
+    """Hash-grid walk into the static slot layout; one SlabCandidates per
+    manifold class. amin/amax [W,C,3]."""
+    from fyrox_tpu.physics.pallas_ops import count_lt, gather_rows
+    col_body = np.asarray(col_body)
+    dyn_col = np.asarray(dyn_col)
+    w = amin.shape[0]
+    cg = int(sc.grid_cols.size)
+    nbig = int(sc.big_cols.size)
+    inc = jnp.asarray(sc.inc_gc)
+
+    aabb6 = jnp.concatenate([amin, amax], axis=-1)              # [W,C,6]
+    gaabb = jnp.einsum("gc,wcd->wgd", inc, aabb6)               # [W,Cg,6]
+    gmin, gmax = gaabb[..., :3], gaabb[..., 3:]
+    qx = jnp.floor(gmin[..., 0] / sc.cell).astype(jnp.int32)
+    qy = jnp.floor(gmin[..., 1] / sc.cell).astype(jnp.int32)
+    zfine = sc.cell / _ZFINE
+    qz = jnp.floor(gmin[..., 2] / zfine).astype(jnp.int32)
+    key = _pack_xyz(qx, qy, qz)                                 # [W,Cg]
+    order = jnp.argsort(key, axis=1)
+
+    qz_lo = jnp.floor((gmin[..., 2] - sc.cell) / zfine).astype(jnp.int32)
+    qz_hi = jnp.floor(gmax[..., 2] / zfine).astype(jnp.int32)
+    q_lo, q_hi = [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            q_lo.append(_pack_xyz(qx + dx, qy + dy, qz_lo))
+            q_hi.append(_pack_xyz(qx + dx, qy + dy, qz_hi))
+    lo9 = count_lt(key, jnp.concatenate(q_lo, 1)).reshape(w, 9, cg)
+    hi9 = count_lt(key, jnp.concatenate(q_hi, 1), strict=False
+                   ).reshape(w, 9, cg)
+    lo9 = jnp.moveaxis(lo9, 1, 2)                               # [W,Cg,9]
+    hi9 = jnp.moveaxis(hi9, 1, 2)
+    cnt9 = hi9 - lo9
+    pfx9 = jnp.cumsum(cnt9, axis=-1)
+    pfx_ex = pfx9 - cnt9
+    total = pfx9[..., -1]
+
+    # ---- stage 1: walk the 9 ranges into a WIDE raw window ----
+    s_walk = sc.s_walk
+    m = jnp.arange(s_walk, dtype=jnp.int32)
+    in_r = ((m[None, None, :, None] >= pfx_ex[:, :, None, :])
+            & (m[None, None, :, None] < pfx9[:, :, None, :]))   # [W,Cg,Sw,9]
+    pos = jnp.sum(jnp.where(
+        in_r, lo9[:, :, None, :] + (m[None, None, :, None]
+                                    - pfx_ex[:, :, None, :]), 0), axis=-1)
+    in_window = m[None, None, :] < jnp.minimum(total, s_walk)[..., None]
+    pos = jnp.clip(pos, 0, max(cg - 1, 0))
+
+    # per-grid-collider attribute rows (grid order):
+    # [j_real, kind, body, dyn, aabb(6)] — values all exact in f32
+    attr_static = jnp.broadcast_to(jnp.asarray(
+        np.stack([sc.grid_cols.astype(np.float32),
+                  sc.kinds[sc.grid_cols].astype(np.float32),
+                  col_body[sc.grid_cols].astype(np.float32),
+                  dyn_col[sc.grid_cols].astype(np.float32)], axis=1))[None],
+        (w, cg, 4))
+    attrs = jnp.concatenate([attr_static, gaabb], axis=-1)       # [W,Cg,10]
+    sortedA = gather_rows(attrs, order)                          # [W,Cg,10]
+    slotA = gather_rows(sortedA, pos.reshape(w, -1)
+                        ).reshape(w, cg, s_walk, 10)             # [W,Cg,Sw,10]
+
+    jr_w = slotA[..., 0].astype(jnp.int32)
+    kind_w = slotA[..., 1].astype(jnp.int32)
+    body_w = slotA[..., 2].astype(jnp.int32)
+    dyn_w = slotA[..., 3] > 0.5
+    jmin_w, jmax_w = slotA[..., 4:7], slotA[..., 7:10]
+
+    gidx = jnp.asarray(sc.grid_cols)[None, :, None]
+    i_body_g = jnp.asarray(col_body[sc.grid_cols])[None, :, None]
+    i_dyn_g = jnp.asarray(dyn_col[sc.grid_cols])[None, :, None]
+    imin = gaabb[..., None, :3]
+    imax = gaabb[..., None, 3:]
+    valid_w = (in_window
+               & (jr_w != gidx)
+               & (body_w != i_body_g)
+               & (i_dyn_g | dyn_w)
+               & jnp.all((imin <= jmax_w) & (imax >= jmin_w), axis=-1))
+
+    # manifold class of every walked slot: cls_tab row per scanning
+    # collider is STATIC; select the column by the partner's kind
+    kind_i_g = sc.kinds[sc.grid_cols]                            # [Cg] static
+    row_tab = sc.cls_tab[kind_i_g]                               # [Cg,6] static
+    cls_w = jnp.zeros(kind_w.shape, jnp.int32)
+    for kb in range(6):
+        cls_w = jnp.where(kind_w == kb,
+                          jnp.asarray(row_tab[:, kb])[None, :, None], cls_w)
+
+    # ---- stage 2: compact surviving candidates PER MANIFOLD CLASS to
+    # static slots per collider (local cumsum + a small one-hot select —
+    # no global stream compaction, so slots stay collider-major and each
+    # class runs only its own narrowphase kernels on exact-size
+    # manifolds) ----
+    if nbig:
+        bidx = sc.big_cols
+        kind_big = sc.kinds[bidx]                                # [Nbig]
+        cls_big = sc.cls_tab[kind_i_g][:, kind_big]              # [Cg,Nbig]
+        jr_b = jnp.broadcast_to(
+            jnp.asarray(bidx.astype(np.int32))[None, None], (w, cg, nbig))
+        body_b = jnp.broadcast_to(
+            jnp.asarray(col_body[bidx].astype(np.int32))[None, None],
+            (w, cg, nbig))
+        bmin = aabb6[:, bidx, :3][:, None]
+        bmax = aabb6[:, bidx, 3:][:, None]
+        bvalid = ((body_b != i_body_g)
+                  & (i_dyn_g | jnp.asarray(dyn_col[bidx])[None, None])
+                  & jnp.all((imin <= bmax) & (imax >= bmin), axis=-1))
+
+    out = []
+    for c in range(3):
+        s_c = sc.s_class[c]
+        nslot_c = sc.nslot(c)
+        if nslot_c == 0:
+            z2 = jnp.zeros((w, 0), jnp.int32)
+            out.append(SlabCandidates(z2, z2, jnp.zeros((w, 0), bool),
+                                      jnp.zeros((w, 0), bool), z2))
+            continue
+        mask_c = valid_w & (cls_w == c)
+        vf = mask_c.astype(jnp.float32)
+        lpos = (jnp.cumsum(vf, axis=2) - vf).astype(jnp.int32)   # exclusive
+        k_ar = jnp.arange(s_c, dtype=jnp.int32)
+        oh = ((lpos[..., None] == k_ar) & mask_c[..., None]
+              ).astype(jnp.float32)                              # [W,Cg,Sw,Sc]
+        packed = jnp.stack([jr_w.astype(jnp.float32),
+                            kind_w.astype(jnp.float32),
+                            body_w.astype(jnp.float32)], axis=-1)
+        comp = jnp.sum(oh[..., None] * packed[..., :, None, :], axis=2)
+        n_valid = jnp.sum(vf, axis=2)                            # [W,Cg]
+        cvalid = k_ar[None, None, :] < n_valid[..., None]
+        j_real = comp[..., 0].astype(jnp.int32)
+        kind_j = comp[..., 1].astype(jnp.int32)
+        body_j = comp[..., 2].astype(jnp.int32)
+
+        if nbig:
+            big_ok = bvalid & (jnp.asarray(cls_big)[None] == c)
+            j_real = jnp.concatenate([j_real, jr_b], axis=2)
+            kind_j = jnp.concatenate(
+                [kind_j, jnp.broadcast_to(
+                    jnp.asarray(kind_big)[None, None], (w, cg, nbig))], axis=2)
+            body_j = jnp.concatenate([body_j, body_b], axis=2)
+            cvalid = jnp.concatenate([cvalid, big_ok], axis=2)
+
+        k_slots = cg * nslot_c
+        j_real = j_real.reshape(w, k_slots)
+        kind_j = kind_j.reshape(w, k_slots)
+        body_j = body_j.reshape(w, k_slots)
+        valid = cvalid.reshape(w, k_slots)
+
+        i_static = np.repeat(sc.grid_cols, nslot_c)              # [K_c]
+        kind_i = sc.kinds[i_static]
+        swap = ((jnp.asarray(kind_i)[None] > kind_j)
+                | ((jnp.asarray(kind_i)[None] == kind_j)
+                   & (jnp.asarray(i_static)[None] > j_real)))
+        pid = jnp.where(valid,
+                        jnp.asarray(i_static, jnp.int32)[None]
+                        * sc.num_colliders + j_real, -1)
+        out.append(SlabCandidates(j_real=j_real, body_j=body_j, valid=valid,
+                                  swap=swap, pid=pid))
     return out
 
 

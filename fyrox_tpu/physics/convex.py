@@ -28,8 +28,8 @@ __all__ = ["MAX_HULL_VERTS", "MAX_HULL_FACES", "ConvexSet", "ConvexBuilder",
            "convex_support", "convex_convex", "ball_convex",
            "convex_halfspace", "box_as_hull"]
 
-MAX_HULL_VERTS = 16
-MAX_HULL_FACES = 24
+MAX_HULL_VERTS = 32
+MAX_HULL_FACES = 32
 
 
 def hull_from_points(points):
@@ -169,7 +169,7 @@ def convex_support(verts_w, vmask, axis):
 
 
 def _world_verts(pos, rot, verts, vmask):
-    w = jnp.einsum("...ij,...vj->...vi", rot, verts)
+    w = jnp.sum(rot[..., None, :, :] * verts[..., None, :], -1)
     return pos[..., None, :] + w, vmask
 
 
@@ -205,8 +205,8 @@ def convex_convex(pos_a, rot_a, va, vma, na, nma,
 
     wa, _ = _world_verts(pos_a, rot_a, va, vma)       # [...,V,3]
     wb, _ = _world_verts(pos_b, rot_b, vb, vmb)
-    na_w = jnp.einsum("...ij,...fj->...fi", rot_a, na)  # [...,F,3]
-    nb_w = jnp.einsum("...ij,...fj->...fi", rot_b, nb)
+    na_w = jnp.sum(rot_a[..., None, :, :] * na[..., None, :], -1)  # [...,F,3]
+    nb_w = jnp.sum(rot_b[..., None, :, :] * nb[..., None, :], -1)
 
     def axis_pen(axes, amask):
         """penetration along each axis (oriented A→B): overlap of support
@@ -249,8 +249,9 @@ def convex_convex(pos_a, rot_a, va, vma, na, nma,
     top_d, top_i = jax.lax.top_k(dep_all, 4)
     ohp = (top_i[..., :, None]
            == jnp.arange(dep_all.shape[-1]))[..., :, :].astype(pts_all.dtype)
-    pts = jnp.einsum("...ko,...od->...kd", ohp, pts_all)
-    active = (top_d > -pred) & (best_pen[..., None] > -pred)
+    pts = jnp.sum(ohp[..., None] * pts_all[..., None, :, :], -2)
+    predn = jnp.asarray(pred)[..., None]
+    active = (top_d > -predn) & (best_pen[..., None] > -predn)
     return Manifold(normal, pts, top_d, active)
 
 
@@ -258,7 +259,7 @@ def ball_convex(pa, ra, pos_b, rot_b, vb, vmb, nb, nmb, pred):
     """Sphere vs hull: max signed face-plane distance of the center gives
     the separating face; exact in face regions, conservative at edges."""
     from fyrox_tpu.physics.narrowphase import Manifold, _empty_like
-    nb_w = jnp.einsum("...ij,...fj->...fi", rot_b, nb)            # [...,F,3]
+    nb_w = jnp.sum(rot_b[..., None, :, :] * nb[..., None, :], -1)  # [...,F,3]
     wb, _ = _world_verts(pos_b, rot_b, vb, vmb)
     # face plane offsets: d_f = max over verts of n_f·v
     plane_d = convex_support(wb[..., None, :, :], vmb[..., None, :], nb_w)
@@ -289,8 +290,8 @@ def convex_halfspace(pos_a, rot_a, va, vma, pos_p, rot_p, pred):
     top_d, top_i = jax.lax.top_k(depth, 4)
     oh = (top_i[..., :, None]
           == jnp.arange(depth.shape[-1])).astype(wa.dtype)
-    pts = jnp.einsum("...ko,...od->...kd", oh, wa)
-    return Manifold(-n, pts, top_d, top_d > -pred)
+    pts = jnp.sum(oh[..., None] * wa[..., None, :, :], -2)
+    return Manifold(-n, pts, top_d, top_d > -jnp.asarray(pred)[..., None])
 
 
 import jax  # noqa: E402  (used by top_k above)

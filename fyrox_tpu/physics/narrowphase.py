@@ -62,6 +62,13 @@ def _safe_normalize(v, fallback):
     return jnp.where(n > _EPS, v / jnp.maximum(n, _EPS), fallback), n[..., 0]
 
 
+
+def _predn(pred):
+    """pred broadcastable against multi-point depth [..., n]: scalars get a
+    length-1 trailing axis, [W,K] arrays become [W,K,1] (velocity-scaled
+    speculative prediction for CCD passes per-slot pred arrays)."""
+    return jnp.asarray(pred)[..., None]
+
 def _one_point(m: Manifold, normal, point, depth, valid):
     pts = m.points.at[..., 0, :].set(point)
     dep = m.depth.at[..., 0].set(depth)
@@ -88,7 +95,7 @@ def _closest_on_box(p_local, half):
 
 def ball_cuboid(pa, ra, pb, rot_b, half_b, pred):
     """Sphere A vs box B (rot_b: [...,3,3] world←local)."""
-    rel = jnp.einsum("...ji,...j->...i", rot_b, pa - pb, precision="highest")  # into box frame
+    rel = jnp.sum(rot_b * (pa - pb)[..., :, None], -2)  # R^T into box frame
     clamped = _closest_on_box(rel, half_b)
     delta = rel - clamped
     dist = jnp.linalg.norm(delta, axis=-1)
@@ -112,8 +119,8 @@ def ball_cuboid(pa, ra, pb, rot_b, half_b, pred):
     surface_local = jnp.where(outside[..., None], clamped,
                               clamped * (1 - eye[axis]) + (half_b * eye[axis] * sign[..., None]))
     # to world; normal points box→sphere = B→A, flip for A→B convention
-    n_world = jnp.einsum("...ij,...j->...i", rot_b, n_local, precision="highest")
-    p_world = pb + jnp.einsum("...ij,...j->...i", rot_b, surface_local, precision="highest")
+    n_world = jnp.sum(rot_b * n_local[..., None, :], -1)
+    p_world = pb + jnp.sum(rot_b * surface_local[..., None, :], -1)
     m = _empty_like(pa)
     return _one_point(m, -n_world, p_world, depth, depth > -pred)
 
@@ -208,17 +215,17 @@ def cuboid_halfspace(pa, rot_a, half_a, pp, rot_p, pred):
     sel = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
                       dtype=pa.dtype)                                  # [8,3]
     corners_local = sel * half_a[..., None, :]
-    corners = pa[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_a, corners_local,
-                                            precision="highest")       # [...,8,3]
+    corners = pa[..., None, :] + jnp.sum(
+        rot_a[..., None, :, :] * corners_local[..., None, :], -1)     # [...,8,3]
     depth = d[..., None] - jnp.sum(n[..., None, :] * corners, axis=-1)  # [...,8]
     # take the 4 deepest corners — selected with a one-hot contraction
     # rather than take_along_axis (tiny-axis gathers are slow on TPU)
     top_d, top_i = jax.lax.top_k(depth, 4)
     oh = (top_i[..., :, None]
           == jnp.arange(8, dtype=top_i.dtype)).astype(pa.dtype)       # [...,4,8]
-    pts = jnp.einsum("...ko,...od->...kd", oh, corners)
+    pts = jnp.sum(oh[..., None] * corners[..., None, :, :], -2)
     m = _empty_like(pa)
-    return Manifold(-n, pts, top_d, top_d > -pred)
+    return Manifold(-n, pts, top_d, top_d > -_predn(pred))
 
 
 def capsule_halfspace(pa, rot_a, hh_a, ra, pp, rot_p, pred):
@@ -315,12 +322,10 @@ def cuboid_cuboid(pa, rot_a, half_a, pb, rot_b, half_b, pred):
             for s2 in (-1, 1):
                 c_local = (n_l * hn[..., None] + ta * (s1 * ht1)[..., None]
                            + tb * (s2 * ht2)[..., None])
-                corners.append(p + jnp.einsum("...ij,...j->...i", rot, c_local,
-                                              precision="highest"))
-        t1_w = jnp.einsum("...ij,...j->...i", rot, ta, precision="highest")
-        t2_w = jnp.einsum("...ij,...j->...i", rot, tb, precision="highest")
-        center = p + jnp.einsum("...ij,...j->...i", rot, n_l * hn[..., None],
-                                precision="highest")
+                corners.append(p + jnp.sum(rot * c_local[..., None, :], -1))
+        t1_w = jnp.sum(rot * ta[..., None, :], -1)
+        t2_w = jnp.sum(rot * tb[..., None, :], -1)
+        center = p + jnp.sum(rot * (n_l * hn[..., None])[..., None, :], -1)
         return jnp.stack(corners, axis=-2), center, t1_w, t2_w, ht1, ht2
 
     ref_pts, ref_c, ref_t1, ref_t2, ref_h1, ref_h2 = face_vertices(pa, rot_a, half_a, normal)
@@ -339,7 +344,7 @@ def cuboid_cuboid(pa, rot_a, half_a, pb, rot_b, half_b, pred):
     plane_d = jnp.sum(normal * ref_c, -1)
     depth = plane_d[..., None] - jnp.sum(normal[..., None, :] * inc_pts, -1)
     pts = clipped
-    active = (depth > -pred) & (best_pen[..., None] > -pred)
+    active = (depth > -_predn(pred)) & (best_pen[..., None] > -_predn(pred))
     return Manifold(normal, pts, depth, active)
 
 
@@ -394,6 +399,17 @@ def effective_kind(t):
     return sh.CAPSULE if t in (sh.CYLINDER, sh.CONE) else t
 
 
+def manifold_points_dynamic(eff_a, eff_b):
+    """KIND_POINTS as traced elementwise math over canonical effective
+    kinds (the slab path pads every slot to 4 points; mass splitting
+    needs the TRUE per-kind manifold size)."""
+    four = (eff_a == sh.CUBOID) & ((eff_b == sh.CUBOID)
+                                   | (eff_b == sh.HALFSPACE))
+    two = (((eff_a == sh.CUBOID) & (eff_b == sh.CAPSULE))
+           | ((eff_a == sh.CAPSULE) & (eff_b == sh.HALFSPACE)))
+    return jnp.where(four, 4.0, jnp.where(two, 2.0, 1.0))
+
+
 # kernel per canonicalized (effective_kind_a <= effective_kind_b) pair
 KIND_KERNELS = {
     (sh.BALL, sh.BALL): _k_ball_ball,
@@ -421,7 +437,61 @@ KIND_POINTS = {
     (sh.CUBOID, sh.HALFSPACE): 4,
     (sh.CAPSULE, sh.CAPSULE): 1,
     (sh.CAPSULE, sh.HALFSPACE): 2,
+    # convex polyhedra (SAT kernels, physics/convex.py) — dense mode only
+    (sh.BALL, sh.CONVEX): 1,
+    (sh.CUBOID, sh.CONVEX): 4,
+    (sh.CAPSULE, sh.CONVEX): 2,
+    (sh.HALFSPACE, sh.CONVEX): 4,
+    (sh.CONVEX, sh.CONVEX): 4,
 }
+
+
+def _convex_kernel(ka, kb, hull_a, hull_b,
+                   pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred):
+    """Dispatch a canonical (ka, kb) pair where kb (or both) is CONVEX.
+    hull_a/hull_b: (verts, vmask, normals, nmask) constant per-pair arrays
+    ([P,V,3] etc, broadcast over worlds) or None for non-convex sides."""
+    from fyrox_tpu.physics import convex as cx
+    vb, vmb, nb, nmb = (jnp.asarray(h)[None] for h in hull_b)
+    if ka == sh.BALL:
+        return cx.ball_convex(pos_a, pa6[..., 0], pos_b, rot_b,
+                              vb, vmb, nb, nmb, pred)
+    if ka == sh.CUBOID:
+        va, vma, na, nma = cx.box_as_hull(pa6[..., :3])
+        return cx.convex_convex(pos_a, rot_a, va, vma, na, nma,
+                                pos_b, rot_b, vb, vmb, nb, nmb, pred)
+    if ka == sh.CAPSULE:
+        a0, a1 = _segment_endpoints(pos_a, rot_a, pa6[..., 0])
+        ra = pa6[..., 1]
+        m0 = cx.ball_convex(a0, ra, pos_b, rot_b, vb, vmb, nb, nmb, pred)
+        m1 = cx.ball_convex(a1, ra, pos_b, rot_b, vb, vmb, nb, nmb, pred)
+        m = _empty_like(pos_a)
+        deeper0 = m0.depth[..., 0] >= m1.depth[..., 0]
+        normal = jnp.where(deeper0[..., None], m0.normal, m1.normal)
+        pts = m.points.at[..., 0, :].set(m0.points[..., 0, :])
+        pts = pts.at[..., 1, :].set(m1.points[..., 0, :])
+        dep = (m.depth.at[..., 0].set(m0.depth[..., 0])
+               .at[..., 1].set(m1.depth[..., 0]))
+        act = (m.active.at[..., 0].set(m0.active[..., 0])
+               .at[..., 1].set(m1.active[..., 0]))
+        return Manifold(normal, pts, dep, act)
+    if ka == sh.HALFSPACE:
+        m = cx.convex_halfspace(pos_b, rot_b, vb, vmb, pos_a, rot_a, pred)
+        return Manifold(-m.normal, m.points, m.depth, m.active)
+    if ka == sh.CONVEX:
+        va, vma, na, nma = (jnp.asarray(h)[None] for h in hull_a)
+        return cx.convex_convex(pos_a, rot_a, va, vma, na, nma,
+                                pos_b, rot_b, vb, vmb, nb, nmb, pred)
+    raise NotImplementedError((ka, kb))
+
+
+def _hull_gather(hull_ctx, side, sl):
+    """Static per-pair hull arrays for one kind-range slice."""
+    hulls, col_hull, pair_a, pair_b = hull_ctx
+    pairs = pair_a if side == 0 else pair_b
+    idx = col_hull[pairs[sl]]
+    return (hulls.verts[idx], hulls.vmask[idx],
+            hulls.normals[idx], hulls.nmask[idx])
 
 
 # kind combos per manifold-size class (canonical effective ordering);
@@ -481,17 +551,25 @@ def flat_contact_layout(kind_ranges):
 
 
 def generate_contacts_flat(kind_ranges, params_a, pos_a, rot_a,
-                           params_b, pos_b, rot_b, pred):
+                           params_b, pos_b, rot_b, pred, hull_ctx=None):
     """Kind-grouped narrowphase emitting the COMPACT flat contact layout:
     dict(normal [W,K,3], point [W,K,3], depth [W,K], active [W,K]) with K
     from flat_contact_layout (per-kind manifold sizes, no padding to 4)."""
     normals, points, depths, actives = [], [], [], []
     for (ka, kb), s0, s1 in kind_ranges:
-        kern = KIND_KERNELS[(ka, kb)]
         npts = KIND_POINTS[(ka, kb)]
         sl = slice(s0, s1)
-        m = kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
-                 params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pred)
+        pr = pred[:, sl] if jnp.ndim(pred) >= 2 else pred
+        if kb == sh.CONVEX:
+            hull_a = _hull_gather(hull_ctx, 0, sl) if ka == sh.CONVEX else None
+            hull_b = _hull_gather(hull_ctx, 1, sl)
+            m = _convex_kernel(ka, kb, hull_a, hull_b,
+                               params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
+                               params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pr)
+        else:
+            kern = KIND_KERNELS[(ka, kb)]
+            m = kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
+                     params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pr)
         w = m.points.shape[0]
         normals.append(jnp.repeat(m.normal, npts, axis=1))
         points.append(m.points[:, :, :npts].reshape(w, -1, 3))
@@ -516,8 +594,9 @@ def generate_contacts_grouped(kind_ranges, params_a, pos_a, rot_a,
     for (ka, kb), s0, s1 in kind_ranges:
         kern = KIND_KERNELS[(ka, kb)]
         sl = slice(s0, s1)
+        pr = pred[:, sl] if jnp.ndim(pred) >= 2 else pred
         outs.append(kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
-                         params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pred))
+                         params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pr))
     return Manifold(
         normal=jnp.concatenate([m.normal for m in outs], axis=1),
         points=jnp.concatenate([m.points for m in outs], axis=1),

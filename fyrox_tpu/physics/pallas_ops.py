@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["BLK", "pad_to", "pad_contacts", "plane_gather", "plane_scatter"]
+__all__ = ["BLK", "pad_to", "pad_contacts", "plane_gather", "plane_scatter",
+           "gather_rows", "count_lt"]
 
 BLK = 1024        # contacts per kernel block
 
@@ -62,14 +63,29 @@ def pad_contacts(x, k_pad, fill=0):
 # --------------------------------------------------------------------------
 
 def _gather_kernel(planes_ref, idx_ref, out_ref, *, bp):
+    """One-hot gather as a SINGLE-PASS bf16 MXU matmul, exact for f32.
+
+    The f32 value planes split into three bf16 planes (hi, mid, lo) whose
+    sum reconstructs all 24 mantissa bits; the one-hot matrix is exactly
+    representable in bf16, and the dot accumulates in f32 — so one
+    full-speed bf16 pass (394 TF/s on v5e) replaces the 3-6x slower
+    HIGHEST-precision f32 dot, bit-exactly (each output row sums exactly
+    one hi+mid+lo triple)."""
     row = idx_ref[0]                                     # [1, BLK]
     ohT = (jnp.broadcast_to(row, (bp, BLK))
            == jax.lax.broadcasted_iota(jnp.int32, (bp, BLK), 0)
-           ).astype(planes_ref.dtype)                    # [BP, BLK]
-    out_ref[0] = jax.lax.dot_general(
-        planes_ref[0], ohT, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)             # [A, BLK]
+           ).astype(jnp.bfloat16)                        # [BP, BLK]
+    p = planes_ref[0]                                    # [A, BP] f32
+    hi = p.astype(jnp.bfloat16)
+    rem = p - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    split = jnp.concatenate([hi, mid, lo], axis=0)       # [3A, BP] bf16
+    out3 = jax.lax.dot_general(
+        split, ohT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [3A, BLK]
+    a = p.shape[0]
+    out_ref[0] = out3[:a] + out3[a:2 * a] + out3[2 * a:]
 
 
 def plane_gather(planes, idx):
@@ -136,3 +152,45 @@ def plane_scatter(vals, idx, b_pad):
         out_specs=pl.BlockSpec((1, a_cnt, b_pad), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((w, a_cnt, b_pad), vals.dtype),
     )(vals, idx)
+
+
+# --------------------------------------------------------------------------
+# row-major convenience wrappers (handle layout + padding)
+# --------------------------------------------------------------------------
+
+def gather_rows(x, idx):
+    """x [W,B,D] gathered at row indices idx [W,K] → [W,K,D].
+
+    The TPU path transposes to attribute-major planes, pads B to a lane
+    multiple and K to the contact block, runs the one-hot MXU gather, and
+    transposes back (transposes are bandwidth ops — free next to an XLA
+    gather). Out-of-range / padding indices return zero rows.
+    """
+    w, b, d = x.shape
+    k = idx.shape[1]
+    if not _is_tpu():
+        idxc = jnp.clip(idx, 0, b - 1)[..., None]
+        out = jnp.take_along_axis(x, jnp.broadcast_to(idxc, (w, k, d)), axis=1)
+        return jnp.where((idx >= 0)[..., None] & (idx < b)[..., None], out, 0.0)
+    bp = pad_to(b, 128)
+    kp = pad_to(k, BLK)
+    planes = jnp.swapaxes(x, 1, 2)                     # [W,D,B]
+    if bp > b:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((w, d, bp - b), x.dtype)], axis=2)
+    idx2 = pad_contacts(jnp.where((idx >= 0) & (idx < b), idx, bp), kp,
+                        fill=bp)[:, None]              # [W,1,KP]
+    out = plane_gather(planes, idx2)                   # [W,D,KP]
+    return jnp.swapaxes(out[..., :k], 1, 2)
+
+
+def count_lt(skey, q, strict=True):
+    """Per-row counting rank: out[w, j] = #{k : skey[w, k] < q[w, j]}
+    (<= when strict=False) — the batched replacement for vmapped
+    jnp.searchsorted (XLA lowers that to a serial gather loop; this is one
+    fused compare-reduce). skey [W,K] need not be sorted. q [W,Q]."""
+    if strict:
+        hit = skey[:, None, :] < q[:, :, None]
+    else:
+        hit = skey[:, None, :] <= q[:, :, None]
+    return jnp.sum(hit.astype(jnp.int32), axis=-1)

@@ -45,12 +45,12 @@ def shape_aabb_half_extents(shape_type, params, rot_mat):
     absm = jnp.abs(rot_mat)
 
     ball = jnp.stack([r, r, r], axis=-1)
-    box = jnp.einsum("...ij,...j->...i", absm, params[..., :3], precision="highest")
+    box = jnp.sum(absm * params[..., None, :3], -1)
     # capsule/cylinder/cone: box of [rad, hh(+rad), rad] rotated
     cap_local = jnp.stack([rad, hh + rad, rad], axis=-1)
     cyl_local = jnp.stack([rad, hh, rad], axis=-1)
-    cap = jnp.einsum("...ij,...j->...i", absm, cap_local, precision="highest")
-    cyl = jnp.einsum("...ij,...j->...i", absm, cyl_local, precision="highest")
+    cap = jnp.sum(absm * cap_local[..., None, :], -1)
+    cyl = jnp.sum(absm * cyl_local[..., None, :], -1)
     huge = jnp.full(ball.shape, _HUGE, ball.dtype)
 
     # rotation-invariant sphere bounds for the data-backed shapes

@@ -225,6 +225,41 @@ class DirectedSeg(NamedTuple):
     friction: jnp.ndarray    # [W,P]
     restitution: jnp.ndarray # [W,P]
     window: int              # Mw: max pairs per body in this segment
+    # ---- slab-mode statics (None/0 in directed-compaction mode) ----
+    # With the slab broadphase the scanning side of every slot is STATIC
+    # (slot k belongs to grid collider k // slab_s): self-side gathers are
+    # a broadcast of per-collider values, partner-side gathers run through
+    # the pallas one-hot MXU kernel, and the scatter is a reshape-sum over
+    # each collider's slot window + a static one-hot collider→body matmul.
+    slab_swap: jnp.ndarray = None    # [W,P] canonical flip (a=j side)
+    slab_body_j: jnp.ndarray = None  # [W,P] partner body
+    slab_inc_gb: np.ndarray = None   # [Cg,B] static one-hot f32
+    slab_s: int = 0                  # slots per grid collider
+    own_pts: jnp.ndarray = None      # [W,P] true manifold size of the pair's
+                                     # kind (slab slots are padded to 4 pts;
+                                     # mass splitting must not count padding)
+
+
+def _slab_bcast(seg: DirectedSeg, x):
+    """Per-body x [W,B,D] → self-side per-slot values [W,P,D] (broadcast)."""
+    w, _, d = x.shape
+    xg = jnp.einsum("gb,wbd->wgd", jnp.asarray(seg.slab_inc_gb), x)
+    cg = seg.slab_inc_gb.shape[0]
+    return jnp.broadcast_to(xg[:, :, None, :], (w, cg, seg.slab_s, d)
+                            ).reshape(w, cg * seg.slab_s, d)
+
+
+def _gather_ab(seg: DirectedSeg, x):
+    """x [W,B,D] at (body_a, body_b) → ([W,P,D], [W,P,D])."""
+    if seg.slab_s:
+        from fyrox_tpu.physics.pallas_ops import gather_rows
+        gj = gather_rows(x, seg.slab_body_j)
+        gi = _slab_bcast(seg, x)
+        sw = seg.slab_swap[..., None]
+        return jnp.where(sw, gj, gi), jnp.where(sw, gi, gj)
+    a = _seg_gather_pairs(seg, x, seg.body_a)
+    b = _seg_gather_pairs(seg, x, seg.body_b)
+    return a, b
 
 
 def segment_bounds(body_self, num_bodies):
@@ -251,6 +286,11 @@ def _seg_scatter(seg: DirectedSeg, pair_vals, num_bodies):
     """
     w, p = pair_vals.shape[:2]
     d = pair_vals.shape[2]
+    if seg.slab_s:
+        cg = seg.slab_inc_gb.shape[0]
+        per_col = jnp.sum(pair_vals.reshape(w, cg, seg.slab_s, d), axis=2)
+        return jnp.einsum("gb,wgd->wbd", jnp.asarray(seg.slab_inc_gb),
+                          per_col, precision="highest")
     mw = seg.window
     idx = seg.bounds[:, :-1, None] + jnp.arange(mw, dtype=jnp.int32)  # [W,B,Mw]
     ok = idx < seg.bounds[:, 1:, None]
@@ -283,9 +323,7 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
     has_com_offset = com_np is None or bool(np.any(com_np))
 
     rmat0 = quat.to_mat3(rotation)
-    ii_world0 = jnp.einsum("wbij,bjk,wblk->wbil", rmat0,
-                           jnp.asarray(inv_inertia_local), rmat0,
-                           precision="highest")
+    ii_world0 = quat.sandwich_inv_inertia(rmat0, jnp.asarray(inv_inertia_local))
     com_off0 = quat.rotate(rotation, jnp.broadcast_to(com_local[None],
                                                       rotation.shape[:2] + (3,)))
     com_w0 = position + com_off0
@@ -298,9 +336,10 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
         # factor below; count^pow across distinct pairs)
         count = jnp.zeros((w, b), dtype)
         for seg in segs:
-            npts = seg.active.shape[2]
-            actp = jnp.sum(seg.active.astype(dtype), axis=2,
-                           keepdims=True) / npts
+            own = (seg.own_pts if seg.own_pts is not None
+                   else jnp.asarray(float(seg.active.shape[2]), dtype))
+            actp = (jnp.sum(seg.active.astype(dtype), axis=2)
+                    / own)[..., None]
             count = count + _seg_scatter(seg, actp, b)[..., 0]
         count = jnp.maximum(count, 1.0)
         if params.mass_split_pow != 1.0:
@@ -308,34 +347,36 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
 
     imass_wb = jnp.broadcast_to(imass[None, :], (w, b)) if imass.ndim == 1 else imass
 
-    def pgath(seg, x, idx):
-        return _seg_gather_pairs(seg, x, idx)
-
     preps = []
     for seg in segs:
         n = seg.normal
         t1, t2 = _orthonormal_tangents(n)
         actf = seg.active.astype(dtype)
-        im_a = pgath(seg, imass_wb[..., None], seg.body_a)[..., 0]   # [W,P]
-        im_b = pgath(seg, imass_wb[..., None], seg.body_b)[..., 0]
+        # one fused 14-attribute gather per side (imass | count | com | ii):
+        # the MXU one-hot gather costs the same for 1 or 128 attributes
+        body14 = jnp.concatenate([imass_wb[..., None], count[..., None],
+                                  com_w0, ii_world0.reshape(w, b, 9)], -1)
+        pa14, pb14 = _gather_ab(seg, body14)
+        im_a, im_b = pa14[..., 0], pb14[..., 0]                       # [W,P]
         im_s = jnp.where(seg.sigma > 0, im_a, im_b)
-        npts_seg = float(seg.active.shape[2])
-        cnt_a = pgath(seg, count[..., None], seg.body_a)[..., 0] * npts_seg
-        cnt_b = pgath(seg, count[..., None], seg.body_b)[..., 0] * npts_seg
-        com_a = pgath(seg, com_w0, seg.body_a)                        # [W,P,3]
-        com_b = pgath(seg, com_w0, seg.body_b)
+        own = (seg.own_pts if seg.own_pts is not None
+               else jnp.asarray(float(seg.active.shape[2]), dtype))
+        cnt_a = pa14[..., 1] * own
+        cnt_b = pb14[..., 1] * own
+        com_a = pa14[..., 2:5]                                        # [W,P,3]
+        com_b = pb14[..., 2:5]
         r_a = seg.point - com_a[:, :, None, :]                        # [W,P,n,3]
         r_b = seg.point - com_b[:, :, None, :]
         r_s = jnp.where((seg.sigma > 0)[..., None, None], r_a, r_b)
-        ii_a = pgath(seg, ii_world0.reshape(w, b, 9), seg.body_a).reshape(w, -1, 3, 3)
-        ii_b = pgath(seg, ii_world0.reshape(w, b, 9), seg.body_b).reshape(w, -1, 3, 3)
+        ii_a = pa14[..., 5:14].reshape(w, -1, 3, 3)
+        ii_b = pb14[..., 5:14].reshape(w, -1, 3, 3)
 
         def eff_mass(d, ii_a=ii_a, ii_b=ii_b, r_a=r_a, r_b=r_b,
                      im_a=im_a, im_b=im_b, cnt_a=cnt_a, cnt_b=cnt_b):
             rxd_a = jnp.cross(r_a, d)                                 # [W,P,n,3]
             rxd_b = jnp.cross(r_b, d)
-            ang_a = jnp.einsum("wpij,wpnj->wpni", ii_a, rxd_a, precision="highest")
-            ang_b = jnp.einsum("wpij,wpnj->wpni", ii_b, rxd_b, precision="highest")
+            ang_a = quat.mvb(ii_a, rxd_a)
+            ang_b = quat.mvb(ii_b, rxd_b)
             k_ = ((im_a * cnt_a + im_b * cnt_b)[..., None]
                   + cnt_a[..., None] * jnp.sum(rxd_a * ang_a, -1)
                   + cnt_b[..., None] * jnp.sum(rxd_b * ang_b, -1))
@@ -351,8 +392,7 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
 
     def rel_vel(seg, prep, lv, av):
         """[W,P,n,3] relative velocity at each manifold point."""
-        va6 = pgath(seg, jnp.concatenate([lv, av], -1), seg.body_a)
-        vb6 = pgath(seg, jnp.concatenate([lv, av], -1), seg.body_b)
+        va6, vb6 = _gather_ab(seg, jnp.concatenate([lv, av], -1))
         va = va6[..., None, :3] + jnp.cross(va6[..., None, 3:], prep["r_a"])
         vb = vb6[..., None, :3] + jnp.cross(vb6[..., None, 3:], prep["r_b"])
         return vb - va
@@ -372,8 +412,7 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
             dlin = dlin + sc[..., :3]
             dtorq = dtorq + sc[..., 3:]
         lv = lv + dlin
-        av = av + jnp.einsum("wbij,wbj->wbi", ii_world0, dtorq,
-                             precision="highest")
+        av = av + quat.mv(ii_world0, dtorq)
         return lv, av
 
     # restitution targets from pre-step approach velocity
@@ -531,8 +570,7 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
                 sc = _seg_scatter(seg, both, b)
                 dpos = dpos + sc[..., :3]
                 dtorq = dtorq + sc[..., 3:]
-            dtheta = jnp.einsum("wbij,wbj->wbi", ii_world0, dtorq,
-                                precision="highest")
+            dtheta = quat.mv(ii_world0, dtorq)
             pos_ = pos_ + dpos
             if has_com_offset:
                 com_b3 = jnp.broadcast_to(jnp.asarray(com_local)[None],
@@ -544,8 +582,7 @@ def solve_tgs_directed(position, rotation, linvel, angvel, com_local,
             rot_ = quat.normalize(rot_ + dq)
             new_depths = []
             for seg, prep, depth_ in zip(segs, preps, depths_):
-                da6 = pgath(seg, jnp.concatenate([dpos, dtheta], -1), seg.body_a)
-                db6 = pgath(seg, jnp.concatenate([dpos, dtheta], -1), seg.body_b)
+                da6, db6 = _gather_ab(seg, jnp.concatenate([dpos, dtheta], -1))
                 rel_corr = ((db6[..., None, :3] + jnp.cross(db6[..., None, 3:], prep["r_b"]))
                             - (da6[..., None, :3] + jnp.cross(da6[..., None, 3:], prep["r_a"])))
                 new_depths.append(depth_ - jnp.sum(
@@ -578,9 +615,7 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
 
     def body_kinematics(rot):
         rmat = quat.to_mat3(rot)
-        ii_world = jnp.einsum("wbij,bjk,wblk->wbil", rmat,
-                              jnp.asarray(inv_inertia_local), rmat,
-                              precision="highest")
+        ii_world = quat.sandwich_inv_inertia(rmat, jnp.asarray(inv_inertia_local))
         com_off = quat.rotate(rot, jnp.broadcast_to(com_local[None],
                                                     rot.shape[:2] + (3,)))
         return ii_world, com_off
@@ -653,8 +688,8 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
         def eff_mass(d):
             rxd_a = jnp.cross(r_a, d)
             rxd_b = jnp.cross(r_b, d)
-            ang_a = jnp.einsum("wkij,wkj->wki", ii_a_k, rxd_a, precision="highest")
-            ang_b = jnp.einsum("wkij,wkj->wki", ii_b_k, rxd_b, precision="highest")
+            ang_a = quat.mv(ii_a_k, rxd_a)
+            ang_b = quat.mv(ii_b_k, rxd_b)
             k_ = (im_a_raw * cnt_a + im_b_raw * cnt_b
                   + cnt_a * jnp.sum(rxd_a * ang_a, -1)
                   + cnt_b * jnp.sum(rxd_b * ang_b, -1))
@@ -673,8 +708,7 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
             lv_ = scat(lv_, -imp_d * im_a_raw[..., None], imp_d * im_b_raw[..., None])
             torque = scat(jnp.zeros_like(lv_), jnp.cross(r_a, -imp_d),
                           jnp.cross(r_b, imp_d))
-            av_ = av_ + jnp.einsum("wbij,wbj->wbi", ii_world0, torque,
-                                   precision="highest")
+            av_ = av_ + quat.mv(ii_world0, torque)
             return lv_, av_
 
     ii_w_all, _com_off_all = body_kinematics(rotation)
@@ -798,8 +832,7 @@ def solve_tgs(position, rotation, linvel, angvel, com_local,
                         imp_d * im_b_raw[..., None])
             torque = scat(jnp.zeros_like(pos_), jnp.cross(r_a, -imp_d),
                           jnp.cross(r_b, imp_d))
-            dtheta = jnp.einsum("wbij,wbj->wbi", ii_world0, torque,
-                                precision="highest")
+            dtheta = quat.mv(ii_world0, torque)
             pos_ = pos_ + dpos
             if has_com_offset:
                 # NGS rotates about the COM; the origin sits at -com_off

@@ -79,6 +79,11 @@ class PhysicsTemplate:
     joints: object = None          # JointSet (impulse joints, joint.rs:775)
     max_active_pairs: int = 0      # compaction width (0 = use P)
     grid: object = None            # broadphase.GridConfig (hash-grid mode)
+    # convex-polyhedron geometry (collider.rs:511 ConvexPolyhedron parity;
+    # cylinders/cones route through n-gon prism/pyramid hulls in dense
+    # mode instead of the round-1 capsule proxy)
+    hulls: object = None           # convex.ConvexSet
+    col_hull: np.ndarray = None    # [C] hull index (-1 none)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
     allowed_linear_error: float = 0.002
@@ -199,30 +204,59 @@ class PhysicsBuilder:
         return self._joints.add(kind, body_a, body_b, anchor_a, anchor_b,
                                 axis, ref_rot)
 
-    def add_collider(self, body, shape, params, density=1.0, friction=0.5,
+    def add_collider(self, body, shape, params=(), density=1.0, friction=0.5,
                      restitution=0.0, offset=(0, 0, 0), offset_rot=(0, 0, 0, 1),
-                     node=-1) -> int:
+                     node=-1, points=None) -> int:
+        """shape=shapes.CONVEX takes `points` (hull point cloud, local
+        space); params then holds only the derived bounding radius.
+        Cylinders/cones additionally register a 12-gon prism/pyramid hull
+        so the dense narrowphase resolves them with real SAT kernels
+        (collider.rs:511 Cylinder/Cone rows) instead of a capsule proxy."""
+        from fyrox_tpu.physics import convex as cx
         p6 = np.zeros(6, np.float32)
-        p6[:len(params)] = params
+        hull = -1
+        if int(shape) == sh.CONVEX:
+            if points is None:
+                raise ValueError("CONVEX collider needs points=")
+            verts, normals = cx.hull_from_points(points)
+            hull = self._hulls_add(verts, normals)
+            p6[0] = float(np.linalg.norm(verts, axis=1).max())
+        else:
+            p6[:len(params)] = params
+            if int(shape) == sh.CYLINDER:
+                verts, normals = cx.prism_hull(p6[0], p6[1], n=12)
+                hull = self._hulls_add(verts, normals)
+            elif int(shape) == sh.CONE:
+                verts, normals = cx.cone_hull(p6[0], p6[1], n=12)
+                hull = self._hulls_add(verts, normals)
         self._colliders.append(dict(body=body, shape=int(shape), params=p6,
                                     density=density, friction=friction,
                                     restitution=restitution,
                                     offset=np.asarray(offset, np.float32),
                                     offset_rot=np.asarray(offset_rot, np.float32),
-                                    node=node))
+                                    node=node, hull=hull))
         return len(self._colliders) - 1
+
+    def _hulls_add(self, verts, normals):
+        from fyrox_tpu.physics import convex as cx
+        if not hasattr(self, "_hulls"):
+            self._hulls = cx.ConvexBuilder()
+        return self._hulls.add(verts, normals)
 
     def build(self, max_active_pairs=0, broadphase="auto",
               grid_window=48, grid_caps=None, grid_windows_body=None,
-              **solver_kw) -> "PhysicsTemplate":
+              slab_window=(12, 8, 10), **solver_kw) -> "PhysicsTemplate":
         """broadphase: "dense" = static all-pairs candidate list (best for
         small scenes — unlocks the static-incidence MXU solver path);
-        "grid" = hash-grid + directed segment solver (O(C) — required at
-        large collider counts); "auto" picks grid at >= 192 colliders."""
+        "slab" = hash-grid into static per-collider candidate windows
+        (O(C), MXU-native gathers — the TPU production path for large
+        collider counts); "grid" = hash-grid + global stream compaction
+        (legacy, XLA-gather-bound on TPU); "auto" picks slab at >= 192
+        colliders."""
         nb = len(self._bodies)
         nc = len(self._colliders)
         if broadphase == "auto":
-            broadphase = "grid" if nc >= 192 else "dense"
+            broadphase = "slab" if nc >= 192 else "dense"
         inv_mass = np.zeros(nb, np.float32)
         inv_inertia = np.zeros((nb, 3, 3), np.float32)
         com = np.zeros((nb, 3), np.float32)
@@ -240,23 +274,39 @@ class PhysicsBuilder:
                 [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]],
                 np.float64)
 
+        def _collider_mass(c):
+            """(mass, inertia about the shape's own COM in shape-local
+            axes, COM in collider-local space)."""
+            if c["shape"] == sh.CONVEX:
+                from fyrox_tpu.physics.convex import hull_mass
+                v = self._hulls.verts[c["hull"]]
+                n = self._hulls.normals[c["hull"]]
+                m, com_h, i_com = hull_mass(v, n, c["density"])
+                return m, i_com, com_h
+            m, i_local = sh.mass_properties(c["shape"], c["params"],
+                                            c["density"])
+            return m, i_local, np.zeros(3)
+
         for bi, body in enumerate(self._bodies):
             if body["body_type"] != DYNAMIC:
                 continue
             cols = by_body.get(bi, [])
-            props = [(sh.mass_properties(c["shape"], c["params"], c["density"]), c)
-                     for c in cols]
-            mass = sum(m for (m, _i), _c in props)
+            props = [(_collider_mass(c), c) for c in cols]
+            mass = sum(m for (m, _i, _cm), _c in props)
             if mass <= 0.0:
                 # rapier gives massless dynamic bodies unit mass behavior:
                 # keep them translating-only with unit mass
                 inv_mass[bi] = 1.0
                 continue
-            com[bi] = sum(m * c["offset"] for (m, _i), c in props) / mass
+            centers = [(c["offset"]
+                        + _np_quat_mat(c["offset_rot"]) @ cm)
+                       for (_m, _i, cm), c in props]
+            com[bi] = sum(m * ctr for ((m, _i, _cm), _c), ctr
+                          in zip(props, centers)) / mass
             inertia = np.zeros((3, 3))
-            for (m, i_local), c in props:
+            for ((m, i_local, _cm), c), ctr in zip(props, centers):
                 r = _np_quat_mat(c["offset_rot"])
-                d = c["offset"] - com[bi]
+                d = ctr - com[bi]
                 inertia += (r @ i_local @ r.T
                             + m * (np.dot(d, d) * np.eye(3) - np.outer(d, d)))
             inv_mass[bi] = 1.0 / mass
@@ -277,6 +327,12 @@ class PhysicsBuilder:
                 col_shape_arr, col_params_arr, col_body, body_type,
                 margin=margin, window=grid_window, caps=grid_caps,
                 windows_body=grid_windows_body)
+        elif broadphase == "slab" and nc:
+            from fyrox_tpu.physics.broadphase import build_slab_config
+            margin = solver_kw.get("allowed_linear_error", 0.002) + 0.05
+            grid_cfg = build_slab_config(
+                col_shape_arr, col_params_arr, col_body, body_type,
+                margin=margin, window=slab_window)
 
         if grid_cfg is not None:
             pa = pb = np.zeros(0, np.int32)
@@ -284,10 +340,15 @@ class PhysicsBuilder:
         else:
             # dense mode: static all-pairs candidate list, sorted by
             # effective shape kind so the grouped narrowphase runs each
-            # kernel on one contiguous slice
+            # kernel on one contiguous slice. Cylinders/cones with a
+            # registered hull dispatch as CONVEX (real SAT) here.
             from fyrox_tpu.physics.narrowphase import effective_kind
-            kinds = np.asarray([effective_kind(c["shape"])
-                                for c in self._colliders], np.int32)
+            kinds = np.asarray(
+                [sh.CONVEX if (c["shape"] == sh.CONVEX
+                               or (c["shape"] in (sh.CYLINDER, sh.CONE)
+                                   and c.get("hull", -1) >= 0))
+                 else effective_kind(c["shape"])
+                 for c in self._colliders], np.int32)
             ii, jj = np.triu_indices(nc, k=1)
             keep = (col_body[ii] != col_body[jj]) &                ((body_type[col_body[ii]] == DYNAMIC)
                     | (body_type[col_body[jj]] == DYNAMIC))
@@ -338,6 +399,9 @@ class PhysicsBuilder:
             pair_a=np.asarray(pa, np.int32),
             pair_b=np.asarray(pb, np.int32),
             pair_kind_ranges=kind_ranges,
+            hulls=(self._hulls.build() if hasattr(self, "_hulls") else None),
+            col_hull=np.asarray([c.get("hull", -1)
+                                 for c in self._colliders], np.int32),
             joints=(self._joints.build(com_local=com)
                     if self._joints is not None else None),
             max_active_pairs=max_active_pairs,
@@ -363,9 +427,13 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     b = template.num_bodies
     z = jnp.zeros((w, b, 3), jnp.float32)
     if template.grid is not None:
-        from fyrox_tpu.physics.broadphase import CLASS_NPTS
-        kk = sum(c * n for c, n in zip(template.grid.caps, CLASS_NPTS))
-        cap = sum(template.grid.caps)
+        from fyrox_tpu.physics.broadphase import CLASS_NPTS, SlabConfig
+        if isinstance(template.grid, SlabConfig):
+            cap = template.grid.n_slots
+            kk = template.grid.slot_points
+        else:
+            kk = sum(c * n for c, n in zip(template.grid.caps, CLASS_NPTS))
+            cap = sum(template.grid.caps)
     else:
         cap = min(template.max_active_pairs or template.num_pairs,
                   template.num_pairs)
@@ -412,13 +480,14 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     gscale = jnp.asarray(t.gravity_scale)[None, :, None]
     accel = jnp.where(dyn, g * gscale + state.force * inv_mass[..., None], 0.0)
     rmat = quat.to_mat3(state.rotation)
-    ii_world = jnp.einsum("wbij,bjk,wblk->wbil", rmat,
-                          jnp.asarray(t.inv_inertia_local), rmat,
-                          precision="highest")
+    ii_world = quat.sandwich_inv_inertia(rmat, jnp.asarray(t.inv_inertia_local))
     angvel = state.angvel + dt * jnp.where(
-        dyn, jnp.einsum("wbij,wbj->wbi", ii_world, state.torque, precision="highest"), 0.0)
+        dyn, quat.mv(ii_world, state.torque), 0.0)
 
     if t.grid is not None:
+        from fyrox_tpu.physics.broadphase import SlabConfig
+        if isinstance(t.grid, SlabConfig):
+            return _step_physics_slab(state, t, dt, accel, angvel, inv_mass)
         return _step_physics_grid(state, t, dt, accel, angvel, inv_mass)
 
     # ---- broadphase + narrowphase (once per step, rapier-style) ----
@@ -435,6 +504,17 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         margin = t.allowed_linear_error + SPECULATIVE_MARGIN
         he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
         amin, amax = cpos - he, cpos + he
+        # ---- CCD (speculative-contact model, rapier max_ccd_substeps
+        # semantics physics/mod.rs:905): sweep the fat AABB along the
+        # body's motion so fast movers still broad-phase against what
+        # they will hit this step; the per-pair prediction distance below
+        # then activates the contact early and the solver's sep/h bias
+        # clamps approach to exactly close the gap (no tunneling, no
+        # separate TOI solve — the TGS substeps are the CCD substeps) ----
+        cb_all = jnp.asarray(t.col_body)
+        v_sweep = state.linvel[:, cb_all] * dt
+        amin = amin + jnp.minimum(v_sweep, 0.0)
+        amax = amax + jnp.maximum(v_sweep, 0.0)
         # halfspace AABB = its actual half-volume (see _step_physics_grid)
         is_hs = (ctype == sh.HALFSPACE)[None, :, None]
         n_hs = crot[..., :, 1]
@@ -471,18 +551,26 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
         dense_mode = cap >= t.num_pairs and t.pair_kind_ranges is not None
         if dense_mode:
             # dense static pair list: kind-grouped narrowphase emitting the
-            # COMPACT contact layout (per-kind manifold sizes)
+            # COMPACT contact layout (per-kind manifold sizes).
+            # prediction distance grows with the pair's relative speed so
+            # CCD-swept candidates activate before impact (see sweep above)
             pa_s, pb_s = t.pair_a, t.pair_b
+            pred_p = margin + jnp.linalg.norm(
+                v_sweep[:, pa_s] - v_sweep[:, pb_s], axis=-1)
+            hull_ctx = (None if t.hulls is None else
+                        (t.hulls, t.col_hull, t.pair_a, t.pair_b))
             flat = np_mod.generate_contacts_flat(
                 t.pair_kind_ranges,
                 cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
                 cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
-                pred=jnp.asarray(margin, dtype))
+                pred=pred_p.astype(dtype), hull_ctx=hull_ctx)
         else:
+            pred_p = margin + jnp.linalg.norm(
+                gat2(v_sweep, ia_c) - gat2(v_sweep, ib_c), axis=-1)
             man = np_mod.generate_contacts(
                 ctype[ia_c], cparams[ia_c], gat2(cpos, ia_c), gat2(crot, ia_c),
                 ctype[ib_c], cparams[ib_c], gat2(cpos, ib_c), gat2(crot, ib_c),
-                pred=jnp.asarray(margin, dtype))
+                pred=pred_p.astype(dtype))
 
         cb = jnp.asarray(t.col_body)
         if dense_mode:
@@ -591,6 +679,187 @@ def _apply_locks_damping(state, t, dt, position, rotation, linvel, angvel):
     linvel = linvel / (1.0 + dt * ld)
     angvel = angvel / (1.0 + dt * ad)
     return position, rotation, linvel, angvel
+
+
+def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
+    """Slab-broadphase step: static per-collider candidate windows →
+    full-dispatch narrowphase on canonically-swapped slot data →
+    solve_tgs_directed with slab (broadcast/MXU-gather/reshape-sum) ops.
+
+    This is the TPU production path for large collider counts: it has NO
+    take_along_axis / searchsorted on wide tensors (both lower to
+    near-scalar code on TPU — measured ~58 ms for one [32,24k,6] gather
+    on v5e, vs ~1 ms for the pallas one-hot MXU formulation)."""
+    from fyrox_tpu.physics import broadphase as bp_mod
+    from fyrox_tpu.physics.pallas_ops import gather_rows
+
+    w = state.position.shape[0]
+    dtype = state.position.dtype
+    b = t.num_bodies
+    c = t.num_colliders
+    sc = t.grid
+    cg = int(sc.grid_cols.size)
+
+    # collider world pose via static one-hot matmuls (no body→collider
+    # gather): inc_cb [C,B]
+    inc_cb = np.zeros((c, b), np.float32)
+    inc_cb[np.arange(c), np.asarray(t.col_body)] = 1.0
+    inc_cb = jnp.asarray(inc_cb)
+    bq = jnp.einsum("cb,wbd->wcd", inc_cb, state.rotation)
+    bp_ = jnp.einsum("cb,wbd->wcd", inc_cb, state.position)
+    cq = jnp.asarray(t.col_rot)[None]
+    cp = jnp.asarray(t.col_pos)[None]
+    wq = quat.mul(bq, jnp.broadcast_to(cq, bq.shape))
+    cpos = bp_ + quat.rotate(bq, jnp.broadcast_to(cp, bp_.shape))
+    crot = quat.to_mat3(wq)
+
+    ctype = jnp.asarray(t.col_shape)
+    cparams = jnp.asarray(t.col_params)
+    margin = t.allowed_linear_error + SPECULATIVE_MARGIN
+    he = sh.shape_aabb_half_extents(ctype[None], cparams[None], crot) + margin
+    amin, amax = cpos - he, cpos + he
+    # CCD sweep (speculative-contact model; see step_physics dense path).
+    # The slab walk requires AABB extents <= cell, so sweeps clamp to the
+    # per-collider cap — CCD coverage up to ~cell/dt closing speed.
+    v_col = jnp.einsum("cb,wbd->wcd", inc_cb, state.linvel)
+    v_sweep = v_col * dt
+    cap3 = jnp.asarray(sc.sweep_cap)[None, :, None]
+    swc = jnp.clip(v_sweep, -cap3, cap3)
+    amin = amin + jnp.minimum(swc, 0.0)
+    amax = amax + jnp.maximum(swc, 0.0)
+    is_hs = (ctype == sh.HALFSPACE)[None, :, None]
+    n_hs = crot[..., :, 1]
+    amax = jnp.where(is_hs, cpos + sh._HUGE * (1.0 - n_hs) + margin, amax)
+    amin = jnp.where(is_hs, cpos - sh._HUGE * (1.0 + n_hs) - margin, amin)
+
+    col_body_np = np.asarray(t.col_body)
+    dyn_col = (np.asarray(t.body_type)[col_body_np] == DYNAMIC)
+    cands = bp_mod.slab_candidates(sc, col_body_np, dyn_col, amin, amax)
+
+    # per-collider attribute planes (dynamic pose 12 | params 6 | type |
+    # friction | restitution = 21) built once; each class gathers its
+    # partner rows with ONE MXU one-hot gather and broadcasts its static
+    # scanning side
+    planes = jnp.concatenate(
+        [cpos, crot.reshape(w, c, 9),
+         jnp.broadcast_to(jnp.concatenate(
+             [cparams, ctype[:, None].astype(dtype),
+              jnp.asarray(t.col_friction)[:, None],
+              jnp.asarray(t.col_restitution)[:, None]], -1)[None],
+             (w, c, 9)), v_sweep], -1)                          # [W,C,24]
+    inc_gc = jnp.asarray(sc.inc_gc)
+    iplane_col = jnp.einsum("gc,wcd->wgd", inc_gc,
+                            jnp.concatenate([planes[..., :12],
+                                             v_sweep], -1))     # [W,Cg,15]
+
+    segs, warm_in, seg_npts = [], [], []
+    koff = 0
+    poff = 0
+    pid_parts = []
+    for cls_idx, cand in enumerate(cands):
+        kp_c = cand.j_real.shape[1]
+        if kp_c == 0:
+            continue
+        nslot_c = sc.nslot(cls_idx)
+        npts = bp_mod.CLASS_NPTS[cls_idx]
+        i_static = np.repeat(sc.grid_cols, nslot_c)
+
+        jdat = gather_rows(planes, cand.j_real)                 # [W,K_c,24]
+        j_pos, j_rot = jdat[..., :3], jdat[..., 3:12].reshape(w, kp_c, 3, 3)
+        j_params, j_type = jdat[..., 12:18], jdat[..., 18].astype(jnp.int32)
+        j_fric, j_rest = jdat[..., 19], jdat[..., 20]
+        j_vs = jdat[..., 21:24]
+
+        idyn = jnp.broadcast_to(iplane_col[:, :, None, :],
+                                (w, cg, nslot_c, 15)).reshape(w, kp_c, 15)
+        i_pos, i_rot = idyn[..., :3], idyn[..., 3:12].reshape(w, kp_c, 3, 3)
+        pred_c = (margin + jnp.linalg.norm(idyn[..., 12:15] - j_vs, axis=-1)
+                  ).astype(dtype)
+        i_type = jnp.asarray(t.col_shape[i_static])[None]
+        i_params = jnp.asarray(t.col_params[i_static])[None]
+        i_fric = jnp.asarray(t.col_friction[i_static])[None]
+        i_rest = jnp.asarray(t.col_restitution[i_static])[None]
+
+        sw1 = cand.swap
+        sw3 = sw1[..., None]
+        sw33 = sw1[..., None, None]
+        type_a = jnp.where(sw1, j_type, i_type)
+        type_b = jnp.where(sw1, i_type, j_type)
+        params_a = jnp.where(sw3, j_params, i_params)
+        params_b = jnp.where(sw3, i_params, j_params)
+        pos_a = jnp.where(sw3, j_pos, i_pos)
+        pos_b = jnp.where(sw3, i_pos, j_pos)
+        rot_a = jnp.where(sw33, j_rot, i_rot)
+        rot_b = jnp.where(sw33, i_rot, j_rot)
+
+        man = np_mod.generate_contacts_class(
+            cls_idx, type_a, params_a, pos_a, rot_a,
+            type_b, params_b, pos_b, rot_b, pred=pred_c)
+
+        body_i = jnp.asarray(col_body_np[i_static])[None]
+        body_a = jnp.where(sw1, cand.body_j, body_i)
+        body_b = jnp.where(sw1, body_i, cand.body_j)
+        segs.append(solver_mod.DirectedSeg(
+            body_a=body_a, body_b=body_b,
+            sigma=jnp.where(sw1, -1.0, 1.0).astype(dtype),
+            body_self=body_a, bounds=None,
+            normal=man.normal, point=man.points, depth=man.depth,
+            active=man.active & cand.valid[:, :, None],
+            friction=jnp.sqrt(i_fric * j_fric),
+            restitution=jnp.maximum(i_rest, j_rest),
+            window=0,
+            slab_swap=cand.swap, slab_body_j=cand.body_j,
+            slab_inc_gb=sc.inc_gb, slab_s=nslot_c))
+        seg_npts.append(npts)
+        pid_parts.append(cand.pid)
+
+        if state.warm_n is not None:
+            kk_c = kp_c * npts
+            same = ((state.warm_pair[:, poff:poff + kp_c] == cand.pid)
+                    & cand.valid)
+            warm_in.append(tuple(
+                (arr[:, koff:koff + kk_c] * jnp.repeat(same, npts, axis=1)
+                 ).reshape(w, kp_c, npts)
+                for arr in (state.warm_n, state.warm_t1, state.warm_t2)))
+        koff += kp_c * npts
+        poff += kp_c
+
+    sp = solver_mod.SolverParams(
+        dt=jnp.asarray(dt, dtype), erp=t.erp,
+        allowed_linear_error=t.allowed_linear_error,
+        max_corrective_velocity=t.max_corrective_velocity,
+        restitution_threshold=t.restitution_threshold,
+        n_substeps=t.n_substeps, n_pgs=t.n_pgs,
+        n_stabilization=t.n_stabilization,
+        warmstart_coefficient=t.warmstart_coefficient,
+        mass_split_pow=t.mass_split_pow)
+
+    position, rotation, linvel, angvel, lam_out = solver_mod.solve_tgs_directed(
+        state.position, state.rotation, state.linvel, angvel,
+        jnp.asarray(t.com_local), inv_mass, jnp.asarray(t.inv_inertia_local),
+        accel, segs, sp, warm=(warm_in if warm_in else None),
+        joints=t.joints)
+
+    position, rotation, linvel, angvel = _apply_locks_damping(
+        state, t, dt, position, rotation, linvel, angvel)
+
+    if state.warm_n is not None and lam_out:
+        warm_n = jnp.concatenate(
+            [lam[0].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_t1 = jnp.concatenate(
+            [lam[1].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_t2 = jnp.concatenate(
+            [lam[2].reshape(w, -1) for lam in lam_out], axis=1)
+        warm_pair = jnp.concatenate(pid_parts, axis=1)
+    else:
+        warm_n, warm_t1, warm_t2 = state.warm_n, state.warm_t1, state.warm_t2
+        warm_pair = state.warm_pair
+    return PhysicsState(position=position, rotation=rotation,
+                        linvel=linvel, angvel=angvel,
+                        force=jnp.zeros_like(state.force),
+                        torque=jnp.zeros_like(state.torque),
+                        warm_n=warm_n, warm_t1=warm_t1, warm_t2=warm_t2,
+                        warm_pair=warm_pair)
 
 
 def _step_physics_grid(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
