@@ -1,0 +1,74 @@
+"""Render benchmark: BASELINE config #5 — deferred render + CSM at
+256x256/world (the target shape is W=4096 over 8 chips; this measures
+one chip's share and reports ms/frame/world and frames/s/chip).
+
+Prints ONE JSON line like bench.py. Tune with:
+    FYROX_BENCH_RENDER_WORLDS (default 16)
+    FYROX_BENCH_RENDER_SIZE   (default 256)
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                  make_cube, make_plane, make_sphere,
+                                  render_frame)
+    from fyrox_tpu.scene import SceneBuilder, graph, init_state
+
+    n_worlds = int(os.environ.get("FYROX_BENCH_RENDER_WORLDS", 16))
+    size = int(os.environ.get("FYROX_BENCH_RENDER_SIZE", 256))
+    use_pallas = jax.default_backend() == "tpu"
+
+    # a deferred-lit scene: ground + a grid of lit objects + dir light (CSM)
+    sb = SceneBuilder()
+    sb.add_mesh(make_plane(40.0, albedo=(0.5, 0.5, 0.5)), name="ground")
+    rng = np.random.default_rng(0)
+    for i in range(64):
+        x, z = rng.uniform(-10, 10, 2)
+        if i % 2:
+            sb.add_mesh(make_cube(1.0, albedo=(0.7, 0.3, 0.2)),
+                        position=(x, 0.5, z))
+        else:
+            sb.add_mesh(make_sphere(0.5, slices=8, stacks=8, albedo=(0.2, 0.4, 0.7)),
+                        position=(x, 0.5, z))
+    tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+    sb.add_light("directional", rotation=tilt, intensity=2.0)
+    look_down = (np.sin(np.pi / 8), 0.0, 0.0, np.cos(np.pi / 8))
+    sb.add_camera("cam", position=(0, 8.0, -14.0), rotation=look_down)
+    t = sb.build()
+    st = graph.update_hierarchical_data(init_state(t, n_worlds), t)
+    rt = build_render_template(t)
+    cfg = RenderConfig(width=size, height=size, shadows=True,
+                       use_pallas=use_pallas)
+
+    frame = jax.jit(lambda s: render_frame(s, t, rt, cfg)[0])
+    color = jax.block_until_ready(frame(st))
+    float(jnp.sum(color))            # hard sync through the axon tunnel
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        color = frame(st)
+        float(jnp.sum(color))
+        times.append(time.time() - t0)
+    dt = min(times)
+    ms_per_world = dt / n_worlds * 1e3
+    fps_chip = n_worlds / dt
+    print(json.dumps({
+        "metric": f"deferred+CSM frames/s/chip (W={n_worlds}, {size}x{size}, "
+                  f"65 meshes, dir light 3-cascade CSM)",
+        "value": round(fps_chip, 1),
+        "unit": "frames/s/chip",
+        "ms_per_frame_per_world": round(ms_per_world, 3),
+        "vs_baseline": round(fps_chip / (4096 * 60 / 8), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,9 @@ class MeshData:
     metallic: float = 0.0
     roughness: float = 0.8
     emission: tuple = (0.0, 0.0, 0.0)
+    # < 1 routes the mesh through the forward/transparent pass
+    # (RenderPath::Forward, renderer/mod.rs:1066-1115)
+    alpha: float = 1.0
 
     @property
     def bbox(self):

@@ -40,6 +40,12 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False      # tiled/binned Pallas visibility kernel
     k_per_tile: int = 512         # Pallas: max binned triangles per tile
     pallas_interpret: bool = False
+    # per-light shadow maps (renderer/shadow/{spot,point}.rs) — opt-in,
+    # each enabled light adds a depth pass (6 for point cubes)
+    spot_shadows: bool = False
+    point_shadows: bool = False
+    spot_shadow_size: int = 128
+    point_shadow_size: int = 64
 
 
 @dataclass
@@ -75,6 +81,10 @@ class RenderTemplate:
     lod_obj: np.ndarray = None       # [Lo] int32
     lod_begin: np.ndarray = None     # [Lo] f32
     lod_end: np.ndarray = None       # [Lo] f32
+    # transparent (forward-pass) triangle subset: static indices into
+    # `triangles` + per-triangle opacity (meshes with alpha < 1)
+    tr_tri: np.ndarray = None        # [Tt] int32
+    tr_alpha: np.ndarray = None      # [Tt] f32
 
     @property
     def num_triangles(self):
@@ -85,6 +95,7 @@ def build_render_template(template: SceneTemplate,
                           camera_index: int = 0) -> RenderTemplate:
     """Pack all MESH payloads of a SceneTemplate + its lights/camera."""
     pos, nrm, tris, vnode, tnode, alb, mat, emi = [], [], [], [], [], [], [], []
+    tri_alpha = []
     voff = 0
     for node_idx in range(template.num_nodes):
         if template.node_type[node_idx] != NodeType.MESH:
@@ -100,6 +111,8 @@ def build_render_template(template: SceneTemplate,
         mat.append(np.tile(np.asarray([mesh.metallic, mesh.roughness],
                                       np.float32), (v, 1)))
         emi.append(np.tile(np.asarray(mesh.emission, np.float32), (v, 1)))
+        tri_alpha.append(np.full(mesh.triangles.shape[0],
+                                 getattr(mesh, "alpha", 1.0), np.float32))
         voff += v
     n_sprites = len((template.sprites or {}).get("node", []))
     if not pos and not n_sprites:
@@ -113,6 +126,7 @@ def build_render_template(template: SceneTemplate,
         alb = [np.zeros((3, 3), np.float32)]
         mat = [np.zeros((3, 2), np.float32)]
         emi = [np.zeros((3, 3), np.float32)]
+        tri_alpha = [np.zeros(0, np.float32)]
 
     sp = template.sprites if template.sprites else {}
     ns = len(sp.get("node", []))
@@ -150,6 +164,10 @@ def build_render_template(template: SceneTemplate,
                      else np.zeros(0, np.float32)),
         sprite_color=(np.stack(sp["color"]).astype(np.float32) if ns
                       else np.zeros((0, 3), np.float32)),
+        tr_tri=np.flatnonzero(np.concatenate(tri_alpha) < 0.999
+                              ).astype(np.int32),
+        tr_alpha=np.concatenate(tri_alpha)[
+            np.concatenate(tri_alpha) < 0.999].astype(np.float32),
         **_flatten_lod(template),
     )
 
@@ -220,6 +238,13 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         node_vis = node_vis & lod_vis[:-1]
 
     tri_valid = node_vis[jnp.asarray(rt.tri_node)]
+    # transparent triangles skip the deferred pass (RenderPath::Forward,
+    # renderer/mod.rs:1066): they composite after shading, below
+    has_transparent = rt.tr_tri is not None and rt.tr_tri.shape[0] > 0
+    if has_transparent:
+        opq = np.ones(rt.triangles.shape[0], bool)
+        opq[rt.tr_tri] = False
+        tri_valid = tri_valid & jnp.asarray(opq)
 
     attrs = dict(
         albedo=jnp.asarray(rt.albedo)[tri],
@@ -292,6 +317,10 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         )
 
         shadow_fn = None
+        di = -1
+        cascade_vps = depth_maps = None
+        spot_maps = {}
+        point_maps = {}
         if config.shadows and np.any(rt.light_kind == lighting_mod.DIRECTIONAL):
             di = int(np.nonzero(rt.light_kind == lighting_mod.DIRECTIONAL)[0][0])
             sdir = ldir[di]
@@ -303,13 +332,45 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 tri_valid=tri_valid, chunk=config.chunk,
                 use_pallas=config.use_pallas, k_per_tile=config.k_per_tile,
                 pallas_interpret=config.pallas_interpret)
-
+        if config.shadows and config.spot_shadows:
+            for si in np.nonzero(rt.light_kind == lighting_mod.SPOT)[0]:
+                si = int(si)
+                svp = shadows_mod.spot_vp(lpos[si], ldir[si],
+                                          jnp.asarray(rt.light_cos_falloff)[si],
+                                          z_far=float(rt.light_radius[si])
+                                          if rt.light_radius[si] > 0 else 100.0)
+                smap = shadows_mod.render_map_depth(
+                    tri_pos, svp, config.spot_shadow_size,
+                    tri_valid=tri_valid, chunk=config.chunk,
+                    use_pallas=config.use_pallas,
+                    k_per_tile=config.k_per_tile,
+                    pallas_interpret=config.pallas_interpret)
+                spot_maps[si] = (svp, smap)
+        if config.shadows and config.point_shadows:
+            for pi in np.nonzero(rt.light_kind == lighting_mod.POINT)[0]:
+                pi = int(pi)
+                zf = float(rt.light_radius[pi]) if rt.light_radius[pi] > 0 else 100.0
+                pvps, pmaps = shadows_mod.render_point_depths(
+                    tri_pos, lpos[pi], config.point_shadow_size,
+                    tri_valid=tri_valid, chunk=config.chunk, z_far=zf,
+                    use_pallas=config.use_pallas,
+                    k_per_tile=config.k_per_tile,
+                    pallas_interpret=config.pallas_interpret)
+                point_maps[pi] = (pvps, pmaps)
+        if di >= 0 or spot_maps or point_maps:
             def shadow_fn(li_, world_pos):
-                if li_ != di:
-                    return None
-                return shadows_mod.csm_visibility(
-                    world_pos, view, cascade_vps, depth_maps,
-                    min(rt.z_far, 100.0), config.csm)
+                if li_ == di:
+                    return shadows_mod.csm_visibility(
+                        world_pos, view, cascade_vps, depth_maps,
+                        min(rt.z_far, 100.0), config.csm)
+                if li_ in spot_maps:
+                    svp, smap = spot_maps[li_]
+                    return shadows_mod.map_visibility(world_pos, svp, smap)
+                if li_ in point_maps:
+                    pvps, pmaps = point_maps[li_]
+                    return shadows_mod.point_visibility(
+                        world_pos, lpos[li_], pvps, pmaps)
+                return None
 
         cam_pos = cam_g[:3, 3]
         color = lighting_mod.shade(gbuf, lights, cam_pos,
@@ -324,6 +385,21 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                + jnp.asarray(config.sky_horizon) * ys)
         color = jnp.where(gbuf.mask[..., None], color,
                           jnp.broadcast_to(sky, color.shape))
+
+    # ---- forward/transparent pass (renderer/mod.rs:1066-1115) ----
+    if has_transparent:
+        from fyrox_tpu.render import transparent as transp_mod
+        tri_t = rt.triangles[rt.tr_tri]                      # static numpy
+        t_attrs = dict(albedo=jnp.asarray(rt.albedo)[jnp.asarray(tri_t)],
+                       normal=wn[jnp.asarray(tri_t)],
+                       position=wpos[jnp.asarray(tri_t)])
+        t_valid = node_vis[jnp.asarray(rt.tri_node[rt.tr_tri])]
+        color = transp_mod.composite_transparent(
+            color, gbuf.depth, gbuf.mask,
+            clip[jnp.asarray(tri_t)], t_attrs, jnp.asarray(rt.tr_alpha),
+            config.height, config.width,
+            lights=(lights if nl else None), cam_pos=cam_g[:3, 3],
+            ambient=config.ambient, tri_valid=t_valid, chunk=config.chunk)
     return color, gbuf
 
 

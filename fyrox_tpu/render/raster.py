@@ -112,7 +112,7 @@ def clip_near(tri_clip, tri_attrs, tri_valid, eps=1e-4):
 
 
 def rasterize(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height, width,
-              tri_valid=None, chunk=64, near_clip=True):
+              tri_valid=None, chunk=64, near_clip=True, backface_cull=True):
     """Rasterize triangles into a G-buffer.
 
     tri_clip: [T,3,4] clip-space vertices (single image; vmap over worlds).
@@ -167,8 +167,13 @@ def rasterize(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height, width,
         y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
         area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # [C]
         # cull: backfaces (area >= 0 in y-down space == CW == GL backface),
-        # any vertex behind the near plane (no clipping in round 1), invalid
-        ok = valid & (area < -1e-9) & ~jnp.any(behind, axis=-1)
+        # any vertex behind the near plane (no clipping in round 1), invalid.
+        # Depth-only shadow passes disable culling (a caster must occlude
+        # from every direction, matching GL shadow passes without cull).
+        if backface_cull:
+            ok = valid & (area < -1e-9) & ~jnp.any(behind, axis=-1)
+        else:
+            ok = valid & (jnp.abs(area) > 1e-9) & ~jnp.any(behind, axis=-1)
         inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-9, 1.0, area)
 
         def edge(xa, ya, xb, yb):
@@ -179,7 +184,11 @@ def rasterize(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height, width,
         w0 = edge(x1, y1, x2, y2) * inv_area[:, None, None]
         w1 = edge(x2, y2, x0, y0) * inv_area[:, None, None]
         w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & ok[:, None, None]
+        # depth-only (no-cull) passes tolerate a tiny negative barycentric:
+        # shared-edge pixels must not leak light through a watertight
+        # caster (FP noise on the diagonal otherwise opens pinholes)
+        thr = 0.0 if backface_cull else -1e-5
+        inside = (w0 >= thr) & (w1 >= thr) & (w2 >= thr) & ok[:, None, None]
 
         z = (w0 * sz[:, 0, None, None] + w1 * sz[:, 1, None, None]
              + w2 * sz[:, 2, None, None])

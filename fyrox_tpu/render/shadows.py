@@ -119,7 +119,8 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
                                  interpret=pallas_interpret)
         else:
             g = raster_mod.rasterize(clip, attrs, map_size, map_size,
-                                     tri_valid=tri_valid, chunk=chunk)
+                                     tri_valid=tri_valid, chunk=chunk,
+                                     backface_cull=False)
         return g.depth
 
     return jax.vmap(one)(cascade_vps)
@@ -170,3 +171,139 @@ def csm_visibility(world_pos, view, cascade_vps, depth_maps,
     else:
         vis = sample(0, 0)
     return jnp.where(inside, vis, 1.0)
+
+
+# --------------------------------------------------------------------------
+# spot + point shadow maps (renderer/shadow/spot.rs:49, point.rs:50)
+# --------------------------------------------------------------------------
+
+def _perspective_from(fov_y, z_near, z_far):
+    f = 1.0 / jnp.tan(jnp.asarray(fov_y) * 0.5)
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, 0].set(f)
+    m = m.at[1, 1].set(f)
+    m = m.at[2, 2].set((z_far + z_near) / (z_near - z_far))
+    m = m.at[2, 3].set(2.0 * z_far * z_near / (z_near - z_far))
+    m = m.at[3, 2].set(-1.0)
+    return m
+
+
+def _look_at(eye, fwd, up):
+    z = -fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-8)
+    x = jnp.cross(up, z)
+    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-8)
+    y = jnp.cross(z, x)
+    r = jnp.stack([x, y, z], 0)                       # rows
+    t = -r @ eye
+    m = jnp.zeros((4, 4), jnp.float32).at[:3, :3].set(r).at[:3, 3].set(t)
+    return m.at[3, 3].set(1.0)
+
+
+def spot_vp(light_pos, light_dir, cos_falloff, z_near=0.05, z_far=100.0):
+    """View-projection for a spot light's shadow map (SpotShadowMapRenderer,
+    shadow/spot.rs:49): perspective frustum matching the outer cone."""
+    fov = 2.0 * jnp.arccos(jnp.clip(cos_falloff, -1.0, 1.0)) + 0.1
+    up = jnp.where(jnp.abs(light_dir[1]) > 0.99,
+                   jnp.asarray([1.0, 0.0, 0.0]),
+                   jnp.asarray([0.0, 1.0, 0.0]))
+    view = _look_at(light_pos, light_dir, up)
+    proj = _perspective_from(fov, z_near, z_far)
+    return proj @ view
+
+
+def render_map_depth(world_tri_positions, vp, map_size, tri_valid=None,
+                     chunk=64, use_pallas=False, k_per_tile=512,
+                     pallas_interpret=False):
+    """One depth-only pass for an arbitrary light view-projection."""
+    return render_cascade_depths(world_tri_positions, vp[None], map_size,
+                                 tri_valid=tri_valid, chunk=chunk,
+                                 use_pallas=use_pallas, k_per_tile=k_per_tile,
+                                 pallas_interpret=pallas_interpret)[0]
+
+
+def map_visibility(world_pos, vp, depth_map, bias=2e-3, pcf=True):
+    """Generic projected-shadow-map test ([*,3] world → [*] ∈ [0,1])."""
+    s = depth_map.shape[-1]
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    lc = jnp.einsum("ij,...j->...i", vp, ph, precision="highest")
+    behind = lc[..., 3] <= 1e-6
+    ndc = lc[..., :3] / jnp.maximum(jnp.abs(lc[..., 3:4]), 1e-8) \
+        * jnp.sign(lc[..., 3:4])
+    u = (ndc[..., 0] * 0.5 + 0.5) * s
+    v_ = (0.5 - ndc[..., 1] * 0.5) * s
+    z_ref = ndc[..., 2] - bias
+    inside = (~behind & (u >= 0) & (u < s) & (v_ >= 0) & (v_ < s)
+              & (jnp.abs(ndc[..., 2]) <= 1.0))
+
+    def sample(du, dv):
+        ui = jnp.clip(u.astype(jnp.int32) + du, 0, s - 1)
+        vi = jnp.clip(v_.astype(jnp.int32) + dv, 0, s - 1)
+        return (z_ref <= depth_map[vi, ui]).astype(jnp.float32)
+
+    if pcf:
+        vis = sum(sample(du, dv)
+                  for du in (-1, 0, 1) for dv in (-1, 0, 1)) / 9.0
+    else:
+        vis = sample(0, 0)
+    return jnp.where(inside, vis, 1.0)
+
+
+# the six cube faces: forward axis + up vector (PointShadowMapRenderer,
+# shadow/point.rs:50 renders a cube map; here six 90° perspective maps
+# selected by the dominant axis of the light→fragment vector)
+_CUBE_FACES = (
+    ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+    ((-1.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+    ((0.0, 1.0, 0.0), (0.0, 0.0, 1.0)),
+    ((0.0, -1.0, 0.0), (0.0, 0.0, 1.0)),
+    ((0.0, 0.0, 1.0), (0.0, 1.0, 0.0)),
+    ((0.0, 0.0, -1.0), (0.0, 1.0, 0.0)),
+)
+
+
+def point_vps(light_pos, z_near=0.05, z_far=100.0):
+    """[6,4,4] cube-face view-projections for a point light."""
+    proj = _perspective_from(jnp.pi / 2 + 0.2, z_near, z_far)
+    vps = []
+    for fwd, up in _CUBE_FACES:
+        view = _look_at(light_pos, jnp.asarray(fwd), jnp.asarray(up))
+        vps.append(proj @ view)
+    return jnp.stack(vps, 0)
+
+
+def render_point_depths(world_tri_positions, light_pos, map_size,
+                        tri_valid=None, chunk=64, z_far=100.0,
+                        use_pallas=False, k_per_tile=512,
+                        pallas_interpret=False):
+    """[6, S, S] cube-face depth maps."""
+    vps = point_vps(light_pos, z_far=z_far)
+    return vps, render_cascade_depths(
+        world_tri_positions, vps, map_size, tri_valid=tri_valid, chunk=chunk,
+        use_pallas=use_pallas, k_per_tile=k_per_tile,
+        pallas_interpret=pallas_interpret)
+
+
+def point_visibility(world_pos, light_pos, vps, depth_maps, bias=3e-3):
+    """Cube-map shadow test: pick the face by the dominant axis of the
+    light→fragment direction, then a projected depth compare on that face."""
+    d = world_pos - light_pos
+    ax = jnp.abs(d)
+    dom = jnp.argmax(ax, axis=-1)                     # [*]
+    face = jnp.where(dom == 0, jnp.where(d[..., 0] >= 0, 0, 1),
+            jnp.where(dom == 1, jnp.where(d[..., 1] >= 0, 2, 3),
+                      jnp.where(d[..., 2] >= 0, 4, 5)))
+    s = depth_maps.shape[-1]
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    # project into all six faces, select before the map gather (cheap
+    # elementwise math vs 6x the gather traffic — same trick as the CSM)
+    lc = jnp.einsum("fij,...j->...fi", vps, ph, precision="highest")
+    ndc = lc[..., :3] / jnp.maximum(jnp.abs(lc[..., 3:4]), 1e-8) \
+        * jnp.sign(lc[..., 3:4])
+    sel = face[..., None, None]
+    nsel = jnp.take_along_axis(ndc, jnp.broadcast_to(
+        sel, ndc.shape[:-2] + (1, 3)), axis=-2)[..., 0, :]
+    u = jnp.clip(((nsel[..., 0] * 0.5 + 0.5) * s).astype(jnp.int32), 0, s - 1)
+    v_ = jnp.clip(((0.5 - nsel[..., 1] * 0.5) * s).astype(jnp.int32), 0, s - 1)
+    occ = depth_maps[face, v_, u]
+    vis = (nsel[..., 2] - bias <= occ).astype(jnp.float32)
+    return jnp.where(jnp.abs(nsel[..., 2]) <= 1.0, vis, 1.0)

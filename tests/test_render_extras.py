@@ -1,0 +1,121 @@
+"""Renderer round-2 extras: spot/point shadow maps and the
+forward/transparent pass.
+
+Reference parity rows: SpotShadowMapRenderer (renderer/shadow/spot.rs:49),
+PointShadowMapRenderer (shadow/point.rs:50, cube map), forward render path
+for transparent bundles (renderer/mod.rs:1066-1115) — here weighted-blended
+OIT (render/transparent.py).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from fyrox_tpu.render import (RenderConfig, build_render_template, make_cube,
+                              make_plane, render_frame)
+from fyrox_tpu.scene import SceneBuilder, graph, init_state
+
+H = W = 64
+# rotation mapping +Z (the camera/light look axis) to -Y: +90 deg about X
+# (R_x(90)·(0,0,1) = (0,-1,0)); quaternion (sin(a/2),0,0,cos(a/2))
+DOWN = (np.sin(np.pi / 4), 0.0, 0.0, np.cos(np.pi / 4))
+
+
+def _scene(light_kind, occluder=True):
+    sb = SceneBuilder()
+    sb.add_mesh(make_plane(12.0, albedo=(0.8, 0.8, 0.8)), name="ground")
+    if occluder:
+        sb.add_mesh(make_cube(1.6, albedo=(0.6, 0.2, 0.2)), name="blocker",
+                    position=(0, 2.0, 0))
+    if light_kind == "spot":
+        sb.add_light("spot", position=(0, 6.0, 0), rotation=DOWN,
+                     radius=30.0, hotspot=np.deg2rad(70.0), intensity=4.0)
+    else:
+        sb.add_light("point", position=(0, 6.0, 0), radius=30.0,
+                     intensity=6.0)
+    # camera above, looking straight down at the ground
+    sb.add_camera("cam", position=(0, 9.0, 0), rotation=DOWN)
+    t = sb.build()
+    st = graph.update_hierarchical_data(init_state(t, 1), t)
+    return t, st
+
+
+def _brightness_center(img):
+    c = np.asarray(img)[0]
+    h, w = c.shape[:2]
+    return float(c[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean())
+
+
+class TestSpotPointShadows:
+    def _render(self, kind, shadows_on):
+        t, st = _scene(kind)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=True,
+                           spot_shadows=shadows_on and kind == "spot",
+                           point_shadows=shadows_on and kind == "point",
+                           chunk=16, ambient=(0.02, 0.02, 0.02))
+        color, _ = render_frame(st, t, rt, cfg)
+        return color
+
+    def test_spot_blocker_casts_shadow(self):
+        lit = self._render("spot", shadows_on=False)
+        shad = self._render("spot", shadows_on=True)
+        # the screen centre shows the blocker's top (lit in both); compare
+        # the ground ring just outside the blocker vs directly under it is
+        # hidden — so instead compare total image energy: the shadowed
+        # render must lose light on the ground around the blocker's shadow
+        assert float(np.asarray(shad).mean()) <= float(np.asarray(lit).mean())
+        # and a region far from the blocker keeps its brightness
+        far_lit = float(np.asarray(lit)[0, 4:12, 4:12].mean())
+        far_shad = float(np.asarray(shad)[0, 4:12, 4:12].mean())
+        np.testing.assert_allclose(far_shad, far_lit, rtol=0.05)
+
+    def test_point_blocker_casts_shadow(self):
+        lit = self._render("point", shadows_on=False)
+        shad = self._render("point", shadows_on=True)
+        assert float(np.asarray(shad).mean()) < float(np.asarray(lit).mean())
+
+    def test_spot_shadow_darkens_occluded_ground(self):
+        # no-occluder scene: shadows on ≈ shadows off (no occlusion change)
+        t, st = _scene("spot", occluder=False)
+        rt = build_render_template(t)
+        base = render_frame(st, t, rt, RenderConfig(
+            width=W, height=H, shadows=True, spot_shadows=False, chunk=16))[0]
+        on = render_frame(st, t, rt, RenderConfig(
+            width=W, height=H, shadows=True, spot_shadows=True, chunk=16))[0]
+        np.testing.assert_allclose(_brightness_center(on),
+                                   _brightness_center(base), rtol=0.05)
+
+
+class TestTransparentPass:
+    def _scene(self, alpha):
+        sb = SceneBuilder()
+        # opaque white wall behind, transparent red pane in front
+        sb.add_mesh(make_cube(3.0, albedo=(1.0, 1.0, 1.0),
+                              emission=(1.0, 1.0, 1.0)),
+                    name="wall", position=(0, 0, 6.0))
+        if alpha is not None:
+            sb.add_mesh(make_cube(2.0, albedo=(1.0, 0.0, 0.0),
+                                  emission=(0.5, 0.0, 0.0), alpha=alpha),
+                        name="pane", position=(0, 0, 3.0))
+        sb.add_camera("cam", position=(0, 0, 0))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=W, height=H, shadows=False, chunk=16)
+        color, _ = render_frame(st, t, rt, cfg)
+        return np.asarray(color)[0]
+
+    def test_transparent_pane_tints_wall(self):
+        plain = self._scene(None)
+        tinted = self._scene(0.5)
+        c0 = plain[H // 2, W // 2]
+        c1 = tinted[H // 2, W // 2]
+        # red channel holds up; green/blue attenuated by the red pane
+        assert c1[1] < c0[1] * 0.9
+        assert c1[2] < c0[2] * 0.9
+        assert c1[0] > 0.3 * c0[0]
+
+    def test_nearly_clear_pane_changes_little(self):
+        plain = self._scene(None)
+        clear = self._scene(0.05)
+        d = np.abs(plain[H // 2, W // 2] - clear[H // 2, W // 2]).max()
+        assert d < 0.25, d
