@@ -75,6 +75,21 @@ class Widget:
     orientation: str = "vertical"  # stack panels
     font_size: float = 14.0
     on_click: Optional[Callable] = None
+    # grid (fyrox-ui/src/grid.rs): row/column size definitions — each entry
+    # ("strict", px) | ("auto",) | ("stretch",); children carry grid_row/col
+    rows: List[tuple] = field(default_factory=list)
+    columns: List[tuple] = field(default_factory=list)
+    grid_row: int = 0
+    grid_column: int = 0
+    # scroll viewer (scroll_viewer.rs): content offset in px
+    scroll: Tuple[float, float] = (0.0, 0.0)
+    # window (window.rs): title bar height; tree item (tree.rs): expansion
+    title: str = ""
+    title_height: float = 22.0
+    expanded: bool = True
+    indent: float = 16.0
+    # check box (check_box.rs)
+    checked: bool = False
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -125,8 +140,27 @@ class UserInterface:
                                 data={"type": "click", "x": x, "y": y},
                                 direction="from_widget")
                 self.send_message(msg)
+                if w.kind == "check":
+                    w.checked = not w.checked
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "checked", "value": w.checked},
+                        direction="from_widget"))
+                if w.kind == "tree":
+                    head_h = w.font_size * 1.4
+                    if y <= w.actual_rect.y + head_h:
+                        w.expanded = not w.expanded
                 if w.on_click is not None:
                     w.on_click(self, hit)
+        elif event.get("type") == "scroll":
+            hit = self._hit_test(self.root, event["x"], event["y"])
+            while hit is not None:
+                w = self.nodes.borrow(hit)
+                if w.kind == "scroll":
+                    w.scroll = (w.scroll[0],
+                                max(w.scroll[1] - event.get("dy", 0.0), 0.0))
+                    break
+                hit = w.parent if w.parent.is_some() else None
 
     def _hit_test(self, h: Handle, x, y) -> Optional[Handle]:
         w = self.nodes.borrow(h)
@@ -173,6 +207,36 @@ class UserInterface:
                     cross = max(cross, cs[1])
             content = ((cross, main) if w.orientation == "vertical"
                        else (main, cross))
+        elif w.kind == "grid":
+            content = self._measure_grid(w, inner)
+        elif w.kind == "scroll":
+            # children measure against infinity on the scrolling axis
+            for c in w.children:
+                self.measure(c, (inner[0], INF))
+            content = inner
+        elif w.kind == "window":
+            body = (0.0, 0.0)
+            for c in w.children:
+                cs = self.measure(c, (inner[0], max(inner[1] - w.title_height, 0)))
+                body = (max(body[0], cs[0]), max(body[1], cs[1]))
+            content = (max(body[0], len(w.title) * w.font_size * 0.55 + 12),
+                       body[1] + w.title_height)
+        elif w.kind == "tree":
+            hh = w.font_size * 1.4
+            ww = len(w.text) * w.font_size * 0.55 + w.indent
+            if w.expanded:
+                for c in w.children:
+                    cs = self.measure(c, inner)
+                    ww = max(ww, cs[0] + w.indent)
+                    hh += cs[1]
+            else:
+                for c in w.children:
+                    self.measure(c, (0.0, 0.0))
+            content = (ww, hh)
+        elif w.kind == "check":
+            box = w.font_size
+            content = (box + 6 + len(w.text) * w.font_size * 0.55,
+                       max(box, w.font_size * 1.3))
         elif w.kind == "text":
             content = (len(w.text) * w.font_size * 0.55 if w.text else 0.0,
                        w.font_size * 1.3)
@@ -218,9 +282,83 @@ class UserInterface:
                     self.arrange(c, Rect(rect.x + offset, rect.y,
                                          cw.desired_size[0], rect.h))
                     offset += cw.desired_size[0]
+        elif w.kind == "grid":
+            self._arrange_grid(w, rect)
+        elif w.kind == "scroll":
+            sx, sy = w.scroll
+            for c in w.children:
+                cw = self.nodes.borrow(c)
+                self.arrange(c, Rect(rect.x - sx, rect.y - sy,
+                                     max(rect.w, cw.desired_size[0]),
+                                     cw.desired_size[1]))
+        elif w.kind == "window":
+            body = Rect(rect.x, rect.y + w.title_height, rect.w,
+                        max(rect.h - w.title_height, 0.0))
+            for c in w.children:
+                self.arrange(c, body)
+        elif w.kind == "tree":
+            hh = w.font_size * 1.4
+            offset = hh
+            for c in w.children:
+                cw = self.nodes.borrow(c)
+                if w.expanded:
+                    self.arrange(c, Rect(rect.x + w.indent, rect.y + offset,
+                                         max(rect.w - w.indent, 0.0),
+                                         cw.desired_size[1]))
+                    offset += cw.desired_size[1]
+                else:
+                    self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
         else:
             for c in w.children:
                 self.arrange(c, rect)
+
+    # -- grid helpers (grid.rs measure/arrange) ------------------------------
+    def _grid_defs(self, defs, n_needed):
+        return list(defs) if defs else [("stretch",)] * max(n_needed, 1)
+
+    def _measure_grid(self, w, inner):
+        rows = self._grid_defs(w.rows, 1 + max((self.nodes.borrow(c).grid_row
+                                                for c in w.children), default=0))
+        cols = self._grid_defs(w.columns, 1 + max((self.nodes.borrow(c).grid_column
+                                                   for c in w.children), default=0))
+        rh = [d[1] if d[0] == "strict" else 0.0 for d in rows]
+        cw_ = [d[1] if d[0] == "strict" else 0.0 for d in cols]
+        for c in w.children:
+            cc = self.nodes.borrow(c)
+            cs = self.measure(c, inner)
+            r = min(cc.grid_row, len(rows) - 1)
+            k = min(cc.grid_column, len(cols) - 1)
+            if rows[r][0] == "auto":
+                rh[r] = max(rh[r], cs[1])
+            if cols[k][0] == "auto":
+                cw_[k] = max(cw_[k], cs[0])
+        w._grid_row_sizes = rh
+        w._grid_col_sizes = cw_
+        return (sum(cw_), sum(rh))
+
+    def _arrange_grid(self, w, rect):
+        rows = self._grid_defs(w.rows, 1 + max((self.nodes.borrow(c).grid_row
+                                                for c in w.children), default=0))
+        cols = self._grid_defs(w.columns, 1 + max((self.nodes.borrow(c).grid_column
+                                                   for c in w.children), default=0))
+        rh = list(getattr(w, "_grid_row_sizes", [0.0] * len(rows)))
+        cw_ = list(getattr(w, "_grid_col_sizes", [0.0] * len(cols)))
+        # stretch rows/cols share the leftover space equally (grid.rs)
+        def resolve(defs, sizes, total):
+            fixed = sum(s for d, s in zip(defs, sizes) if d[0] != "stretch")
+            n_st = sum(1 for d in defs if d[0] == "stretch")
+            share = max(total - fixed, 0.0) / n_st if n_st else 0.0
+            return [share if d[0] == "stretch" else s
+                    for d, s in zip(defs, sizes)]
+        rh = resolve(rows, rh, rect.h)
+        cw_ = resolve(cols, cw_, rect.w)
+        ry = [rect.y + sum(rh[:i]) for i in range(len(rh))]
+        cx = [rect.x + sum(cw_[:i]) for i in range(len(cw_))]
+        for c in w.children:
+            cc = self.nodes.borrow(c)
+            r = min(cc.grid_row, len(rh) - 1)
+            k = min(cc.grid_column, len(cw_) - 1)
+            self.arrange(c, Rect(cx[k], ry[r], cw_[k], rh[r]))
 
     # -- draw command emission (draw.rs) --------------------------------------
     def draw(self) -> List[DrawCommand]:
@@ -232,13 +370,37 @@ class UserInterface:
         w = self.nodes.borrow(h)
         if not w.visible:
             return
-        if w.kind in ("border", "button", "stack"):
+        if w.kind in ("border", "button", "stack", "grid", "scroll", "window"):
             cmds.append(DrawCommand("rect", w.actual_rect, w.background))
-            if w.kind in ("border", "button"):
+            if w.kind in ("border", "button", "window"):
                 cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+        if w.kind == "window" and w.title:
+            bar = Rect(w.actual_rect.x, w.actual_rect.y, w.actual_rect.w,
+                       w.title_height)
+            cmds.append(DrawCommand("rect", bar, (0.15, 0.15, 0.25, 1.0)))
+            cmds.append(DrawCommand("text", bar, w.foreground, text=w.title))
+        if w.kind == "tree":
+            head = Rect(w.actual_rect.x, w.actual_rect.y, w.actual_rect.w,
+                        w.font_size * 1.4)
+            marker = "-" if w.expanded else "+"
+            cmds.append(DrawCommand("text", head, w.foreground,
+                                    text=f"{marker} {w.text}"))
+        if w.kind == "check":
+            box = Rect(w.actual_rect.x, w.actual_rect.y, w.font_size,
+                       w.font_size)
+            cmds.append(DrawCommand("border", box, w.foreground))
+            if w.checked:
+                inner = Rect(box.x + 3, box.y + 3, box.w - 6, box.h - 6)
+                cmds.append(DrawCommand("rect", inner, w.foreground))
+            if w.text:
+                lbl = Rect(box.x + w.font_size + 6, w.actual_rect.y,
+                           w.actual_rect.w, w.actual_rect.h)
+                cmds.append(DrawCommand("text", lbl, w.foreground, text=w.text))
         if w.kind in ("text", "button") and w.text:
             cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
                                     text=w.text))
+        if w.kind == "tree" and not w.expanded:
+            return                    # collapsed subtree draws nothing
         for c in w.children:
             self._draw_node(c, cmds)
 

@@ -82,3 +82,135 @@ class TestDraw:
         assert "rect" in kinds and "text" in kinds and "border" in kinds
         texts = [c.text for c in cmds if c.kind == "text"]
         assert "Play" in texts and "hello world" in texts
+
+
+class TestGridLayout:
+    def test_strict_auto_stretch_columns(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((300, 100))
+        g = ui.add(Widget(kind="grid",
+                          columns=[("strict", 50.0), ("auto",), ("stretch",)],
+                          rows=[("stretch",)]))
+        a = ui.add(Widget(kind="border", grid_column=0), g)
+        b = ui.add(Widget(kind="border", grid_column=1, width=80.0,
+                          height=10.0), g)
+        c = ui.add(Widget(kind="border", grid_column=2), g)
+        ui.update_layout()
+        ra = ui.nodes.borrow(a).actual_rect
+        rb = ui.nodes.borrow(b).actual_rect
+        rc = ui.nodes.borrow(c).actual_rect
+        assert ra.x == 0 and abs(ra.w - 50) < 1e-5
+        assert abs(rb.x - 50) < 1e-5
+        # stretch column gets the rest: 300 - 50 - 80 = 170
+        assert abs(rc.x - 130) < 1e-5 and abs(rc.w - 170) < 1e-5
+
+    def test_grid_rows(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((100, 90))
+        g = ui.add(Widget(kind="grid", rows=[("stretch",)] * 3,
+                          columns=[("stretch",)]))
+        cells = [ui.add(Widget(kind="border", grid_row=r), g) for r in range(3)]
+        ui.update_layout()
+        ys = [ui.nodes.borrow(c).actual_rect.y for c in cells]
+        assert ys == [0.0, 30.0, 60.0]
+
+
+class TestScrollWindowTree:
+    def test_scroll_offsets_content(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((100, 100))
+        sv = ui.add(Widget(kind="scroll", height=50.0))
+        content = ui.add(Widget(kind="stack"), sv)
+        for _ in range(10):
+            ui.add(Widget(kind="button", text="x", height=20.0), content)
+        ui.update_layout()
+        y0 = ui.nodes.borrow(content).actual_rect.y
+        ui.nodes.borrow(sv).scroll = (0.0, 35.0)
+        ui.update_layout()
+        y1 = ui.nodes.borrow(content).actual_rect.y
+        assert abs((y0 - y1) - 35.0) < 1e-5
+
+    def test_window_reserves_title_bar(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((200, 200))
+        win = ui.add(Widget(kind="window", title="Inventory",
+                            title_height=20.0))
+        body = ui.add(Widget(kind="border"), win)
+        ui.update_layout()
+        rb = ui.nodes.borrow(body).actual_rect
+        assert rb.y == 20.0
+        cmds = ui.draw()
+        titles = [c for c in cmds if c.kind == "text" and c.text == "Inventory"]
+        assert titles and titles[0].bounds.h == 20.0
+
+    def test_tree_collapse_hides_children(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((200, 200))
+        tr = ui.add(Widget(kind="tree", text="root"))
+        leaf = ui.add(Widget(kind="tree", text="leaf"), tr)
+        ui.update_layout()
+        open_h = ui.nodes.borrow(tr).desired_size[1]
+        n_cmds_open = len(ui.draw())
+        # click the header toggles expansion
+        r = ui.nodes.borrow(tr).actual_rect
+        ui.process_os_event({"type": "click", "x": r.x + 2, "y": r.y + 2})
+        ui.update_layout()
+        closed_h = ui.nodes.borrow(tr).desired_size[1]
+        assert closed_h < open_h
+        assert len(ui.draw()) < n_cmds_open
+
+    def test_checkbox_toggles_and_messages(self):
+        from fyrox_tpu.ui import UserInterface, Widget
+        ui = UserInterface((100, 100))
+        cb = ui.add(Widget(kind="check", text="ok", width=60.0, height=16.0))
+        ui.update_layout()
+        r = ui.nodes.borrow(cb).actual_rect
+        ui.process_os_event({"type": "click", "x": r.x + 4, "y": r.y + 4})
+        assert ui.nodes.borrow(cb).checked
+        msgs = []
+        while (m := ui.poll_message()) is not None:
+            msgs.append(m)
+        assert any(m.data.get("type") == "checked" and m.data["value"]
+                   for m in msgs)
+
+
+class TestUiRenderer:
+    def test_rect_border_text_rasterize(self):
+        import numpy as np
+        from fyrox_tpu.ui import (UserInterface, Widget, render_ui,
+                                  compose_over)
+        ui = UserInterface((64, 64))
+        ui.add(Widget(kind="border", width=40.0, height=30.0,
+                      background=(1, 0, 0, 1), foreground=(0, 1, 0, 1),
+                      margin=(4, 4, 0, 0)))
+        ui.update_layout()
+        img = render_ui(ui.draw(), 64, 64)
+        assert img.shape == (64, 64, 4)
+        # interior red, border green, outside transparent
+        assert img[15, 20, 0] > 0.9 and img[15, 20, 3] > 0.9
+        assert img[4, 20, 1] > 0.9
+        assert img[60, 60, 3] == 0.0
+
+    def test_text_glyphs_draw_pixels(self):
+        from fyrox_tpu.ui import UserInterface, Widget, render_ui
+        ui = UserInterface((128, 32))
+        ui.add(Widget(kind="text", text="FPS 60", font_size=14.0))
+        ui.update_layout()
+        img = render_ui(ui.draw(), 32, 128)
+        assert img[..., 3].sum() > 20          # glyph pixels landed
+
+    def test_hud_composes_over_frame(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from fyrox_tpu.ui import (UserInterface, Widget, render_ui,
+                                  compose_over)
+        frame = jnp.zeros((2, 32, 32, 3)) + 0.25       # two worlds
+        ui = UserInterface((32, 32))
+        ui.add(Widget(kind="border", width=10.0, height=10.0,
+                      background=(1, 1, 1, 1)))
+        ui.update_layout()
+        hud = render_ui(ui.draw(), 32, 32)
+        out = np.asarray(compose_over(frame, hud))
+        assert out.shape == (2, 32, 32, 3)
+        assert out[0, 5, 5, 0] > 0.9           # HUD pixel
+        assert abs(out[0, 20, 20, 0] - 0.25) < 1e-6   # world pixel intact
