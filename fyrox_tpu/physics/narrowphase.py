@@ -443,7 +443,71 @@ KIND_POINTS = {
     (sh.CAPSULE, sh.CONVEX): 2,
     (sh.HALFSPACE, sh.CONVEX): 4,
     (sh.CONVEX, sh.CONVEX): 4,
+    # static scenery (point-sample kernels, physics/scenery.py)
+    (sh.BALL, sh.HEIGHTFIELD): 1,
+    (sh.CAPSULE, sh.HEIGHTFIELD): 2,
+    (sh.CUBOID, sh.HEIGHTFIELD): 4,
+    (sh.CONVEX, sh.HEIGHTFIELD): 4,
+    (sh.BALL, sh.TRIMESH): 1,
+    (sh.CAPSULE, sh.TRIMESH): 2,
+    (sh.CUBOID, sh.TRIMESH): 4,
+    (sh.CONVEX, sh.TRIMESH): 4,
 }
+
+
+def _scenery_kernel(ka, kb, scn_ctx, hull_a,
+                    pa6, pos_a, rot_a, pb6, pos_b, rot_b, pred, sl):
+    """Canonical (dynamic kind, HEIGHTFIELD|TRIMESH) pair via the
+    point-sample formulation (physics/scenery.py): sample the dynamic
+    shape, contact each sample against the scenery surface, keep the 4
+    deepest."""
+    from fyrox_tpu.physics import scenery as sc_mod
+    (hf_heights, hf_size, col_hf, tm_tris, tm_mask, col_tm,
+     pair_a, pair_b) = scn_ctx
+    hull = None
+    if ka == sh.CONVEX:
+        hull = (jnp.asarray(hull_a[0])[None], jnp.asarray(hull_a[1])[None])
+    samples, radius = sc_mod.sample_points_for(ka, pa6, pos_a, rot_a,
+                                               hull=hull)
+    predn = jnp.asarray(pred)
+    if jnp.ndim(predn) == 0:
+        predn = jnp.broadcast_to(predn, pos_a.shape[:-1])
+    if kb == sh.HEIGHTFIELD:
+        idx = col_hf[pair_b[sl]]
+        heights = jnp.asarray(hf_heights[idx])[None]
+        sx = jnp.asarray(hf_size[idx, 0])[None]
+        sz = jnp.asarray(hf_size[idx, 1])[None]
+        normal, p_w, depth, active = sc_mod.points_heightfield(
+            samples, radius, pos_b, rot_b, heights, sx, sz, predn)
+    else:
+        idx = col_tm[pair_b[sl]]
+        tris = jnp.asarray(tm_tris[idx])[None]
+        mask = jnp.asarray(tm_mask[idx])[None]
+        # two-sided trimesh distance cannot represent penetration for
+        # zero-radius samples (box corners, hull verts): give every
+        # sample a Bullet-style collision margin so the solver has a
+        # representable depth band around the surface
+        radius = jnp.maximum(radius, 0.04)
+        normal, p_w, depth, active = sc_mod.points_trimesh(
+            samples, radius, pos_b, rot_b, tris, mask, predn)
+    # 4-slot manifold from the deepest samples
+    n_s = depth.shape[-1]
+    if n_s <= 4:
+        padn = 4 - n_s
+        pts4 = jnp.concatenate(
+            [p_w, jnp.zeros(p_w.shape[:-2] + (padn, 3), p_w.dtype)], -2)
+        dep4 = jnp.concatenate(
+            [depth, jnp.full(depth.shape[:-1] + (padn,), -1e9, depth.dtype)], -1)
+        act4 = jnp.concatenate(
+            [active, jnp.zeros(active.shape[:-1] + (padn,), bool)], -1)
+        return Manifold(normal, pts4, dep4, act4)
+    top_d, top_i = jax.lax.top_k(jnp.where(active, depth, -1e9), 4)
+    oh = (top_i[..., None] == jnp.arange(n_s)).astype(p_w.dtype)
+    pts = jnp.sum(oh[..., None] * p_w[..., None, :, :], -2)
+    act = (jnp.sum(oh * active.astype(p_w.dtype)[..., None, :], -1) > 0.5) \
+        & (top_d > -1e8)
+    dep = jnp.sum(oh * depth[..., None, :], -1)
+    return Manifold(normal, pts, dep, act)
 
 
 def _convex_kernel(ka, kb, hull_a, hull_b,
@@ -551,7 +615,8 @@ def flat_contact_layout(kind_ranges):
 
 
 def generate_contacts_flat(kind_ranges, params_a, pos_a, rot_a,
-                           params_b, pos_b, rot_b, pred, hull_ctx=None):
+                           params_b, pos_b, rot_b, pred, hull_ctx=None,
+                           scenery_ctx=None):
     """Kind-grouped narrowphase emitting the COMPACT flat contact layout:
     dict(normal [W,K,3], point [W,K,3], depth [W,K], active [W,K]) with K
     from flat_contact_layout (per-kind manifold sizes, no padding to 4)."""
@@ -566,6 +631,13 @@ def generate_contacts_flat(kind_ranges, params_a, pos_a, rot_a,
             m = _convex_kernel(ka, kb, hull_a, hull_b,
                                params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
                                params_b[:, sl], pos_b[:, sl], rot_b[:, sl], pr)
+        elif kb in (sh.HEIGHTFIELD, sh.TRIMESH):
+            hull_a = (_hull_gather(hull_ctx, 0, sl)[:2]
+                      if ka == sh.CONVEX else None)
+            m = _scenery_kernel(ka, kb, scenery_ctx, hull_a,
+                                params_a[:, sl], pos_a[:, sl], rot_a[:, sl],
+                                params_b[:, sl], pos_b[:, sl], rot_b[:, sl],
+                                pr, sl)
         else:
             kern = KIND_KERNELS[(ka, kb)]
             m = kern(params_a[:, sl], pos_a[:, sl], rot_a[:, sl],

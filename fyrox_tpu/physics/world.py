@@ -84,6 +84,15 @@ class PhysicsTemplate:
     # mode instead of the round-1 capsule proxy)
     hulls: object = None           # convex.ConvexSet
     col_hull: np.ndarray = None    # [C] hull index (-1 none)
+    # static scenery shapes (collider.rs:511 Heightfield / Trimesh rows;
+    # physics/scenery.py kernels). All heightfields in a scene share one
+    # resolution (pad on the host if needed).
+    hf_heights: np.ndarray = None  # [Nhf, Rz, Rx]
+    hf_size: np.ndarray = None     # [Nhf, 2] (size_x, size_z)
+    col_hf: np.ndarray = None      # [C] heightfield index (-1)
+    tm_tris: np.ndarray = None     # [Ntm, MAX_TRIS, 3, 3] local
+    tm_mask: np.ndarray = None     # [Ntm, MAX_TRIS]
+    col_tm: np.ndarray = None      # [C] trimesh index (-1)
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
     allowed_linear_error: float = 0.002
@@ -206,21 +215,54 @@ class PhysicsBuilder:
 
     def add_collider(self, body, shape, params=(), density=1.0, friction=0.5,
                      restitution=0.0, offset=(0, 0, 0), offset_rot=(0, 0, 0, 1),
-                     node=-1, points=None) -> int:
+                     node=-1, points=None, heights=None, size=None,
+                     triangles=None) -> int:
         """shape=shapes.CONVEX takes `points` (hull point cloud, local
-        space); params then holds only the derived bounding radius.
-        Cylinders/cones additionally register a 12-gon prism/pyramid hull
-        so the dense narrowphase resolves them with real SAT kernels
-        (collider.rs:511 Cylinder/Cone rows) instead of a capsule proxy."""
+        space); HEIGHTFIELD takes `heights` [Rz,Rx] + `size=(sx,sz)`
+        (centered local rectangle); TRIMESH takes `triangles` ((verts,
+        faces) or a [T,3,3] soup) — both static-only. Cylinders/cones
+        additionally register a 12-gon prism/pyramid hull so the dense
+        narrowphase resolves them with real SAT kernels (collider.rs:511
+        Cylinder/Cone rows) instead of a capsule proxy."""
         from fyrox_tpu.physics import convex as cx
         p6 = np.zeros(6, np.float32)
-        hull = -1
+        hull = hf = tm = -1
         if int(shape) == sh.CONVEX:
             if points is None:
                 raise ValueError("CONVEX collider needs points=")
             verts, normals = cx.hull_from_points(points)
             hull = self._hulls_add(verts, normals)
             p6[0] = float(np.linalg.norm(verts, axis=1).max())
+        elif int(shape) == sh.HEIGHTFIELD:
+            if heights is None or size is None:
+                raise ValueError("HEIGHTFIELD collider needs heights= and "
+                                 "size=(size_x, size_z)")
+            h = np.asarray(heights, np.float32)
+            sx, sz = float(size[0]), float(size[1])
+            if not hasattr(self, "_hfs"):
+                self._hfs = []
+            hf = len(self._hfs)
+            self._hfs.append((h, sx, sz))
+            p6[:3] = [sx, sz, float(np.linalg.norm(
+                [sx * 0.5, np.abs(h).max() + 1e-3, sz * 0.5]))]
+        elif int(shape) == sh.TRIMESH:
+            if triangles is None:
+                raise ValueError("TRIMESH collider needs triangles= "
+                                 "((verts, tris) or [T,3,3] soup)")
+            from fyrox_tpu.physics.scenery import MAX_TRIS
+            if isinstance(triangles, tuple):
+                v, f = triangles
+                soup = np.asarray(v, np.float32)[np.asarray(f, np.int64)]
+            else:
+                soup = np.asarray(triangles, np.float32)
+            if soup.shape[0] > MAX_TRIS:
+                raise ValueError(f"trimesh has {soup.shape[0]} tris > "
+                                 f"{MAX_TRIS}; decimate or split")
+            if not hasattr(self, "_tms"):
+                self._tms = []
+            tm = len(self._tms)
+            self._tms.append(soup)
+            p6[0] = float(np.linalg.norm(soup.reshape(-1, 3), axis=1).max())
         else:
             p6[:len(params)] = params
             if int(shape) == sh.CYLINDER:
@@ -229,13 +271,43 @@ class PhysicsBuilder:
             elif int(shape) == sh.CONE:
                 verts, normals = cx.cone_hull(p6[0], p6[1], n=12)
                 hull = self._hulls_add(verts, normals)
+        if int(shape) in (sh.HEIGHTFIELD, sh.TRIMESH) \
+                and self._bodies[body]["body_type"] == DYNAMIC:
+            raise ValueError("heightfield/trimesh colliders are static-only")
         self._colliders.append(dict(body=body, shape=int(shape), params=p6,
                                     density=density, friction=friction,
                                     restitution=restitution,
                                     offset=np.asarray(offset, np.float32),
                                     offset_rot=np.asarray(offset_rot, np.float32),
-                                    node=node, hull=hull))
+                                    node=node, hull=hull, hf=hf, tm=tm))
         return len(self._colliders) - 1
+
+    def _scenery_fields(self):
+        out = dict(hf_heights=None, hf_size=None, col_hf=None,
+                   tm_tris=None, tm_mask=None, col_tm=None)
+        if hasattr(self, "_hfs") and self._hfs:
+            shapes_set = {h.shape for h, _, _ in self._hfs}
+            if len(shapes_set) > 1:
+                raise ValueError("all heightfields in a scene must share one "
+                                 "resolution (pad on the host)")
+            out["hf_heights"] = np.stack([h for h, _, _ in self._hfs])
+            out["hf_size"] = np.asarray([(sx, sz) for _, sx, sz in self._hfs],
+                                        np.float32)
+            out["col_hf"] = np.asarray([c.get("hf", -1)
+                                        for c in self._colliders], np.int32)
+        if hasattr(self, "_tms") and self._tms:
+            from fyrox_tpu.physics.scenery import MAX_TRIS
+            n = len(self._tms)
+            tris = np.zeros((n, MAX_TRIS, 3, 3), np.float32)
+            mask = np.zeros((n, MAX_TRIS), bool)
+            for i, soup in enumerate(self._tms):
+                tris[i, :len(soup)] = soup
+                mask[i, :len(soup)] = True
+            out["tm_tris"] = tris
+            out["tm_mask"] = mask
+            out["col_tm"] = np.asarray([c.get("tm", -1)
+                                        for c in self._colliders], np.int32)
+        return out
 
     def _hulls_add(self, verts, normals):
         from fyrox_tpu.physics import convex as cx
@@ -402,6 +474,7 @@ class PhysicsBuilder:
             hulls=(self._hulls.build() if hasattr(self, "_hulls") else None),
             col_hull=np.asarray([c.get("hull", -1)
                                  for c in self._colliders], np.int32),
+            **self._scenery_fields(),
             joints=(self._joints.build(com_local=com)
                     if self._joints is not None else None),
             max_active_pairs=max_active_pairs,
@@ -559,11 +632,17 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
                 v_sweep[:, pa_s] - v_sweep[:, pb_s], axis=-1)
             hull_ctx = (None if t.hulls is None else
                         (t.hulls, t.col_hull, t.pair_a, t.pair_b))
+            scenery_ctx = None
+            if t.col_hf is not None or t.col_tm is not None:
+                scenery_ctx = (t.hf_heights, t.hf_size, t.col_hf,
+                               t.tm_tris, t.tm_mask, t.col_tm,
+                               t.pair_a, t.pair_b)
             flat = np_mod.generate_contacts_flat(
                 t.pair_kind_ranges,
                 cparams[jnp.asarray(pa_s)][None], cpos[:, pa_s], crot[:, pa_s],
                 cparams[jnp.asarray(pb_s)][None], cpos[:, pb_s], crot[:, pb_s],
-                pred=pred_p.astype(dtype), hull_ctx=hull_ctx)
+                pred=pred_p.astype(dtype), hull_ctx=hull_ctx,
+                scenery_ctx=scenery_ctx)
         else:
             pred_p = margin + jnp.linalg.norm(
                 gat2(v_sweep, ia_c) - gat2(v_sweep, ib_c), axis=-1)
