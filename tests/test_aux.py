@@ -279,3 +279,61 @@ class TestFileSystemWatcher:
         assert [str(g)] == w.poll(now=1.0)
         g.unlink()
         assert [str(g)] == w.poll(now=2.0)
+
+
+class TestAudioBusGraph:
+    """Bus/effects graph (fyrox-sound/src/bus.rs, effects/)."""
+
+    def _graph(self, effects_child=()):
+        import numpy as np
+        from fyrox_tpu.sound import bus as bus_mod
+        g = bus_mod.BusGraph.build([
+            dict(parent=-1, gain=1.0),                   # primary
+            dict(parent=0, gain=0.5, effects=list(effects_child)),
+        ])
+        return bus_mod, g
+
+    def test_tree_mix_and_gain(self):
+        import numpy as np
+        import jax.numpy as jnp
+        bus_mod, g = self._graph()
+        st = bus_mod.init_state(g)
+        blocks = jnp.zeros((2, 64, 2)).at[1].set(1.0)    # child-only signal
+        out, st = bus_mod.process(g, blocks, st)
+        # child gain 0.5 into primary gain 1.0
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+    def test_lowpass_attenuates_high_freq(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.sound.bus import biquad_coeffs
+        bus_mod, g = self._graph(
+            effects_child=[("biquad", biquad_coeffs("lowpass", 500.0))])
+        st = bus_mod.init_state(g)
+        t = np.arange(1024) / 44100.0
+        hi = np.sin(2 * np.pi * 10000.0 * t).astype(np.float32)
+        lo = np.sin(2 * np.pi * 100.0 * t).astype(np.float32)
+        def run(sig):
+            blocks = jnp.zeros((2, 1024, 2)).at[1].set(
+                jnp.asarray(sig)[:, None])
+            out, _ = bus_mod.process(g, blocks, bus_mod.init_state(g))
+            return float(jnp.sqrt(jnp.mean(out[256:] ** 2)))
+        assert run(hi) < 0.1 * run(lo)
+
+    def test_reverb_adds_tail(self):
+        import numpy as np
+        import jax.numpy as jnp
+        bus_mod, g = self._graph(effects_child=[("reverb", 0.8)])
+        st = bus_mod.init_state(g)
+        impulse = jnp.zeros((2, 2048, 2)).at[1, 0].set(1.0)
+        out, st = bus_mod.process(g, impulse, st)
+        tail = np.abs(np.asarray(out[1200:]))
+        assert tail.max() > 1e-4          # energy long after the impulse
+
+    def test_depth_order_children_first(self):
+        import numpy as np
+        from fyrox_tpu.sound import bus as bus_mod
+        g = bus_mod.BusGraph.build([
+            dict(parent=-1), dict(parent=0), dict(parent=1)])
+        order = g.depth_order()
+        assert order.index(2) < order.index(1) < order.index(0)
