@@ -75,3 +75,28 @@ def step_absm_layered(aset, lm: machine_mod.LayeredMachine, anim, states,
             final, position, rotation, scale)
     anim = track_mod.tick_times(aset, anim, dt)
     return anim, states, position, rotation, scale
+
+
+def step_player_root_motion(aset, rmd, anim, rm_state,
+                            position, rotation, scale, dt):
+    """AnimationPlayer tick with root motion extraction (Animation::tick
+    lib.rs:471 + update_root_motion :498): the root bone's channels are
+    pinned to the cycle start in the applied pose and their per-frame
+    deltas are returned for the engine to apply to the character body.
+
+    Returns (anim, rm_state, position, rotation, scale,
+    delta_position [W,3] — enabled-clip sum, in the root's local frame)."""
+    from fyrox_tpu.animation import rootmotion as rm_mod
+    n_nodes = position.shape[1]
+    sampled = track_mod.sample_tracks(aset, anim)
+    time_old = anim.time
+    anim2 = track_mod.tick_times(aset, anim, dt)
+    rm_state, dp, _dr, sampled = rm_mod.extract_root_motion(
+        rmd, aset, sampled, time_old, anim2.time, rm_state)
+    if sampled:
+        poses = pose_mod.build_poses(aset, sampled, n_nodes)
+        position, rotation, scale = pose_mod.apply_overwrite(
+            poses, anim.enabled, position, rotation, scale)
+    enabled = anim.enabled.astype(dp.dtype)
+    delta = jnp.sum(dp * enabled[..., None], axis=1)       # [W,3]
+    return anim2, rm_state, position, rotation, scale, delta

@@ -44,6 +44,7 @@ DEFAULT_DT = 1.0 / 60.0  # executor.rs:87
 class AnimState(NamedTuple):
     anim: Optional[track_mod.AnimationState] = None
     machine: Optional[machine_mod.MachineState] = None
+    rootmotion: Optional[NamedTuple] = None     # rootmotion.RootMotionState
 
 
 class EngineState(NamedTuple):
@@ -62,6 +63,12 @@ class Engine:
     machine: Optional[machine_mod.MachineTemplate] = None
     particles: Optional[object] = None   # ParticleTemplate
     dt: float = DEFAULT_DT
+    # root motion (Animation::update_root_motion, lib.rs:498): when set,
+    # the player pins the root bone and the engine velocity-drives the
+    # character body with the extracted delta (the standard
+    # root-motion-to-capsule pattern)
+    root_motion: Optional[object] = None         # rootmotion.RootMotionData
+    root_motion_body: int = -1                   # physics body index
 
     def init_state(self, num_worlds: int,
                    body_pose=None) -> EngineState:
@@ -70,18 +77,31 @@ class Engine:
         phys = None
         if self.physics is not None:
             if body_pose is None:
-                # bodies start at their nodes' initial global poses
+                # bodies start at their nodes' initial global poses;
+                # STANDALONE bodies (node == -1) keep their builder pose
+                # (a -1 here must not python-wrap to the last node!)
                 bn = self.physics.body_node
                 g = np.asarray(scene.globals_[0])
-                pos, rot, _ = tfm.decompose_mat4(jnp.asarray(g[bn]))
-                body_pose = (np.asarray(pos), np.asarray(rot))
+                pos, rot, _ = tfm.decompose_mat4(
+                    jnp.asarray(g[np.maximum(bn, 0)]))
+                pos, rot = np.asarray(pos), np.asarray(rot)
+                has_node = (bn >= 0)[:, None]
+                if self.physics.init_body_pos is not None:
+                    pos = np.where(has_node, pos, self.physics.init_body_pos)
+                    rot = np.where(has_node, rot, self.physics.init_body_rot)
+                body_pose = (pos, rot)
             phys = phys_mod.init_physics_state(body_pose, self.physics, num_worlds)
         anim = None
         if self.animations is not None:
             a = track_mod.init_animation_state(self.animations, num_worlds)
             m = (machine_mod.init_machine_state(self.machine, num_worlds)
                  if self.machine is not None else None)
-            anim = AnimState(anim=a, machine=m)
+            rm = None
+            if self.root_motion is not None:
+                from fyrox_tpu.animation import rootmotion as rm_mod
+                rm = rm_mod.init_root_motion_state(self.root_motion,
+                                                   num_worlds)
+            anim = AnimState(anim=a, machine=m, rootmotion=rm)
         parts = None
         if self.particles is not None:
             from fyrox_tpu.scene.particles import init_particles
@@ -97,8 +117,17 @@ class Engine:
         anim = state.animation
 
         # ---- 1. animation ----
+        rm_delta = None
         if anim is not None and self.animations is not None:
-            if self.machine is not None and anim.machine is not None:
+            if self.root_motion is not None and anim.rootmotion is not None:
+                (a, rm, p, r, s,
+                 rm_delta) = player_mod.step_player_root_motion(
+                    self.animations, self.root_motion, anim.anim,
+                    anim.rootmotion, scene.position, scene.rotation,
+                    scene.scale, dt)
+                anim = AnimState(anim=a, machine=anim.machine, rootmotion=rm)
+                scene = scene._replace(position=p, rotation=r, scale=s)
+            elif self.machine is not None and anim.machine is not None:
                 if machine_params is None:
                     machine_params = jnp.zeros(
                         (scene.num_worlds, max(len(self.machine.param_names), 1)), bool)
@@ -110,8 +139,10 @@ class Engine:
                 a, p, r, s = player_mod.step_player(
                     self.animations, anim.anim, scene.position, scene.rotation,
                     scene.scale, dt)
-                anim = AnimState(anim=a, machine=anim.machine)
-            scene = scene._replace(position=p, rotation=r, scale=s)
+                anim = AnimState(anim=a, machine=anim.machine,
+                                 rootmotion=anim.rootmotion)
+            if self.root_motion is None:
+                scene = scene._replace(position=p, rotation=r, scale=s)
 
         # ---- 2. hierarchy (pre-physics) ----
         # When every physics body node is a scene root, the body→node sync
@@ -125,6 +156,16 @@ class Engine:
         # ---- 3+4. physics + sync-back ----
         phys = state.physics
         if phys is not None and self.physics is not None:
+            if rm_delta is not None and self.root_motion_body >= 0:
+                # velocity-drive the character body horizontally from the
+                # extracted root delta (rotated into the body's frame);
+                # gravity/collisions keep owning the vertical axis
+                from fyrox_tpu.core import quat as _q
+                bi = self.root_motion_body
+                wd = _q.rotate(phys.rotation[:, bi], rm_delta) / dt
+                lv = phys.linvel
+                lv = lv.at[:, bi, 0].set(wd[:, 0]).at[:, bi, 2].set(wd[:, 2])
+                phys = phys._replace(linvel=lv)
             phys = phys_mod.step_physics(phys, self.physics, dt)
             scene = self._sync_bodies_to_nodes(scene, phys)
             # ---- 5. refresh globals after body sync ----

@@ -93,6 +93,10 @@ class PhysicsTemplate:
     tm_tris: np.ndarray = None     # [Ntm, MAX_TRIS, 3, 3] local
     tm_mask: np.ndarray = None     # [Ntm, MAX_TRIS]
     col_tm: np.ndarray = None      # [C] trimesh index (-1)
+    # builder-time initial body poses (engine fallback for standalone
+    # bodies whose node == -1)
+    init_body_pos: np.ndarray = None   # [B,3]
+    init_body_rot: np.ndarray = None   # [B,4]
     # solver config (reference defaults physics/mod.rs:892-908)
     erp: float = 0.2
     allowed_linear_error: float = 0.002
@@ -477,6 +481,10 @@ class PhysicsBuilder:
             **self._scenery_fields(),
             joints=(self._joints.build(com_local=com)
                     if self._joints is not None else None),
+            init_body_pos=(np.stack([b["position"] for b in self._bodies])
+                           if nb else np.zeros((0, 3), np.float32)),
+            init_body_rot=(np.stack([b["rotation"] for b in self._bodies])
+                           if nb else np.zeros((0, 4), np.float32)),
             max_active_pairs=max_active_pairs,
             grid=grid_cfg,
             **solver_kw,

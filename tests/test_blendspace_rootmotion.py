@@ -209,3 +209,56 @@ def test_root_motion_non_looping_clamps():
     total = sum(d[0] for d in deltas)[0, 0]
     # clamped at the end: exactly one clip's worth of motion
     np.testing.assert_allclose(total, [0.0, 0.0, 2.0], atol=1e-4)
+
+
+class TestEngineRootMotionAutoApply:
+    """Engine-level root motion (ROADMAP #11): the player pins the root
+    bone and the engine velocity-drives the character body."""
+
+    def test_character_body_walks_forward(self):
+        import jax
+        import numpy as np
+        from fyrox_tpu.animation import AnimationSetBuilder
+        from fyrox_tpu.animation import rootmotion as rm_mod
+        from fyrox_tpu.engine import Engine
+        from fyrox_tpu.physics import world as wd, shapes as sh
+        from fyrox_tpu.scene import SceneBuilder
+
+        def lin(t0, v0, t1, v1):
+            return [dict(time=t0, value=v0), dict(time=t1, value=v1)]
+
+        sb = SceneBuilder()
+        root = sb.add_pivot("char_root", position=(0, 0.9, 0))
+        ab = AnimationSetBuilder()
+        walk = ab.add_clip("walk", length=1.0, looping=True)
+        ab.add_position_track(walk, node=root,
+                              keys_xyz=[lin(0, 0, 1, 1.2), lin(0, 0, 1, 0),
+                                        lin(0, 0, 1, 0)])
+        aset = ab.build()
+        rmd = rm_mod.build_root_motion(
+            aset, rm_mod.RootMotionSettings(node=root))
+
+        pb = wd.PhysicsBuilder()
+        g = pb.add_body(body_type=wd.BodyType.STATIC)
+        pb.add_collider(g, sh.HALFSPACE, [0, 0, 0])
+        body = pb.add_body(node=root, position=(0, 0.9, 0),
+                           lock_rotation=(0, 0, 0))
+        pb.add_collider(body, sh.CAPSULE, [0.4, 0.3])
+        pt = pb.build(broadphase="dense")
+
+        eng = Engine(template=sb.build(), physics=pt, animations=aset,
+                     root_motion=rmd, root_motion_body=body)
+        st = eng.init_state(2)
+        step = jax.jit(lambda s: eng.step(s))
+        for _ in range(120):
+            st = step(st)
+        x = float(st.physics.position[0, body, 0])
+        y = float(st.physics.position[0, body, 1])
+        assert 1.8 < x < 2.6, x            # ~1.2 m/s for 2 s
+        assert 0.55 < y < 0.8, y           # standing on the ground
+        # the standalone ground body must NOT inherit a node pose
+        assert abs(float(st.physics.position[0, g, 1])) < 1e-5
+        # worlds agree (pure batched determinism)
+        np.testing.assert_allclose(np.asarray(st.physics.position[0]),
+                                   np.asarray(st.physics.position[1]),
+                                   atol=1e-6)
