@@ -356,3 +356,129 @@ def fbx_to_scene(doc: FbxNode, scene_builder=None):
 def load_fbx_scene(path_or_bytes, scene_builder=None):
     """One-call import: bytes/path → (SceneBuilder, name→node index)."""
     return fbx_to_scene(parse_fbx(path_or_bytes), scene_builder)
+
+
+# --------------------------------------------------------------------------
+# skins + animations (resource/fbx/scene/animation.rs, model.rs deformers)
+# --------------------------------------------------------------------------
+
+FBX_TICKS_PER_SECOND = 46186158000.0
+
+
+def extract_skin(doc: FbxNode, geometry_id=None):
+    """Skin deformer extraction: Cluster indexes/weights + bind matrices.
+
+    Returns None or dict(bone_model_ids [B], indices [V,4] int32,
+    weights [V,4] f32, inv_bind [B,4,4]) for the (first) skinned
+    geometry. Mirrors the reference's Deformer/SubDeformer walk."""
+    objects = doc.child("Objects")
+    conns = doc.child("Connections")
+    if objects is None or conns is None:
+        return None
+    links = [(int(c.prop(1)), int(c.prop(2))) for c in conns.all("C")
+             if c.prop(0) == "OO"]
+    parent_of = {}
+    children_of = {}
+    for child, parent in links:
+        parent_of.setdefault(child, []).append(parent)
+        children_of.setdefault(parent, []).append(child)
+
+    deformers = {int(d.prop(0, 0)): d for d in objects.all("Deformer")}
+    geoms = {int(g.prop(0, 0)): g for g in objects.all("Geometry")}
+    skins = {i: d for i, d in deformers.items()
+             if "Skin" in str(d.prop(2, ""))
+             and "Cluster" not in str(d.prop(2, ""))}
+    for sid, skin in skins.items():
+        gids = [p for p in parent_of.get(sid, []) if p in geoms]
+        if not gids or (geometry_id is not None and geometry_id not in gids):
+            continue
+        gid = gids[0]
+        n_verts = len(np.asarray(geoms[gid].child("Vertices").properties[0])) // 3
+        clusters = [deformers[c] for c in children_of.get(sid, [])
+                    if c in deformers and "Cluster" in str(deformers[c].prop(2, ""))]
+        bone_ids, inv_bind = [], []
+        acc = [[] for _ in range(n_verts)]     # (weight, bone_slot)
+        for slot, cl in enumerate(clusters):
+            cid = int(cl.prop(0, 0))
+            bones = [p for p in children_of.get(cid, [])]
+            # bone Model links INTO the cluster (Model -OO-> Cluster)
+            bone = bones[0] if bones else -1
+            bone_ids.append(bone)
+            tl = cl.child("TransformLink")
+            t = cl.child("Transform")
+            if t is not None:
+                inv_bind.append(np.asarray(t.properties[0],
+                                           np.float64).reshape(4, 4))
+            elif tl is not None:
+                inv_bind.append(np.linalg.inv(
+                    np.asarray(tl.properties[0], np.float64).reshape(4, 4)))
+            else:
+                inv_bind.append(np.eye(4))
+            idxs = cl.child("Indexes")
+            wts = cl.child("Weights")
+            if idxs is None or wts is None:
+                continue
+            for vi, wv in zip(np.asarray(idxs.properties[0], np.int64),
+                              np.asarray(wts.properties[0], np.float64)):
+                if 0 <= vi < n_verts:
+                    acc[int(vi)].append((float(wv), slot))
+        indices = np.zeros((n_verts, 4), np.int32)
+        weights = np.zeros((n_verts, 4), np.float32)
+        for vi, lst in enumerate(acc):
+            lst.sort(reverse=True)
+            for k, (wv, slot) in enumerate(lst[:4]):
+                indices[vi, k] = slot
+                weights[vi, k] = wv
+            tot = weights[vi].sum()
+            if tot > 0:
+                weights[vi] /= tot
+        return dict(geometry_id=gid,
+                    bone_model_ids=np.asarray(bone_ids, np.int64),
+                    indices=indices, weights=weights,
+                    inv_bind=np.stack(inv_bind).astype(np.float32))
+    return None
+
+
+def extract_animations(doc: FbxNode):
+    """AnimationCurveNode/AnimationCurve extraction.
+
+    Returns {model_id: {channel: [(t_sec, value), ...]}} with channel in
+    'Lcl Translation'/'Lcl Rotation' + component letters ('T.X', 'R.Z'…) —
+    the raw curves the reference converts into engine tracks
+    (resource/gltf parity lives in io/gltf.py; FBX stores per-component
+    curves in FBX ticks)."""
+    objects = doc.child("Objects")
+    conns = doc.child("Connections")
+    if objects is None or conns is None:
+        return {}
+    curve_nodes = {int(n.prop(0, 0)): n
+                   for n in objects.all("AnimationCurveNode")}
+    curves = {int(n.prop(0, 0)): n for n in objects.all("AnimationCurve")}
+    out = {}
+    # OP links carry the property names on both hops:
+    #   AnimationCurve -OP("d|X")-> AnimationCurveNode
+    #   AnimationCurveNode -OP("Lcl Translation")-> Model
+    node_target = {}
+    for c in conns.all("C"):
+        if c.prop(0) != "OP":
+            continue
+        child, parent, pname = int(c.prop(1)), int(c.prop(2)), str(c.prop(3, ""))
+        if child in curve_nodes and parent not in curve_nodes:
+            node_target[child] = (parent, pname)
+    for c in conns.all("C"):
+        if c.prop(0) != "OP":
+            continue
+        child, parent, comp = int(c.prop(1)), int(c.prop(2)), str(c.prop(3, ""))
+        if child in curves and parent in node_target:
+            model, prop = node_target[parent]
+            cv = curves[child]
+            kt = np.asarray(cv.child("KeyTime").properties[0], np.float64)
+            kv = np.asarray(cv.child("KeyValueFloat").properties[0], np.float64)
+            times = kt / FBX_TICKS_PER_SECOND
+            tag = ("T" if "Translation" in prop else
+                   "R" if "Rotation" in prop else
+                   "S" if "Scaling" in prop else prop)
+            axis = comp.split("|")[-1].strip().upper()[-1:] or "X"
+            out.setdefault(model, {})[f"{tag}.{axis}"] = list(
+                zip(times.tolist(), kv.tolist()))
+    return out

@@ -167,3 +167,64 @@ class TestPolygonDecoding:
         assert tris.shape == (3, 3)
         np.testing.assert_array_equal(tris[0], [0, 1, 2])
         np.testing.assert_array_equal(tris[-1], [0, 3, 4])
+
+
+class TestSkinsAndAnimations:
+    def _doc_with_skin(self):
+        verts = np.asarray([0, 0, 0, 1, 0, 0, 2, 0, 0], np.float64)
+        polys = np.asarray([0, 1, -3], np.int32)
+        geometry = ("Geometry", [10, "Geometry::m", "Mesh"], [
+            ("Vertices", [verts], []),
+            ("PolygonVertexIndex", [polys], []),
+        ])
+        skin = ("Deformer", [20, "Deformer::s", "Skin"], [])
+        bind = np.eye(4).reshape(-1)
+        cl0 = ("Deformer", [21, "SubDeformer::c0", "Cluster"], [
+            ("Indexes", [np.asarray([0, 1], np.int32)], []),
+            ("Weights", [np.asarray([1.0, 0.5], np.float64)], []),
+            ("Transform", [bind], []),
+        ])
+        cl1 = ("Deformer", [22, "SubDeformer::c1", "Cluster"], [
+            ("Indexes", [np.asarray([1, 2], np.int32)], []),
+            ("Weights", [np.asarray([0.5, 1.0], np.float64)], []),
+            ("Transform", [bind], []),
+        ])
+        bone0 = ("Model", [30, "Model::b0", "LimbNode"], [])
+        bone1 = ("Model", [31, "Model::b1", "LimbNode"], [])
+        curve_node = ("AnimationCurveNode", [40, "AnimCurveNode::T", ""], [])
+        curve = ("AnimationCurve", [41, "AnimCurve::", ""], [
+            ("KeyTime", [np.asarray([0, 46186158000], np.int64)], []),
+            ("KeyValueFloat", [np.asarray([0.0, 2.5], np.float64)], []),
+        ])
+        conns = ("Connections", [], [
+            ("C", ["OO", 20, 10], []),       # skin -> geometry
+            ("C", ["OO", 21, 20], []),       # clusters -> skin
+            ("C", ["OO", 22, 20], []),
+            ("C", ["OO", 30, 21], []),       # bones -> clusters
+            ("C", ["OO", 31, 22], []),
+            ("C", ["OP", 40, 30, "Lcl Translation"], []),
+            ("C", ["OP", 41, 40, "d|X"], []),
+        ])
+        return [("Objects", [], [geometry, skin, cl0, cl1, bone0, bone1,
+                                 curve_node, curve]), conns]
+
+    def test_skin_clusters(self):
+        from fyrox_tpu.io.fbx import extract_skin
+        doc = parse_fbx(write_fbx_binary(self._doc_with_skin()))
+        skin = extract_skin(doc)
+        assert skin is not None
+        np.testing.assert_array_equal(skin["bone_model_ids"], [30, 31])
+        # vertex 1 is split 50/50 across the two clusters (normalized)
+        w1 = sorted(skin["weights"][1][:2].tolist())
+        np.testing.assert_allclose(w1, [0.5, 0.5])
+        assert skin["weights"][0][0] == 1.0
+        assert skin["inv_bind"].shape == (2, 4, 4)
+
+    def test_animation_curves(self):
+        from fyrox_tpu.io.fbx import extract_animations
+        doc = parse_fbx(write_fbx_binary(self._doc_with_skin()))
+        anims = extract_animations(doc)
+        assert 30 in anims
+        keys = anims[30]["T.X"]
+        assert keys[0] == (0.0, 0.0)
+        assert abs(keys[1][0] - 1.0) < 1e-9 and keys[1][1] == 2.5
