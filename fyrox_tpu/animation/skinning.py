@@ -75,8 +75,8 @@ def bone_matrices(globals_, skin: SkinTemplate):
     (mesh/mod.rs:781-792)."""
     bg = globals_[:, jnp.asarray(skin.bones)]
     ib = jnp.asarray(skin.inv_bind)[None]
-    return jnp.einsum("wbij,wbjk->wbik", bg, jnp.broadcast_to(ib, bg.shape),
-                      precision="highest")
+    ibb = jnp.broadcast_to(ib, bg.shape)
+    return jnp.sum(bg[..., :, :, None] * ibb[..., None, :, :], -2)
 
 
 def skin_positions_gather(bone_mats, skin: SkinTemplate):
@@ -86,8 +86,8 @@ def skin_positions_gather(bone_mats, skin: SkinTemplate):
     verts = jnp.asarray(skin.vertices)            # [V,3]
     m = bone_mats[:, idx]                         # [W,V,4,4,4]
     blended = jnp.sum(m * wts[None, :, :, None, None], axis=2)  # [W,V,4,4]
-    return (jnp.einsum("wvij,vj->wvi", blended[..., :3, :3], verts,
-                       precision="highest") + blended[..., :3, 3])
+    return (jnp.sum(blended[..., :3, :3] * verts[None, :, None, :], -1)
+            + blended[..., :3, 3])
 
 
 def skin_positions_dense(bone_mats, skin: SkinTemplate, precision="highest"):
@@ -105,4 +105,4 @@ def skin_positions_dense(bone_mats, skin: SkinTemplate, precision="highest"):
     lin = blended[..., :3]
     trans = blended[..., 3]
     verts = jnp.asarray(skin.vertices)
-    return jnp.einsum("wvij,vj->wvi", lin, verts, precision=precision) + trans
+    return jnp.sum(lin * verts[None, :, None, :], -1) + trans

@@ -63,7 +63,7 @@ def mat4_identity(shape=(), dtype=jnp.float32):
 
 def mat4_mul(a, b):
     """Batched 4x4 matrix product a @ b."""
-    return jnp.einsum("...ij,...jk->...ik", a, b, precision="highest")
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], -2)
 
 
 def make_translation(t):
@@ -108,11 +108,12 @@ def local_matrix(t: Transform):
 
     rot = quat.to_mat3(t.rotation)
     if t.pre_rotation is not None:
-        rot = jnp.einsum("...ij,...jk->...ik", quat.to_mat3(t.pre_rotation), rot, precision="highest")
+        pre = quat.to_mat3(t.pre_rotation)
+        rot = jnp.sum(pre[..., :, :, None] * rot[..., None, :, :], -2)
     if t.post_rotation is not None:
         # reference stores inverse(post_rotation) (transform.rs:160-163)
         post_inv = jnp.swapaxes(quat.to_mat3(t.post_rotation), -1, -2)
-        rot = jnp.einsum("...ij,...jk->...ik", rot, post_inv, precision="highest")
+        rot = jnp.sum(rot[..., :, :, None] * post_inv[..., None, :, :], -2)
 
     rp = _v(t.rotation_pivot)
     roff = _v(t.rotation_offset)
@@ -122,25 +123,25 @@ def local_matrix(t: Transform):
 
     linear = rot * s[..., None, :]
     inner = soff + sp - s * sp - rp
-    translation = jnp.einsum("...ij,...j->...i", rot, inner, precision="highest") + t.position + roff + rp
+    translation = jnp.sum(rot * inner[..., None, :], -1) + t.position + roff + rp
     return _assemble(linear, translation)
 
 
 def transform_point(m, p):
     """Apply affine [...,4,4] to points [...,3]."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p, precision="highest") + m[..., :3, 3]
+    return jnp.sum(m[..., :3, :3] * p[..., None, :], -1) + m[..., :3, 3]
 
 
 def transform_vector(m, v):
     """Apply linear part of affine matrix to vectors (no translation)."""
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v, precision="highest")
+    return jnp.sum(m[..., :3, :3] * v[..., None, :], -1)
 
 
 def invert_affine(m):
     """Inverse of an affine transform (rotation*scale + translation)."""
     lin = m[..., :3, :3]
     inv_lin = jnp.linalg.inv(lin)
-    inv_t = -jnp.einsum("...ij,...j->...i", inv_lin, m[..., :3, 3], precision="highest")
+    inv_t = -jnp.sum(inv_lin * m[..., :3, 3][..., None, :], -1)
     return _assemble(inv_lin, inv_t)
 
 
