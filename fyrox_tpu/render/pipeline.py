@@ -46,6 +46,10 @@ class RenderConfig(NamedTuple):
     point_shadows: bool = False
     spot_shadow_size: int = 128
     point_shadow_size: int = 64
+    # HZB occlusion culling (renderer/occlusion/mod.rs equivalent):
+    # quarter-ish-res depth prepass + max-mip AABB tests
+    occlusion: bool = False
+    occlusion_size: int = 64
 
 
 @dataclass
@@ -236,6 +240,21 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         for p_r in scene_template.doubling_pointers():
             lod_vis = lod_vis & lod_vis[jnp.asarray(p_r)]
         node_vis = node_vis & lod_vis[:-1]
+
+    # ---- HZB occlusion culling (renderer/occlusion/mod.rs:60) ----
+    if config.occlusion and scene_template.local_bbox_min is not None:
+        from fyrox_tpu.render import occlusion as occ_mod
+        os_ = config.occlusion_size
+        pre_valid = node_vis[jnp.asarray(rt.tri_node)]
+        dummy3 = jnp.zeros(tri_clip.shape[:2] + (3,), jnp.float32)
+        dummy2 = jnp.zeros(tri_clip.shape[:2] + (2,), jnp.float32)
+        pre = raster_mod.rasterize(
+            tri_clip, dict(albedo=dummy3, normal=dummy3, position=dummy3,
+                           material=dummy2, emission=dummy3),
+            os_, os_, tri_valid=pre_valid, chunk=config.chunk)
+        hzb = occ_mod.build_hzb(pre.depth)
+        occ_vis = occ_mod.occlusion_visible(wmin, wmax, vp, hzb, os_, os_)
+        node_vis = node_vis & occ_vis
 
     tri_valid = node_vis[jnp.asarray(rt.tri_node)]
     # transparent triangles skip the deferred pass (RenderPath::Forward,

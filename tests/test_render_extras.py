@@ -119,3 +119,57 @@ class TestTransparentPass:
         clear = self._scene(0.05)
         d = np.abs(plain[H // 2, W // 2] - clear[H // 2, W // 2]).max()
         assert d < 0.25, d
+
+
+class TestOcclusionCulling:
+    """HZB occlusion culling (renderer/occlusion/mod.rs:60 equivalent)."""
+
+    def test_hzb_and_aabb_test(self):
+        import jax.numpy as jnp
+        from fyrox_tpu.render.occlusion import build_hzb, occlusion_visible
+        from fyrox_tpu.scene import camera as cam
+        # depth buffer: near wall (z=0.2) covering the left half
+        depth = jnp.full((32, 32), 1.0e9)
+        depth = depth.at[:, :16].set(0.2)
+        hzb = build_hzb(depth)
+        assert len(hzb) >= 4
+        proj = cam.perspective(jnp.asarray(np.pi / 2), jnp.asarray(1.0),
+                               jnp.asarray(0.1), jnp.asarray(100.0))
+        # our camera convention looks +Z with view flipping z; emulate by a
+        # view that maps +z forward: use -z for the RH projection directly
+        vp = np.asarray(proj)
+        def box(cx, cz, r=0.5):
+            return (np.asarray([[cx - r, -r, -cz - r]], np.float32),
+                    np.asarray([[cx + r, r, -cz + r]], np.float32))
+        # box on the LEFT (screen-left = -x), far behind the wall depth
+        wmin, wmax = box(-5.0, 10.0)
+        vis_hidden = occlusion_visible(jnp.asarray(wmin), jnp.asarray(wmax),
+                                       jnp.asarray(vp), hzb, 32, 32)
+        # box on the RIGHT, same distance — empty depth there
+        wmin2, wmax2 = box(5.0, 10.0)
+        vis_open = occlusion_visible(jnp.asarray(wmin2), jnp.asarray(wmax2),
+                                     jnp.asarray(vp), hzb, 32, 32)
+        assert not bool(vis_hidden[0])
+        assert bool(vis_open[0])
+
+    def test_pipeline_image_unchanged_with_occlusion(self):
+        # occlusion culling is conservative: the rendered image must not
+        # change (hidden objects were invisible anyway)
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, render_frame)
+        sb = SceneBuilder()
+        sb.add_mesh(make_cube(4.0, albedo=(1, 1, 1), emission=(1, 1, 1)),
+                    name="wall", position=(0, 0, 5.0))
+        sb.add_mesh(make_cube(1.0, albedo=(1, 0, 0), emission=(1, 0, 0)),
+                    name="hidden", position=(0, 0, 9.0))
+        sb.add_camera("cam", position=(0, 0, 0))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        base = render_frame(st, t, rt, RenderConfig(
+            width=32, height=32, shadows=False, chunk=16))[0]
+        occl = render_frame(st, t, rt, RenderConfig(
+            width=32, height=32, shadows=False, chunk=16, occlusion=True,
+            occlusion_size=32))[0]
+        np.testing.assert_allclose(np.asarray(occl), np.asarray(base),
+                                   atol=1e-5)
