@@ -89,6 +89,10 @@ class RenderTemplate:
     # `triangles` + per-triangle opacity (meshes with alpha < 1)
     tr_tri: np.ndarray = None        # [Tt] int32
     tr_alpha: np.ndarray = None      # [Tt] f32
+    # decals (scene/decal.rs): node + color + strength
+    decal_node: np.ndarray = None    # [D] int32
+    decal_color: np.ndarray = None   # [D,3]
+    decal_strength: np.ndarray = None  # [D]
 
     @property
     def num_triangles(self):
@@ -172,6 +176,15 @@ def build_render_template(template: SceneTemplate,
                               ).astype(np.int32),
         tr_alpha=np.concatenate(tri_alpha)[
             np.concatenate(tri_alpha) < 0.999].astype(np.float32),
+        decal_node=(np.asarray(template.decals["node"], np.int32)
+                    if getattr(template, "decals", None)
+                    and len(template.decals.get("node", [])) else None),
+        decal_color=(np.stack(template.decals["color"]).astype(np.float32)
+                     if getattr(template, "decals", None)
+                     and len(template.decals.get("node", [])) else None),
+        decal_strength=(np.asarray(template.decals["strength"], np.float32)
+                        if getattr(template, "decals", None)
+                        and len(template.decals.get("node", [])) else None),
         **_flatten_lod(template),
     )
 
@@ -315,6 +328,20 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
                                     config.width, tri_valid=tri_valid,
                                     chunk=config.chunk)
+
+    # ---- decals (renderer/decal.rs): project color into the G-buffer
+    # inside each decal node's unit-cube volume, before lighting ----
+    if rt.decal_node is not None:
+        inv = tfm.invert_affine(globals_[jnp.asarray(rt.decal_node)])  # [D,4,4]
+        for di in range(rt.decal_node.shape[0]):
+            pl = tfm.transform_point(inv[di][None, None], gbuf.position)
+            inside = (jnp.all(jnp.abs(pl) <= 0.5, axis=-1)
+                      & gbuf.mask
+                      & node_vis[int(rt.decal_node[di])])
+            w_d = inside.astype(jnp.float32) * float(rt.decal_strength[di])
+            col = jnp.asarray(rt.decal_color[di])
+            gbuf = gbuf._replace(albedo=gbuf.albedo * (1 - w_d[..., None])
+                                 + col * w_d[..., None])
 
     # lights from node globals
     nl = rt.light_node.shape[0]

@@ -52,6 +52,7 @@ class SceneBuilder:
                                   cast_shadows=[])
         self._meshes: list = []
         self._sprites: dict = dict(node=[], size=[], color=[])
+        self._decals: dict = dict(node=[], color=[], strength=[])
         self.extras: dict = {}
 
     # -- generic node ------------------------------------------------------
@@ -127,6 +128,20 @@ class SceneBuilder:
         self._sprites["node"].append(idx)
         self._sprites["size"].append(float(size))
         self._sprites["color"].append(np.asarray(color, np.float32))
+        return idx
+
+    def add_decal(self, name="decal", parent=-1, color=(1.0, 0.2, 0.2),
+                  strength=1.0, **kw) -> int:
+        """Decal node (scene/decal.rs:115): projects its color onto
+        geometry inside the node's unit-cube volume (scale the node to
+        size the projection box). Deferred application in the renderer
+        (renderer/decal.rs equivalent)."""
+        idx = self.add_node(name, parent, NodeType.DECAL, **kw)
+        self._nodes[idx].payload = len(self._decals["node"])
+        d = self._decals
+        d["node"].append(idx)
+        d["color"].append(np.asarray(color, np.float32))
+        d["strength"].append(float(strength))
         return idx
 
     def add_lod_group(self, levels):
@@ -249,6 +264,7 @@ class SceneBuilder:
             lights={k: np.asarray(v) for k, v in self._lights.items()},
             meshes=self._meshes,
             sprites={k: np.asarray(v) for k, v in self._sprites.items()},
+            decals={k: np.asarray(v) for k, v in self._decals.items()},
             extras=dict(self.extras),
         )
         return template

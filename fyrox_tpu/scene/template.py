@@ -96,6 +96,7 @@ class SceneTemplate:
     lights: dict = field(default_factory=dict)        # SoA dict of light params
     meshes: list = field(default_factory=list)        # list of MeshData
     sprites: dict = field(default_factory=dict)       # SoA dict of sprite params
+    decals: dict = field(default_factory=dict)        # SoA dict of decal params
     # physics template (fyrox_tpu.physics), animation template, etc. are
     # attached by their subsystem builders:
     extras: dict = field(default_factory=dict)

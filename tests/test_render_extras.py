@@ -173,3 +173,27 @@ class TestOcclusionCulling:
             occlusion_size=32))[0]
         np.testing.assert_allclose(np.asarray(occl), np.asarray(base),
                                    atol=1e-5)
+
+
+class TestDecals:
+    """Decal projection (scene/decal.rs:115, renderer/decal.rs)."""
+
+    def test_decal_tints_geometry_inside_volume(self):
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_plane, render_frame)
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(10.0, albedo=(1, 1, 1), emission=(1, 1, 1)),
+                    name="ground")
+        # decal box over the plane centre, scaled 2x2x2
+        sb.add_decal("splat", color=(1.0, 0.0, 0.0), strength=1.0,
+                     position=(0, 0, 0), scale=(2.0, 2.0, 2.0))
+        sb.add_camera("cam", position=(0, 6.0, 0), rotation=DOWN)
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        img = np.asarray(render_frame(st, t, rt, RenderConfig(
+            width=32, height=32, shadows=False, chunk=16))[0])[0]
+        c_in = img[16, 16]          # centre: decal volume
+        c_out = img[3, 3]           # corner: plain white plane
+        assert c_in[0] > 0.5 and c_in[1] < 0.4        # red-tinted
+        assert c_out[1] > 0.8                          # untouched white
