@@ -125,3 +125,59 @@ class TestDim2Physics:
         assert z.max() < 1e-4, f"z drift {z.max()}"
         # still moved in-plane (started at x = -0.4)
         assert abs(float(s.position[0, 1, 0]) - (-0.4)) > 0.1
+
+
+class TestSpatialAccel:
+    """Octree/QuadTree/RectPacker (fyrox-math octree.rs,
+    fyrox-core quadtree.rs + rectpack.rs)."""
+
+    def _boxes(self):
+        import numpy as np
+        rng = np.random.default_rng(0)
+        c = rng.uniform(-10, 10, (200, 3))
+        return c - 0.3, c + 0.3
+
+    def test_octree_aabb_query_matches_bruteforce(self):
+        import numpy as np
+        from fyrox_tpu.core.spatial import Octree
+        mins, maxs = self._boxes()
+        tree = Octree(mins, maxs)
+        qmin, qmax = np.asarray([-2, -2, -2.0]), np.asarray([3, 3, 3.0])
+        got = tree.aabb_query(qmin, qmax)
+        want = sorted(int(i) for i in range(200)
+                      if np.all(mins[i] <= qmax) and np.all(maxs[i] >= qmin))
+        assert got == want
+
+    def test_octree_sphere_and_ray(self):
+        import numpy as np
+        from fyrox_tpu.core.spatial import Octree
+        mins = np.asarray([[0, 0, 0], [5, 0, 0], [10, 0, 0.0]])
+        maxs = mins + 1.0
+        tree = Octree(mins, maxs)
+        assert tree.sphere_query([0.5, 0.5, 0.5], 0.6) == [0]
+        hits = tree.ray_query([-1, 0.5, 0.5], [1, 0, 0])
+        assert hits == [0, 1, 2]          # nearest first
+
+    def test_quadtree(self):
+        import numpy as np
+        from fyrox_tpu.core.spatial import QuadTree
+        mins = np.asarray([[0, 0], [4, 4.0]])
+        maxs = mins + 1.0
+        t = QuadTree(mins, maxs)
+        assert t.aabb_query([0, 0], [2, 2]) == [0]
+
+    def test_rectpack_fits_without_overlap(self):
+        from fyrox_tpu.core.spatial import RectPacker
+        p = RectPacker(64, 64)
+        placed = []
+        for (w, h) in [(64, 16), (32, 32), (32, 32), (16, 16), (16, 16)]:
+            xy = p.pack(w, h)
+            assert xy is not None
+            placed.append((xy[0], xy[1], w, h))
+        for i in range(len(placed)):
+            for j in range(i + 1, len(placed)):
+                x0, y0, w0, h0 = placed[i]
+                x1, y1, w1, h1 = placed[j]
+                assert (x0 + w0 <= x1 or x1 + w1 <= x0
+                        or y0 + h0 <= y1 or y1 + h1 <= y0)
+        assert p.pack(64, 64) is None     # full
