@@ -74,3 +74,30 @@ class TestReferenceScenes:
     def test_template_scene_has_named_camera(self):
         t = load_scene(f"{REF}/template-core/src/3d.rgs")
         assert "Camera" in t.names or any("amera" in n for n in t.names), t.names
+
+
+class TestSceneTools:
+    """Scene inspect/diff CLI (fyrox_tpu/tools.py) over real .rgs files."""
+
+    def test_inspect_real_reference_scene(self):
+        import io as _io
+        from fyrox_tpu.tools import inspect_scene
+        t = load_scene("/root/reference/examples/data/navmesh_scene.rgs")
+        buf = _io.StringIO()
+        inspect_scene(t, out=buf)
+        text = buf.getvalue()
+        assert "nodes" in text.splitlines()[0]
+        assert "<" in text              # node type tags printed
+
+    def test_diff_detects_change(self):
+        import io as _io
+        import numpy as np
+        from fyrox_tpu.tools import diff_scenes
+        a = load_scene("/root/reference/examples/data/navmesh_scene.rgs")
+        b = load_scene("/root/reference/examples/data/navmesh_scene.rgs")
+        buf = _io.StringIO()
+        assert diff_scenes(a, b, out=buf) == 0
+        b.init_position[1] = b.init_position[1] + 1.0
+        buf = _io.StringIO()
+        n = diff_scenes(a, b, out=buf)
+        assert n == 1 and "init_position" in buf.getvalue()
