@@ -50,6 +50,8 @@ class RenderConfig(NamedTuple):
     # quarter-ish-res depth prepass + max-mip AABB tests
     occlusion: bool = False
     occlusion_size: int = 64
+    # volumetric light shafts (renderer/light_volume.rs equivalent)
+    light_shafts: bool = False
 
 
 @dataclass
@@ -423,6 +425,17 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                                    ambient=config.ambient, shadow_fn=shadow_fn)
     else:
         color = gbuf.albedo * gbuf.mask[..., None]
+
+    # ---- volumetric light shafts (light_volume.rs equivalent) ----
+    if config.light_shafts and nl:
+        from fyrox_tpu.render import volumetric as vol_mod
+        for li in range(nl):
+            lp4 = jnp.concatenate([lpos[li], jnp.ones(1)], 0)
+            lclip = jnp.sum(vp * lp4[None, :], -1)
+            color = vol_mod.light_shafts(
+                color, gbuf.mask, lclip,
+                jnp.asarray(rt.light_color)[li]
+                * jnp.asarray(rt.light_intensity)[li] * 0.25)
 
     # ---- sky background (skybox.rs equivalent: vertical gradient) ----
     if any(v > 0 for v in config.sky_zenith) or any(v > 0 for v in config.sky_horizon):

@@ -197,3 +197,65 @@ class TestDecals:
         c_out = img[3, 3]           # corner: plain white plane
         assert c_in[0] > 0.5 and c_in[1] < 0.4        # red-tinted
         assert c_out[1] > 0.8                          # untouched white
+
+
+class TestVolumetricShafts:
+    """Light shafts (renderer/light_volume.rs equivalent)."""
+
+    def test_shafts_brighten_toward_light(self):
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, render_frame)
+        sb = SceneBuilder()
+        # a pillar silhouetted against a bright point light behind it
+        sb.add_mesh(make_cube(1.5, albedo=(0.1, 0.1, 0.1)), name="pillar",
+                    position=(0, 0, 5.0))
+        sb.add_light("point", position=(0, 0, 9.0), radius=30.0,
+                     intensity=4.0)
+        sb.add_camera("cam", position=(0, 0, 0))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        off = np.asarray(render_frame(st, t, rt, RenderConfig(
+            width=32, height=32, shadows=False, chunk=16))[0])[0]
+        on = np.asarray(render_frame(st, t, rt, RenderConfig(
+            width=32, height=32, shadows=False, chunk=16,
+            light_shafts=True))[0])[0]
+        # shafts only ADD light, and must add a nontrivial amount around
+        # the silhouette
+        assert np.all(on >= off - 1e-6)
+        assert on.mean() > off.mean() + 1e-3
+
+
+class TestReflectionProbe:
+    """Reflection probe capture + diffuse IBL (scene/probe.rs:135,
+    renderer convolution.rs collapsed to a 6-lobe cosine basis)."""
+
+    def test_capture_sees_surroundings_and_lights_scene(self):
+        import jax.numpy as jnp
+        from fyrox_tpu.render.probe import (apply_probe_ambient,
+                                            capture_probe, face_irradiance)
+        # a bright emissive panel on +X of the probe
+        tri = jnp.asarray([[[3.0, -1, -1], [3.0, -1, 1], [3.0, 1, 0]]])
+        attrs = dict(albedo=jnp.zeros((1, 3, 3)),
+                     normal=jnp.tile(jnp.asarray([-1.0, 0, 0]), (1, 3, 1)),
+                     position=tri,
+                     material=jnp.zeros((1, 3, 2)),
+                     emission=jnp.tile(jnp.asarray([0.0, 4.0, 0.0]), (1, 3, 1)))
+        faces = capture_probe(tri, attrs, (0.0, 0.0, 0.0), face_size=16,
+                              chunk=1)
+        irr = np.asarray(face_irradiance(faces))
+        # the +X face sees green; the -X face sees nothing
+        assert irr[0, 1] > 0.01
+        assert irr[1, 1] < 1e-6
+
+        # apply to a fake gbuf: a pixel whose normal faces +X receives the
+        # green bounce, one facing -X does not
+        class G:
+            albedo = jnp.ones((1, 2, 3))
+            normal = jnp.asarray([[[1.0, 0, 0], [-1.0, 0, 0]]])
+            position = jnp.zeros((1, 2, 3))
+            mask = jnp.ones((1, 2), bool)
+        out = np.asarray(apply_probe_ambient(jnp.zeros((1, 2, 3)), G,
+                                             face_irradiance(faces)))
+        assert out[0, 0, 1] > 0.003
+        assert out[0, 1, 1] < 1e-6
