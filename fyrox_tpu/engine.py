@@ -230,3 +230,39 @@ class Engine:
             return self.step(s, machine_params=machine_params), None
         out, _ = jax.lax.scan(body, state, None, length=num_steps)
         return out
+
+
+def world_health(state: EngineState):
+    """Per-world validity mask [W]: True where every array in the state is
+    finite. The batched analog of the reference's failure detection
+    (physics panics are caught and logged, physics/mod.rs:1188;
+    Graph::restore_integrity repairs bad state after load)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(state)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    w = leaves[0].shape[0]
+    ok = jnp.ones((w,), bool)
+    for l in leaves:
+        if l.ndim == 0 or l.shape[0] != w:
+            continue
+        flat = l.reshape(w, -1)
+        # NaN only: +inf is a legitimate sentinel (node lifetimes, empty
+        # depth buffers); numerical divergence reaches NaN through the
+        # first inf-inf or 0*inf it touches
+        ok = ok & ~jnp.any(jnp.isnan(flat), axis=1)
+    return ok
+
+
+def restore_unhealthy(state: EngineState, fallback: EngineState):
+    """Reset every non-finite world to `fallback` (keep healthy worlds
+    untouched) — restore_integrity for the batched regime: one diverged
+    world must not poison a 4096-world rollout."""
+    ok = world_health(state)
+
+    def fix(cur, fb):
+        if not hasattr(cur, "dtype") or cur.ndim == 0 \
+                or cur.shape[0] != ok.shape[0]:
+            return cur
+        m = ok.reshape((-1,) + (1,) * (cur.ndim - 1))
+        return jnp.where(m, cur, fb)
+
+    return jax.tree_util.tree_map(fix, state, fallback)

@@ -94,3 +94,28 @@ class TestSharded:
         state, metrics = roll(state)
         assert float(metrics["total_worlds"]) == 16.0
         assert np.isfinite(float(metrics["mean_body_speed"]))
+
+
+class TestFailureDetection:
+    """NaN guards + per-world restore (the catch_unwind/restore_integrity
+    analog for batched rollouts)."""
+
+    def test_world_health_and_restore(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from fyrox_tpu.engine import world_health, restore_unhealthy
+        from fyrox_tpu.models import build_flagship
+        engine, _ = build_flagship(n_bones=8, n_verts=64, n_bodies=8)
+        st = engine.init_state(3)
+        ok = np.asarray(world_health(st))
+        assert ok.tolist() == [True, True, True]
+        # poison world 1
+        bad = st._replace(physics=st.physics._replace(
+            position=st.physics.position.at[1, 0, 0].set(jnp.nan)))
+        ok = np.asarray(world_health(bad))
+        assert ok.tolist() == [True, False, True]
+        fixed = restore_unhealthy(bad, st)
+        assert np.asarray(world_health(fixed)).all()
+        # healthy worlds untouched
+        np.testing.assert_array_equal(np.asarray(fixed.physics.position[0]),
+                                      np.asarray(bad.physics.position[0]))
