@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["spherical_head_hrir", "render_block_binaural", "HRTF_BLOCK_LEN"]
+__all__ = ["spherical_head_hrir", "render_block_binaural", "HRTF_BLOCK_LEN",
+           "HrirSphere", "sample_hrir"]
 
 HRTF_BLOCK_LEN = 513          # context.rs:322
 _HEAD_RADIUS = 0.0875         # meters
@@ -71,12 +72,58 @@ def spherical_head_hrir(azimuth, length=64):
     return jnp.stack([left, right], -2)            # [..., 2, length]
 
 
+class HrirSphere:
+    """Measured-HRIR support (the reference loads .hrir spheres for the
+    external `hrtf` crate, fyrox-sound/src/context.rs:322): a ring/sphere
+    of impulse responses indexed by azimuth. `sample_hrir` blends the two
+    nearest measurements — drop a dataset in and the binaural path
+    becomes dataset-grade without touching the mixer."""
+
+    def __init__(self, azimuths, hrirs):
+        """azimuths [M] radians (sorted, full circle); hrirs [M,2,L]."""
+        order = np.argsort(np.asarray(azimuths))
+        self.azimuths = np.asarray(azimuths, np.float32)[order]
+        self.hrirs = np.asarray(hrirs, np.float32)[order]
+
+    @property
+    def length(self):
+        return self.hrirs.shape[-1]
+
+
+def sample_hrir(sphere: HrirSphere, azimuths):
+    """[S,2,L] HRIRs at arbitrary azimuths: linear blend of the two
+    nearest measured directions (wrap-around)."""
+    az_m = jnp.asarray(sphere.azimuths)
+    m = az_m.shape[0]
+    two_pi = 2.0 * np.pi
+    a = jnp.mod(jnp.asarray(azimuths), two_pi)
+    idx = jnp.sum((az_m[None, :] <= a[:, None]).astype(jnp.int32), 1) - 1
+    idx = jnp.clip(idx, 0, m - 1)
+    nxt = jnp.mod(idx + 1, m)
+    a0 = az_m[idx]
+    a1 = jnp.where(nxt == 0, az_m[0] + two_pi, az_m[nxt])
+    t = jnp.clip((a - a0) / jnp.maximum(a1 - a0, 1e-6), 0.0, 1.0)
+    h = jnp.asarray(sphere.hrirs)
+    oh0 = (jnp.arange(m)[None] == idx[:, None]).astype(h.dtype)
+    oh1 = (jnp.arange(m)[None] == nxt[:, None]).astype(h.dtype)
+    h0 = jnp.einsum("sm,mcl->scl", oh0, h)
+    h1 = jnp.einsum("sm,mcl->scl", oh1, h)
+    return h0 * (1 - t[:, None, None]) + h1 * t[:, None, None]
+
+
 def render_block_binaural(mono_blocks, azimuths, gains,
-                          block_len=HRTF_BLOCK_LEN, hrir_len=64):
+                          block_len=HRTF_BLOCK_LEN, hrir_len=64,
+                          hrir_sphere: HrirSphere = None):
     """Binaural mix of S sources: mono_blocks [S, block_len], azimuths [S],
     gains [S] → stereo [block_len, 2] via FFT block convolution (the
-    overlap tail is truncated per block, matching short-HRIR usage)."""
-    hrirs = spherical_head_hrir(azimuths, hrir_len)      # [S,2,L]
+    overlap tail is truncated per block, matching short-HRIR usage).
+    Pass `hrir_sphere` to use measured HRIRs instead of the parametric
+    spherical-head model."""
+    if hrir_sphere is not None:
+        hrirs = sample_hrir(hrir_sphere, azimuths)       # [S,2,L]
+        hrir_len = hrir_sphere.length
+    else:
+        hrirs = spherical_head_hrir(azimuths, hrir_len)  # [S,2,L]
     n = int(2 ** np.ceil(np.log2(block_len + hrir_len)))
     src_f = jnp.fft.rfft(mono_blocks, n)                 # [S,F]
     hr_f = jnp.fft.rfft(hrirs, n)                        # [S,2,F]

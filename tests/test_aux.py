@@ -337,3 +337,27 @@ class TestAudioBusGraph:
             dict(parent=-1), dict(parent=0), dict(parent=1)])
         order = g.depth_order()
         assert order.index(2) < order.index(1) < order.index(0)
+
+
+class TestMeasuredHrir:
+    def test_sphere_interpolates_between_measurements(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.sound.binaural import (HrirSphere, sample_hrir,
+                                              render_block_binaural)
+        # 4 cardinal measurements: impulse amplitude encodes direction
+        az = np.asarray([0.0, np.pi / 2, np.pi, 3 * np.pi / 2])
+        hr = np.zeros((4, 2, 8), np.float32)
+        for i in range(4):
+            hr[i, :, 0] = i + 1.0
+        sph = HrirSphere(az, hr)
+        h = np.asarray(sample_hrir(sph, jnp.asarray([np.pi / 4])))
+        assert abs(h[0, 0, 0] - 1.5) < 1e-5       # halfway 1..2
+        # wrap-around: 7/8 circle blends measurement 3 toward 0
+        h2 = np.asarray(sample_hrir(sph, jnp.asarray([7 * np.pi / 4])))
+        assert abs(h2[0, 0, 0] - 2.5) < 1e-5      # halfway 4..1
+        # end-to-end mix runs with a sphere
+        out = render_block_binaural(jnp.ones((1, 64)), jnp.asarray([0.3]),
+                                    jnp.ones(1), block_len=64,
+                                    hrir_sphere=sph)
+        assert out.shape == (64, 2)
