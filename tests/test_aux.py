@@ -361,3 +361,39 @@ class TestMeasuredHrir:
                                     jnp.ones(1), block_len=64,
                                     hrir_sphere=sph)
         assert out.shape == (64, 2)
+
+
+class TestLightmapBake:
+    """Per-vertex AO + direct-light bake (utils/lightmap.rs equivalent)."""
+
+    def _scene(self):
+        import numpy as np
+        # a big quad roof above the origin; sample points below it and in
+        # the open
+        roof = np.asarray([
+            [[-2, 1.0, -2], [2, 1.0, -2], [2, 1.0, 2]],
+            [[-2, 1.0, -2], [2, 1.0, 2], [-2, 1.0, 2]]], np.float32)
+        pts = np.asarray([[0, 0, 0], [10, 0, 0.0]], np.float32)
+        nrm = np.asarray([[0, 1, 0], [0, 1, 0.0]], np.float32)
+        return roof, pts, nrm
+
+    def test_ao_darker_under_roof(self):
+        from fyrox_tpu.utils.lightmap import bake_vertex_ao
+        roof, pts, nrm = self._scene()
+        ao = bake_vertex_ao(pts, nrm, roof, n_rays=32, max_dist=5.0,
+                            chunk=2)
+        assert ao[0] < 0.6          # occluded by the roof
+        assert ao[1] > 0.95         # open sky
+
+    def test_direct_light_shadowed(self):
+        from fyrox_tpu.utils.lightmap import bake_direct_light
+        roof, pts, nrm = self._scene()
+        # directional sun straight down: under-roof point is in shadow
+        lit = bake_direct_light(pts, nrm, roof, light_dir=(0, -1, 0),
+                                chunk=2)
+        assert lit[0] < 1e-6
+        assert lit[1] > 0.9
+        # point light below the roof reaches the origin point
+        lit2 = bake_direct_light(pts, nrm, roof, light_pos=(0, 0.5, 0),
+                                 intensity=1.0, chunk=2)
+        assert lit2[0] > 0.5
