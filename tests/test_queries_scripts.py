@@ -136,3 +136,46 @@ class TestShapeCastAndContacts:
         k = int(np.nonzero(act)[0][0])
         assert abs(float(c["depth"][0, k]) - 0.5) < 1e-5
         assert {int(c["body_a"][k]), int(c["body_b"][k])} == {0, 1}
+
+
+class TestPluginSystem:
+    """Plugin trait + dylib hot reload analog (plugin/mod.rs:573,
+    engine/hotreload.rs state round-trip)."""
+
+    PLUGIN_V1 = '''
+from fyrox_tpu.plugin import Plugin
+
+class Counter(Plugin):
+    VERSION = 1
+    def __init__(self):
+        self.count = 0
+    def update(self, context, dt):
+        self.count += 1
+    def save_state(self):
+        return {"count": self.count}
+    def restore_state(self, state):
+        self.count = state.get("count", 0)
+
+def make_plugin():
+    return Counter()
+'''
+
+    def test_lifecycle_and_hot_reload_preserves_state(self, tmp_path):
+        import os
+        import time
+        from fyrox_tpu.plugin import PluginHost
+        src = tmp_path / "game_plugin.py"
+        src.write_text(self.PLUGIN_V1)
+        host = PluginHost(context={}, watch_interval=0.0)
+        p = host.load_file(str(src))
+        assert type(p).VERSION == 1
+        host.update(1 / 60, now=1.0)
+        host.update(1 / 60, now=2.0)
+        assert host.plugins[0].count == 2
+        # live-edit the plugin: bump VERSION, keep state shape
+        src.write_text(self.PLUGIN_V1.replace("VERSION = 1", "VERSION = 2"))
+        os.utime(src, (time.time() + 5, time.time() + 5))
+        host.update(1 / 60, now=3.0)
+        fresh = host.plugins[0]
+        assert type(fresh).VERSION == 2       # new code is live
+        assert fresh.count == 3               # state survived + this tick
