@@ -214,3 +214,38 @@ class TestUiRenderer:
         assert out.shape == (2, 32, 32, 3)
         assert out[0, 5, 5, 0] > 0.9           # HUD pixel
         assert abs(out[0, 20, 20, 0] - 0.25) < 1e-6   # world pixel intact
+
+
+class TestInspector:
+    """Reflection-driven property grid (fyrox-ui/src/inspector/)."""
+
+    def test_rows_refresh_and_property_changed(self):
+        import dataclasses
+        from fyrox_tpu.ui import UserInterface
+        from fyrox_tpu.ui.inspector import Inspector
+
+        @dataclasses.dataclass
+        class Settings:
+            speed: float = 1.5
+            name: str = "bot"
+
+        ui = UserInterface((300, 200))
+        ins = Inspector(ui, Settings())
+        ui.update_layout()
+        assert "speed" in ins.paths and "name" in ins.paths
+        # value column shows the current value
+        vw = ui.nodes.borrow(ins._value_widgets["speed"])
+        assert vw.text == "1.5"
+        # functional write-through + message
+        ins.set_value("speed", 3.0)
+        assert ui.nodes.borrow(ins._value_widgets["speed"]).text == "3"
+        assert ins.target.speed == 3.0
+        msgs = []
+        while (m := ui.poll_message()) is not None:
+            msgs.append(m)
+        assert any(m.data.get("type") == "property_changed"
+                   and m.data["path"] == "speed" for m in msgs)
+        # rows lay out on distinct grid rows
+        r0 = ui.nodes.borrow(ins._value_widgets[ins.paths[0]]).actual_rect
+        r1 = ui.nodes.borrow(ins._value_widgets[ins.paths[1]]).actual_rect
+        assert r0.y != r1.y
