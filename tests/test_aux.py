@@ -397,3 +397,32 @@ class TestLightmapBake:
         lit2 = bake_direct_light(pts, nrm, roof, light_pos=(0, 0.5, 0),
                                  intensity=1.0, chunk=2)
         assert lit2[0] > 0.5
+
+
+class TestCommandStack:
+    """Editor command stack (editor/src/command/) over functional state."""
+
+    def test_do_undo_redo_with_reflect(self):
+        import dataclasses
+        from fyrox_tpu.core import reflect
+        from fyrox_tpu.utils.commands import Command, CommandStack
+
+        @dataclasses.dataclass
+        class Scene:
+            x: float = 0.0
+            name: str = "a"
+
+        st = CommandStack(Scene())
+        st.do(Command("set x=1", lambda s: reflect.set_path(s, "x", 1.0)))
+        st.do(Command("rename", lambda s: reflect.set_path(s, "name", "b")))
+        assert st.state.x == 1.0 and st.state.name == "b"
+        assert st.undo() == "rename"
+        assert st.state.name == "a" and st.state.x == 1.0
+        assert st.redo() == "rename"
+        assert st.state.name == "b"
+        # a new do() after undo truncates the redo branch
+        st.undo()
+        st.do(Command("set x=5", lambda s: reflect.set_path(s, "x", 5.0)))
+        assert not st.can_redo
+        assert st.state.x == 5.0 and st.state.name == "a"
+        assert [n for n, _ in st.history()] == ["set x=1", "set x=5"]
