@@ -68,15 +68,15 @@ CLASS_NPTS = (1, 2, 4)
 
 
 def pair_class_table():
-    """[6,6] int32: manifold-size class of each (kind_a, kind_b) combo
-    (effective kinds — cylinder/cone collapse onto capsule). Mirrors
-    narrowphase.KIND_POINTS for both orderings."""
+    """[7,7] int32: manifold-size class of each (kind_a, kind_b) combo
+    (effective kinds — cylinder/cone collapse onto capsule; CONVEX has
+    its own row). Mirrors narrowphase.KIND_POINTS for both orderings."""
     from fyrox_tpu.physics.narrowphase import KIND_POINTS, effective_kind
-    tab = np.zeros((6, 6), np.int32)
+    tab = np.zeros((7, 7), np.int32)
     npts_to_class = {1: 0, 2: 1, 4: 2}
     for (ka, kb), npts in KIND_POINTS.items():
-        if ka > sh.HALFSPACE or kb > sh.HALFSPACE:
-            continue        # convex/heightfield/trimesh are dense-mode only
+        if ka > sh.CONVEX or kb > sh.CONVEX:
+            continue        # heightfield/trimesh are dense-mode only
         tab[ka, kb] = npts_to_class[npts]
         tab[kb, ka] = npts_to_class[npts]
     # cylinder/cone mirror their capsule proxy rows/cols
@@ -399,10 +399,10 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
     nc = int(col_shape.shape[0])
     if nc == 0:
         return None
-    if np.any(col_shape > sh.HALFSPACE):
+    if np.any(col_shape > sh.CONVEX):
         raise NotImplementedError(
-            "convex/heightfield/trimesh colliders are dense-broadphase "
-            "only for now (use broadphase='dense')")
+            "heightfield/trimesh colliders are dense-broadphase only for "
+            "now (use broadphase='dense')")
     bound = np.zeros(nc, np.float64)
     for i in range(nc):
         t = int(col_shape[i])
@@ -413,6 +413,8 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
             bound[i] = float(np.linalg.norm(p[:3]))
         elif t in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
             bound[i] = p[0] + p[1]
+        elif t == sh.CONVEX:
+            bound[i] = p[0]          # hull radius bound set at build
         else:
             bound[i] = np.inf
     finite = np.isfinite(bound)
@@ -546,7 +548,7 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
     kind_i_g = sc.kinds[sc.grid_cols]                            # [Cg] static
     row_tab = sc.cls_tab[kind_i_g]                               # [Cg,6] static
     cls_w = jnp.zeros(kind_w.shape, jnp.int32)
-    for kb in range(6):
+    for kb in range(7):
         cls_w = jnp.where(kind_w == kb,
                           jnp.asarray(row_tab[:, kb])[None, :, None], cls_w)
 

@@ -567,14 +567,28 @@ CLASS_COMBOS = {
     2: [(sh.CUBOID, sh.CUBOID), (sh.CUBOID, sh.HALFSPACE)],
 }
 
+# convex combos per class (runtime-hull kernels; only evaluated when the
+# caller supplies hull data — pure-primitive scenes pay nothing)
+CLASS_COMBOS_CONVEX = {
+    0: [(sh.BALL, sh.CONVEX)],
+    1: [(sh.CAPSULE, sh.CONVEX)],
+    2: [(sh.CUBOID, sh.CONVEX), (sh.HALFSPACE, sh.CONVEX),
+        (sh.CONVEX, sh.CONVEX)],
+}
+
 
 def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
-                            type_b, params_b, pos_b, rot_b, pred):
+                            type_b, params_b, pos_b, rot_b, pred,
+                            hull_a=None, hull_b=None):
     """Manifolds for canonically-ordered pairs KNOWN to be in one
     manifold-size class: runs only that class's kernels (the grid
     broadphase compacts candidates per class, so e.g. box-box clipping
     never runs on sphere pairs). Inputs as generate_contacts; returns a
-    Manifold with the point axis sliced to the class's size."""
+    Manifold with the point axis sliced to the class's size.
+
+    hull_a/hull_b: optional (verts, vmask, normals, nmask) slot-aligned
+    hull arrays for CONVEX pairs (slab runtime path). When absent, convex
+    combos are skipped."""
     npts = {0: 1, 1: 2, 2: 4}[cls]
     is_capsuleish_a = (type_a == sh.CAPSULE) | (type_a == sh.CYLINDER) | (type_a == sh.CONE)
     is_capsuleish_b = (type_b == sh.CAPSULE) | (type_b == sh.CYLINDER) | (type_b == sh.CONE)
@@ -595,6 +609,43 @@ def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
         kern = KIND_KERNELS[(ka, kb)]
         m = kern(params_a, pos_a, rot_a, params_b, pos_b, rot_b, pred)
         out = sel((eff_a == ka) & (eff_b == kb), m, out)
+    if hull_b is not None:
+        from fyrox_tpu.physics import convex as cx
+        vb, vmb, nb_, nmb = hull_b
+        for (ka, kb) in CLASS_COMBOS_CONVEX[cls]:
+            if ka == sh.BALL:
+                m = cx.ball_convex(pos_a, params_a[..., 0], pos_b, rot_b,
+                                   vb, vmb, nb_, nmb, pred)
+            elif ka == sh.CAPSULE:
+                a0, a1 = _segment_endpoints(pos_a, rot_a, params_a[..., 0])
+                ra = params_a[..., 1]
+                m0 = cx.ball_convex(a0, ra, pos_b, rot_b, vb, vmb, nb_, nmb,
+                                    pred)
+                m1 = cx.ball_convex(a1, ra, pos_b, rot_b, vb, vmb, nb_, nmb,
+                                    pred)
+                mm = _empty_like(pos_a)
+                deeper0 = m0.depth[..., 0] >= m1.depth[..., 0]
+                nrm = jnp.where(deeper0[..., None], m0.normal, m1.normal)
+                pts = mm.points.at[..., 0, :].set(m0.points[..., 0, :])
+                pts = pts.at[..., 1, :].set(m1.points[..., 0, :])
+                dep = (mm.depth.at[..., 0].set(m0.depth[..., 0])
+                       .at[..., 1].set(m1.depth[..., 0]))
+                act = (mm.active.at[..., 0].set(m0.active[..., 0])
+                       .at[..., 1].set(m1.active[..., 0]))
+                m = Manifold(nrm, pts, dep, act)
+            elif ka == sh.CUBOID:
+                va, vma, na_, nma = cx.box_as_hull(params_a[..., :3])
+                m = cx.convex_convex(pos_a, rot_a, va, vma, na_, nma,
+                                     pos_b, rot_b, vb, vmb, nb_, nmb, pred)
+            elif ka == sh.HALFSPACE:
+                mh = cx.convex_halfspace(pos_b, rot_b, vb, vmb,
+                                         pos_a, rot_a, pred)
+                m = Manifold(-mh.normal, mh.points, mh.depth, mh.active)
+            else:  # CONVEX-CONVEX
+                va, vma, na_, nma = hull_a
+                m = cx.convex_convex(pos_a, rot_a, va, vma, na_, nma,
+                                     pos_b, rot_b, vb, vmb, nb_, nmb, pred)
+            out = sel((eff_a == ka) & (eff_b == kb), m, out)
     return Manifold(normal=out.normal, points=out.points[..., :npts, :],
                     depth=out.depth[..., :npts], active=out.active[..., :npts])
 

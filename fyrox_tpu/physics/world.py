@@ -839,6 +839,28 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
                             jnp.concatenate([planes[..., :12],
                                              v_sweep], -1))     # [W,Cg,15]
 
+    # runtime convex-hull tables (only when the scene has convex
+    # colliders): dense per-collider padded hulls, flattened so the
+    # j-side fetch is ONE extra MXU gather per class
+    hull_flat = None
+    if t.hulls is not None and np.any(t.col_shape == sh.CONVEX):
+        from fyrox_tpu.physics.convex import MAX_HULL_FACES, MAX_HULL_VERTS
+        hv = np.zeros((c, MAX_HULL_VERTS, 3), np.float32)
+        hvm = np.zeros((c, MAX_HULL_VERTS), np.float32)
+        hn = np.zeros((c, MAX_HULL_FACES, 3), np.float32)
+        hn[..., 1] = 1.0
+        hnm = np.zeros((c, MAX_HULL_FACES), np.float32)
+        has = t.col_hull >= 0
+        hi = np.maximum(t.col_hull, 0)
+        hv[has] = t.hulls.verts[hi[has]]
+        hvm[has] = t.hulls.vmask[hi[has]]
+        hn[has] = t.hulls.normals[hi[has]]
+        hnm[has] = t.hulls.nmask[hi[has]]
+        hull_flat = np.concatenate(
+            [hv.reshape(c, -1), hvm, hn.reshape(c, -1), hnm], -1)  # [C,256]
+        _hv_n = MAX_HULL_VERTS
+        _hf_n = MAX_HULL_FACES
+
     segs, warm_in, seg_npts = [], [], []
     koff = 0
     poff = 0
@@ -879,9 +901,31 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
         rot_a = jnp.where(sw33, j_rot, i_rot)
         rot_b = jnp.where(sw33, i_rot, j_rot)
 
+        hull_a = hull_b = None
+        if hull_flat is not None:
+            nv3 = _hv_n * 3
+            jh = gather_rows(jnp.broadcast_to(
+                jnp.asarray(hull_flat)[None], (w, c, hull_flat.shape[1])),
+                cand.j_real)                                   # [W,K_c,256]
+            ih = jnp.asarray(hull_flat[i_static])[None]        # static [1,K,256]
+            ih = jnp.broadcast_to(ih, jh.shape)
+
+            def unpack(h):
+                v = h[..., :nv3].reshape(h.shape[:-1] + (_hv_n, 3))
+                vm = h[..., nv3:nv3 + _hv_n] > 0.5
+                n_ = h[..., nv3 + _hv_n:nv3 + _hv_n + _hf_n * 3].reshape(
+                    h.shape[:-1] + (_hf_n, 3))
+                nm = h[..., nv3 + _hv_n + _hf_n * 3:] > 0.5
+                return v, vm, n_, nm
+
+            ah = jnp.where(sw3, jh, ih)
+            bh = jnp.where(sw3, ih, jh)
+            hull_a = unpack(ah)
+            hull_b = unpack(bh)
         man = np_mod.generate_contacts_class(
             cls_idx, type_a, params_a, pos_a, rot_a,
-            type_b, params_b, pos_b, rot_b, pred=pred_c)
+            type_b, params_b, pos_b, rot_b, pred=pred_c,
+            hull_a=hull_a, hull_b=hull_b)
 
         body_i = jnp.asarray(col_body_np[i_static])[None]
         body_a = jnp.where(sw1, cand.body_j, body_i)

@@ -90,3 +90,42 @@ class TestConvexDynamics:
         pb.add_collider(b2, sh.CONVEX, points=BOX_PTS)
         st = self._run(pb)
         assert abs(float(st.position[0, b2, 1]) - 1.2) < 0.05
+
+
+class TestSlabConvex:
+    """Convex colliders on the slab (production TPU) broadphase path."""
+
+    def test_hull_stack_and_mixed_shapes_slab(self):
+        pb = wd.PhysicsBuilder()
+        g = pb.add_body(body_type=wd.BodyType.STATIC)
+        pb.add_collider(g, sh.HALFSPACE, [0, 0, 0])
+        b1 = pb.add_body(position=(0, 1.0, 0))
+        pb.add_collider(b1, sh.CONVEX, points=BOX_PTS)
+        b2 = pb.add_body(position=(0.05, 1.9, 0))
+        pb.add_collider(b2, sh.CONVEX, points=BOX_PTS)
+        ball = pb.add_body(position=(3.0, 2.0, 0))
+        pb.add_collider(ball, sh.BALL, [0.3])
+        pt = pb.build(broadphase="slab")
+        st = wd.init_physics_state(pb, pt, 1)
+        step = jax.jit(lambda s: wd.step_physics(s, pt, 1 / 60))
+        for _ in range(180):
+            st = step(st)
+        p = np.asarray(st.position[0])
+        assert abs(p[b1, 1] - 0.4) < 0.03
+        assert abs(p[b2, 1] - 1.2) < 0.05
+        assert abs(p[ball, 1] - 0.3) < 0.02
+
+    def test_ball_rests_on_hull_slab(self):
+        pb = wd.PhysicsBuilder()
+        g = pb.add_body(body_type=wd.BodyType.STATIC)
+        pb.add_collider(g, sh.HALFSPACE, [0, 0, 0])
+        b1 = pb.add_body(position=(0, 1.0, 0))
+        pb.add_collider(b1, sh.CONVEX, points=BOX_PTS)
+        b2 = pb.add_body(position=(0, 3.0, 0))
+        pb.add_collider(b2, sh.BALL, [0.3])
+        pt = pb.build(broadphase="slab")
+        st = wd.init_physics_state(pb, pt, 1)
+        step = jax.jit(lambda s: wd.step_physics(s, pt, 1 / 60))
+        for _ in range(200):
+            st = step(st)
+        assert abs(float(st.position[0, b2, 1]) - 1.1) < 0.05
