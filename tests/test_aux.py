@@ -426,3 +426,42 @@ class TestCommandStack:
         assert not st.can_redo
         assert st.state.x == 5.0 and st.state.name == "a"
         assert [n for n, _ in st.history()] == ["set x=1", "set x=5"]
+
+
+class TestUvGen:
+    """Box-projection UV atlas generation (utils/uvgen.rs equivalent)."""
+
+    def test_cube_unwrap_no_chart_overlap(self):
+        import numpy as np
+        from fyrox_tpu.render.mesh import make_cube
+        from fyrox_tpu.utils.uvgen import generate_uvs
+        mesh = make_cube(1.0)
+        uvs, charts = generate_uvs(mesh.positions, mesh.triangles,
+                                   atlas_size=256)
+        assert uvs.shape == (12, 3, 2)
+        assert np.all((uvs >= 0) & (uvs <= 1))
+        assert len(np.unique(charts)) == 6           # one chart per face dir
+        # chart bounding rects must not overlap in the atlas
+        rects = []
+        for c in np.unique(charts):
+            m = charts == c
+            lo = uvs[m].reshape(-1, 2).min(0)
+            hi = uvs[m].reshape(-1, 2).max(0)
+            rects.append((lo[0], lo[1], hi[0], hi[1]))
+        eps = 1e-6
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                assert (a[2] <= b[0] + eps or b[2] <= a[0] + eps
+                        or a[3] <= b[1] + eps or b[3] <= a[1] + eps)
+
+    def test_triangle_shape_preserved_in_chart(self):
+        import numpy as np
+        from fyrox_tpu.utils.uvgen import generate_uvs
+        pos = np.asarray([[0, 0, 0], [2, 0, 0], [0, 1, 0.0]])
+        tris = np.asarray([[0, 1, 2]])
+        uvs, _ = generate_uvs(pos, tris, atlas_size=128)
+        # aspect ratio of the projected triangle survives (uniform scale)
+        du = np.linalg.norm(uvs[0, 1] - uvs[0, 0])
+        dv = np.linalg.norm(uvs[0, 2] - uvs[0, 0])
+        assert abs(du / dv - 2.0) < 1e-3
