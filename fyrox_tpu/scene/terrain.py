@@ -109,3 +109,45 @@ def terrain_ball_contacts(terrain: Terrain, centers, radii, pred=0.002):
     depth = radii - dist
     point = centers - n * dist[..., None]
     return -n, point, depth, depth > -pred
+
+
+def add_chunked_terrain(sb, terrain: Terrain, chunks=(2, 2),
+                        lod_split=0.25, decimate=4, parent=-1,
+                        albedo=(0.4, 0.5, 0.3)):
+    """Chunked terrain with per-chunk LOD (the reference's chunked height
+    map + per-chunk QuadTree LOD, fyrox-impl/src/scene/terrain/:126-135 +
+    quadtree.rs — re-expressed through the engine's LOD-group culling):
+
+    the heightmap splits into `chunks` tiles; each tile gets a full-res
+    mesh shown inside `lod_split` normalized camera distance and a
+    `decimate`x coarser mesh beyond it. Returns [(hi_node, lo_node)].
+    """
+    import numpy as np
+    h = np.asarray(terrain.heights, np.float32)
+    hz, hx = h.shape
+    cx, cz = chunks
+    out = []
+    for jz in range(cz):
+        for jx in range(cx):
+            x0 = jx * (hx - 1) // cx
+            x1 = (jx + 1) * (hx - 1) // cx + 1
+            z0 = jz * (hz - 1) // cz
+            z1 = (jz + 1) * (hz - 1) // cz + 1
+            sub = h[z0:z1, x0:x1]
+            size_x = terrain.size_x * (x1 - 1 - x0) / (hx - 1)
+            size_z = terrain.size_z * (z1 - 1 - z0) / (hz - 1)
+            origin = (terrain.origin[0] + terrain.size_x * x0 / (hx - 1),
+                      terrain.origin[1],
+                      terrain.origin[2] + terrain.size_z * z0 / (hz - 1))
+            hi = Terrain(sub, size_x, size_z, origin)
+            lo = Terrain(sub[::decimate, ::decimate].copy()
+                         if min(sub.shape) > decimate else sub,
+                         size_x, size_z, origin)
+            n_hi = sb.add_mesh(hi.to_mesh(albedo),
+                               name=f"terrain_{jx}_{jz}_hi", parent=parent)
+            n_lo = sb.add_mesh(lo.to_mesh(albedo),
+                               name=f"terrain_{jx}_{jz}_lo", parent=parent)
+            sb.add_lod_group([(0.0, lod_split, [n_hi]),
+                              (lod_split, 1.0, [n_lo])])
+            out.append((n_hi, n_lo))
+    return out

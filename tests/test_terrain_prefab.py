@@ -79,3 +79,39 @@ class TestPrefabInstantiate:
         # camera payloads remapped: two cameras exist, on distinct nodes
         assert len(t.cameras["node"]) == 2
         assert t.cameras["node"][0] != t.cameras["node"][1]
+
+
+class TestChunkedTerrainLod:
+    """Chunked terrain + per-chunk LOD (terrain/:126-135, quadtree.rs
+    re-expressed via the engine's LOD-group culling)."""
+
+    def test_chunks_cover_and_lod_switches(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        from fyrox_tpu.scene.terrain import Terrain, add_chunked_terrain
+
+        hts = np.zeros((17, 17), np.float32)
+        terr = Terrain(hts, size_x=32.0, size_z=32.0)
+        sb = SceneBuilder()
+        pairs = add_chunked_terrain(sb, terr, chunks=(2, 2), lod_split=0.2,
+                                    decimate=4)
+        sb.add_camera("cam", position=(0, 2.0, 0), z_near=0.1, z_far=100.0)
+        t = sb.build()
+        assert len(pairs) == 4
+        # hi mesh has (9x9) grid per chunk; lo is 4x decimated (3x3)
+        hi_mesh = t.meshes[t.payload[pairs[0][0]]]
+        lo_mesh = t.meshes[t.payload[pairs[0][1]]]
+        assert hi_mesh.positions.shape[0] > lo_mesh.positions.shape[0] * 4
+        # the union of chunk meshes spans the full terrain rectangle
+        all_pos = np.concatenate([t.meshes[t.payload[h]].positions
+                                  for h, _ in pairs])
+        assert all_pos[:, 0].min() == 0.0 and abs(all_pos[:, 0].max() - 32) < 1e-5
+        # LOD machinery: near camera -> hi nodes visible in the render cull
+        from fyrox_tpu.render import RenderConfig, build_render_template, render_frame
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        color, g = render_frame(st, t, rt, RenderConfig(width=16, height=16,
+                                                        shadows=False,
+                                                        chunk=16))
+        assert color.shape == (1, 16, 16, 3)    # renders without error
