@@ -4,6 +4,11 @@ rendered frames (the VERDICT round-1 'ui_renderer' done-criterion).
 Run:  python examples/example_hud.py
 Writes hud_frame.npy ([H,W,3] f32) and prints a summary.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
