@@ -482,3 +482,75 @@ def extract_animations(doc: FbxNode):
             out.setdefault(model, {})[f"{tag}.{axis}"] = list(
                 zip(times.tolist(), kv.tolist()))
     return out
+
+
+def fbx_to_engine(data, scene_builder=None):
+    """Full import: FBX bytes/path → (SceneBuilder, name→node,
+    SkinTemplate|None, AnimationSet|None).
+
+    Ties the document-layer extractors into the engine templates: the
+    skinned geometry's clusters become a SkinTemplate over the imported
+    bone nodes, and per-component animation curves become one clip with
+    position/rotation tracks (resource/fbx/ → engine conversion,
+    mirroring what io/gltf.py does for glTF)."""
+    import math
+    doc = parse_fbx(data)
+    sb, names = fbx_to_scene(doc, scene_builder)
+
+    # model-id → node index mapping (rebuild the same walk order)
+    objects = doc.child("Objects")
+    id_to_node = {}
+    if objects is not None:
+        for m in objects.all("Model"):
+            name = str(m.prop(1, ""))
+            if "::" in name:
+                name = name.split("::", 1)[1]
+            if name in names:
+                id_to_node[int(m.prop(0, 0))] = names[name]
+
+    skin_t = None
+    skin = extract_skin(doc)
+    if skin is not None:
+        from fyrox_tpu.animation.skinning import SkinTemplate
+        geom = None
+        for g in objects.all("Geometry"):
+            if int(g.prop(0, 0)) == skin["geometry_id"]:
+                geom = g
+        verts = np.asarray(geom.child("Vertices").properties[0],
+                           np.float64).reshape(-1, 3).astype(np.float32)
+        bone_nodes = np.asarray(
+            [id_to_node.get(int(b), -1) for b in skin["bone_model_ids"]],
+            np.int32)
+        skin_t = SkinTemplate(bones=bone_nodes,
+                              inv_bind=skin["inv_bind"],
+                              vertices=verts,
+                              bone_indices=skin["indices"],
+                              bone_weights=skin["weights"])
+
+    anim_set = None
+    curves = extract_animations(doc)
+    if curves:
+        from fyrox_tpu.animation.track import AnimationSetBuilder
+        ab = AnimationSetBuilder()
+        length = max((k[-1][0] for chans in curves.values()
+                      for k in chans.values() if k), default=1.0)
+        clip = ab.add_clip("fbx", length=max(length, 1e-3), looping=True)
+        for model_id, chans in curves.items():
+            node = id_to_node.get(model_id, -1)
+            if node < 0:
+                continue
+            if any(c.startswith("T.") for c in chans):
+                keys = []
+                for ax in "XYZ":
+                    ks = chans.get(f"T.{ax}", [(0.0, 0.0)])
+                    keys.append([dict(time=t_, value=v) for t_, v in ks])
+                ab.add_position_track(clip, node=node, keys_xyz=keys)
+            if any(c.startswith("R.") for c in chans):
+                keys = []
+                for ax in "XYZ":
+                    ks = chans.get(f"R.{ax}", [(0.0, 0.0)])
+                    keys.append([dict(time=t_, value=math.radians(v))
+                                 for t_, v in ks])
+                ab.add_rotation_track(clip, node=node, keys_euler_xyz=keys)
+        anim_set = ab.build()
+    return sb, names, skin_t, anim_set

@@ -228,3 +228,30 @@ class TestSkinsAndAnimations:
         keys = anims[30]["T.X"]
         assert keys[0] == (0.0, 0.0)
         assert abs(keys[1][0] - 1.0) < 1e-9 and keys[1][1] == 2.5
+
+
+class TestEndToEnd:
+    def test_fbx_to_engine_skin_and_clip(self):
+        from fyrox_tpu.io.fbx import fbx_to_engine
+        # skin doc + bone Models need names for node mapping
+        nodes = TestSkinsAndAnimations()._doc_with_skin()
+        # append a mesh Model owning the geometry + connect
+        objs = nodes[0]
+        model = ("Model", [50, "Model::mesh", "Mesh"], [])
+        objs[2].append(model)
+        nodes[1][2].append(("C", ["OO", 10, 50], []))
+        data = write_fbx_binary(nodes)
+        sb, names, skin, aset = fbx_to_engine(data)
+        assert "mesh" in names and "b0" in names
+        assert skin is not None
+        assert skin.num_bones == 2
+        assert skin.vertices.shape == (3, 3)
+        # bone model ids resolved to scene node indices
+        assert skin.bones[0] == names["b0"]
+        assert aset is not None
+        # the T.X curve became a position track on bone b0
+        from fyrox_tpu.animation import init_animation_state, track
+        anim = init_animation_state(aset, 1)
+        sampled = track.sample_tracks(aset, anim._replace(
+            time=anim.time + 1.0))
+        assert sampled          # something sampled at t=1
