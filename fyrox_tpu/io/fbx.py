@@ -273,10 +273,12 @@ def _props70(model):
     return out
 
 
-def fbx_to_scene(doc: FbxNode, scene_builder=None):
+def fbx_to_scene(doc: FbxNode, scene_builder=None, return_ids=False):
     """Build a SceneTemplate from an FBX document: Model nodes (Lcl
     Translation/Rotation/Scaling) + Geometry meshes connected via OO links
-    (resource/fbx/mod.rs conversion). Returns (SceneBuilder, name→node)."""
+    (resource/fbx/mod.rs conversion). Returns (SceneBuilder, name→node),
+    plus the model-id→node map when `return_ids` (ids are unique where
+    names may collide — skins/curves must bind by id)."""
     from fyrox_tpu.core import quat as quat_mod
     from fyrox_tpu.render.mesh import MeshData
     from fyrox_tpu.scene.builder import SceneBuilder
@@ -350,6 +352,8 @@ def fbx_to_scene(doc: FbxNode, scene_builder=None):
 
     for mid in models:
         build(mid)
+    if return_ids:
+        return sb, name_to_node, made
     return sb, name_to_node
 
 
@@ -495,18 +499,11 @@ def fbx_to_engine(data, scene_builder=None):
     mirroring what io/gltf.py does for glTF)."""
     import math
     doc = parse_fbx(data)
-    sb, names = fbx_to_scene(doc, scene_builder)
-
-    # model-id → node index mapping (rebuild the same walk order)
+    # id→node comes straight from the build walk: FBX files commonly
+    # contain duplicate model NAMES, so a name-keyed rebuild would bind
+    # skin bones / animation curves to the wrong node
+    sb, names, id_to_node = fbx_to_scene(doc, scene_builder, return_ids=True)
     objects = doc.child("Objects")
-    id_to_node = {}
-    if objects is not None:
-        for m in objects.all("Model"):
-            name = str(m.prop(1, ""))
-            if "::" in name:
-                name = name.split("::", 1)[1]
-            if name in names:
-                id_to_node[int(m.prop(0, 0))] = names[name]
 
     skin_t = None
     skin = extract_skin(doc)

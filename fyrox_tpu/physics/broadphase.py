@@ -370,6 +370,8 @@ class SlabConfig:
     s_walk: int = 48           # stage-1 window: raw 9-column candidates
                                # (compacted per collider per class by the
                                # AABB/validity filter)
+    s_active: int = 16         # v2 post-narrowphase compaction: active
+                               # contact POINTS kept per collider (slab2.py)
 
     def nslot(self, cls):
         if not self.present[cls]:
@@ -389,12 +391,19 @@ class SlabConfig:
 
 
 def build_slab_config(col_shape, col_params, col_body, body_type,
-                      margin, window=(12, 6, 10), walk=48, big_factor=8.0):
+                      margin, window=(12, 6, 10), walk=48, big_factor=8.0,
+                      active_window=16, extent_hint=None):
     """Host-side slab layout. Returns None with no grid-eligible colliders.
 
     `window`: static candidate slots per collider PER MANIFOLD CLASS
     (1/2/4-point; an int applies to all three). Overflowing candidates
     drop silently — size from broadphase peak demand.
+
+    `extent_hint`: optional max |coordinate| the scene will reach. The
+    packed key addresses ±256 coarse cells per horizontal axis
+    (_QBITS_XY); beyond that colliders alias into the border cells,
+    inflating candidate demand until windows overflow (silently dropping
+    real contacts) — warn while the scene is still being authored.
     """
     nc = int(col_shape.shape[0])
     if nc == 0:
@@ -428,6 +437,16 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
     if grid_cols.size == 0:
         return None
     cell = float(2.0 * bound[grid_cols].max() + 2.0 * margin)
+    if extent_hint is not None:
+        addressable = (_QHALF_XY - 2) * cell
+        if float(extent_hint) > addressable:
+            from fyrox_tpu.core.log import Log
+            Log.warn(
+                f"slab broadphase: scene extent {float(extent_hint):.1f} "
+                f"exceeds the ±{addressable:.1f} addressable key range "
+                f"(cell {cell:.2f} × ±{_QHALF_XY} cells); colliders beyond "
+                "it alias into border cells and can overflow candidate "
+                "windows")
     kinds = np.asarray([_eff_kind(int(k)) for k in col_shape], np.int32)
     cg = grid_cols.size
     nb = int(body_type.shape[0])
@@ -451,7 +470,8 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
                       inc_gc=inc_gc, inc_gb=inc_gb, cls_tab=cls_tab,
                       present=tuple(bool(p) for p in present),
                       sweep_cap=sweep_cap,
-                      num_colliders=nc, num_bodies=nb, s_walk=int(walk))
+                      num_colliders=nc, num_bodies=nb, s_walk=int(walk),
+                      s_active=int(active_window))
 
 
 class SlabCandidates(NamedTuple):

@@ -288,8 +288,20 @@ def _manifold(kind_a, pa6, pos_a, rot_a, kind_b, pb6, pos_b, rot_b):
     return n, pts, deps, extra_gate
 
 
-def oracle_step(st: OracleState, t, dt: float) -> OracleState:
-    """One sequential reference step of PhysicsTemplate `t`."""
+def oracle_step(st: OracleState, t, dt: float,
+                sequential: bool = False) -> OracleState:
+    """One sequential reference step of PhysicsTemplate `t`.
+
+    sequential=False (default): Jacobi + mass splitting — the repo's own
+    algorithm in scalar f64, validating the vectorization.
+
+    sequential=True: Gauss-Seidel ordering WITHOUT mass splitting — the
+    rapier-style solve (impulses applied contact-by-contact against live
+    velocities, contacts iterated in pair order; islands are a
+    parallelization detail, not a numerics one, per
+    fyrox-impl/src/scene/graph/physics/mod.rs:830-908 semantics). Diffing
+    the two modes MEASURES the Jacobi departure instead of assuming it
+    (tests/test_oracle.py::test_jacobi_vs_gauss_seidel)."""
     from fyrox_tpu.physics.world import SPECULATIVE_MARGIN
     b = t.num_bodies
     body_type = np.asarray(t.body_type)
@@ -380,8 +392,9 @@ def oracle_step(st: OracleState, t, dt: float) -> OracleState:
         c["rest_target"] = -c["rest"] * v0n \
             if v0n < -t.restitution_threshold else 0.0
 
-        s_a = count[a] * c["own"]
-        s_b = count[bb] * c["own"]
+        # GS applies impulses one at a time — no mass splitting needed
+        s_a = 1.0 if sequential else count[a] * c["own"]
+        s_b = 1.0 if sequential else count[bb] * c["own"]
 
         def eff(dvec):
             rxd_a = np.cross(c["r_a"], dvec)
@@ -422,7 +435,10 @@ def oracle_step(st: OracleState, t, dt: float) -> OracleState:
             apply_contact_imp(c, imp)
 
         for _p in range(t.n_pgs):
-            lv_s, av_s = lv.copy(), av.copy()   # Jacobi snapshot
+            if sequential:
+                lv_s, av_s = lv, av             # Gauss-Seidel: live state
+            else:
+                lv_s, av_s = lv.copy(), av.copy()   # Jacobi snapshot
             imps = []
             for c in contacts:
                 a, bb = c["a"], c["b"]
@@ -452,9 +468,14 @@ def oracle_step(st: OracleState, t, dt: float) -> OracleState:
                 new2 = np.clip(c["lam"][2] - c["m_t2"] * vt2, -max_f, max_f)
                 dt2 = new2 - c["lam"][2]
                 c["lam"][2] = new2
-                imps.append(dn * c["n"] + dt1 * c["t1"] + dt2 * c["t2"])
-            for c, imp in zip(contacts, imps):
-                apply_contact_imp(c, imp)
+                imp = dn * c["n"] + dt1 * c["t1"] + dt2 * c["t2"]
+                if sequential:
+                    apply_contact_imp(c, imp)   # GS: apply immediately
+                else:
+                    imps.append(imp)
+            if not sequential:
+                for c, imp in zip(contacts, imps):
+                    apply_contact_imp(c, imp)
 
         lv_s, av_s = lv.copy(), av.copy()
         for c in contacts:

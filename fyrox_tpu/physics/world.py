@@ -321,7 +321,8 @@ class PhysicsBuilder:
 
     def build(self, max_active_pairs=0, broadphase="auto",
               grid_window=48, grid_caps=None, grid_windows_body=None,
-              slab_window=(12, 8, 10), **solver_kw) -> "PhysicsTemplate":
+              slab_window=(12, 8, 10), slab_active=16,
+              **solver_kw) -> "PhysicsTemplate":
         """broadphase: "dense" = static all-pairs candidate list (best for
         small scenes — unlocks the static-incidence MXU solver path);
         "slab" = hash-grid into static per-collider candidate windows
@@ -406,9 +407,14 @@ class PhysicsBuilder:
         elif broadphase == "slab" and nc:
             from fyrox_tpu.physics.broadphase import build_slab_config
             margin = solver_kw.get("allowed_linear_error", 0.002) + 0.05
+            extent = 0.0
+            if self._bodies:
+                extent = float(np.abs(np.stack(
+                    [b["position"] for b in self._bodies])).max())
             grid_cfg = build_slab_config(
                 col_shape_arr, col_params_arr, col_body, body_type,
-                margin=margin, window=slab_window)
+                margin=margin, window=slab_window, active_window=slab_active,
+                extent_hint=extent * 2.0)
 
         if grid_cfg is not None:
             pa = pb = np.zeros(0, np.int32)
@@ -510,8 +516,15 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     if template.grid is not None:
         from fyrox_tpu.physics.broadphase import CLASS_NPTS, SlabConfig
         if isinstance(template.grid, SlabConfig):
-            cap = template.grid.n_slots
-            kk = template.grid.slot_points
+            from fyrox_tpu.physics import slab2
+            if slab2.supports(template):
+                # v2 plane path: point-level compacted slots (pid-matched
+                # warmstart at Cg * s_active contact points)
+                kk = cap = (int(template.grid.grid_cols.size)
+                            * int(template.grid.s_active))
+            else:
+                cap = template.grid.n_slots
+                kk = template.grid.slot_points
         else:
             kk = sum(c * n for c, n in zip(template.grid.caps, CLASS_NPTS))
             cap = sum(template.grid.caps)
@@ -568,6 +581,9 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     if t.grid is not None:
         from fyrox_tpu.physics.broadphase import SlabConfig
         if isinstance(t.grid, SlabConfig):
+            from fyrox_tpu.physics import slab2
+            if slab2.supports(t):
+                return slab2.step_slab2(state, t, dt, accel, angvel, inv_mass)
             return _step_physics_slab(state, t, dt, accel, angvel, inv_mass)
         return _step_physics_grid(state, t, dt, accel, angvel, inv_mass)
 

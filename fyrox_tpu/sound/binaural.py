@@ -98,10 +98,16 @@ def sample_hrir(sphere: HrirSphere, azimuths):
     two_pi = 2.0 * np.pi
     a = jnp.mod(jnp.asarray(azimuths), two_pi)
     idx = jnp.sum((az_m[None, :] <= a[:, None]).astype(jnp.int32), 1) - 1
-    idx = jnp.clip(idx, 0, m - 1)
+    # below the first measured azimuth: wrap to the last↔first arc (the
+    # symmetric twin of the nxt == 0 wrap below) instead of clamping to
+    # index 0, which produced a discontinuity near azimuth 0 when
+    # azimuths[0] != 0
+    below = idx < 0
+    idx = jnp.where(below, m - 1, idx)
     nxt = jnp.mod(idx + 1, m)
-    a0 = az_m[idx]
+    a0 = jnp.where(below, az_m[m - 1] - two_pi, az_m[idx])
     a1 = jnp.where(nxt == 0, az_m[0] + two_pi, az_m[nxt])
+    a1 = jnp.where(below, az_m[0], a1)
     t = jnp.clip((a - a0) / jnp.maximum(a1 - a0, 1e-6), 0.0, 1.0)
     h = jnp.asarray(sphere.hrirs)
     oh0 = (jnp.arange(m)[None] == idx[:, None]).astype(h.dtype)

@@ -82,3 +82,44 @@ def test_oracle_mixed_grid():
     pins broadphase compaction + twin symmetry + windowed scatters."""
     _compare_trajectory(_mixed_cluster(), "grid", steps=60,
                         samples={0, 15, 30, 59}, tol=2e-4)
+
+
+def test_oracle_mixed_slab():
+    """The slab v2 production path (plane-form narrowphase + active-point
+    compaction + plane solver, physics/slab2.py) against the same scalar
+    f64 oracle — the fast path is in the fidelity matrix, not just
+    diffed against dense."""
+    _compare_trajectory(_mixed_cluster(), "slab", steps=60,
+                        samples={0, 15, 30, 59}, tol=2e-4)
+
+
+def test_oracle_stack_slab():
+    _compare_trajectory(_stack(), "slab", steps=60,
+                        samples={0, 20, 40, 59}, tol=2e-4)
+
+
+def test_jacobi_vs_gauss_seidel():
+    """MEASURE the Jacobi+mass-splitting departure from a rapier-style
+    sequential Gauss-Seidel solve (oracle sequential=True) instead of
+    assuming it. Both run in f64 from identical states sampled along a
+    settling box-stack trajectory; the bound asserted here is the
+    documented fidelity envelope (README fidelity notes)."""
+    pb = _stack()
+    t = pb.build(broadphase="dense")
+    s = wm.init_physics_state(pb, t, 1)
+    step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+    worst_p = worst_v = 0.0
+    for i in range(60):
+        if i in {0, 20, 40, 59}:
+            st0 = orc.state_from_device(s)
+            jac = orc.oracle_step(st0, t, 1 / 60)
+            gs = orc.oracle_step(st0, t, 1 / 60, sequential=True)
+            worst_p = max(worst_p, np.abs(jac.position - gs.position).max())
+            worst_v = max(worst_v, np.abs(jac.linvel - gs.linvel).max())
+        s = step(s)
+    # measured on this config (settling transient, worst sampled step):
+    # dp ≈ 5.8e-3, dv ≈ 4.8e-1 — the impulse-reordering envelope between
+    # the solver families. These asserted bounds (2x headroom) are the
+    # documented fidelity numbers (README fidelity notes).
+    assert worst_p < 1.2e-2, worst_p
+    assert worst_v < 1.0, worst_v
