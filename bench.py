@@ -9,28 +9,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env overrides: FYROX_BENCH_WORLDS, FYROX_BENCH_BODIES, FYROX_BENCH_VERTS,
 FYROX_BENCH_BONES, FYROX_BENCH_STEPS.
+
+FYROX_BENCH_SCALING=1 additionally sweeps W (32..512) and writes the
+per-chip W-scaling table to BENCH_scaling.json (one compile + timed roll
+per W; the headline line still prints last, at the best-throughput W).
 """
 import json
 import os
 import time
 
 
-def main():
+def _measure(engine, skin, n_worlds, steps_per_call, n_calls):
     import jax
     import jax.numpy as jnp
     from fyrox_tpu.animation import skinning
-    from fyrox_tpu.models import build_flagship
 
-    # Defaults are the BASELINE.json flagship config: 1k-body pile (the
-    # honest headline — round 1 benched a 16x easier 64-body config).
-    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 32))
-    n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 1000))
-    n_verts = int(os.environ.get("FYROX_BENCH_VERTS", 50_000))
-    n_bones = int(os.environ.get("FYROX_BENCH_BONES", 100))
-    steps_per_call = int(os.environ.get("FYROX_BENCH_STEPS", 20))
-
-    engine, skin = build_flagship(n_bones=n_bones, n_verts=n_verts,
-                                  n_bodies=n_bodies)
     state = engine.init_state(num_worlds=n_worlds)
     params = jnp.zeros((n_worlds, 1), bool)
 
@@ -46,17 +39,47 @@ def main():
     state, chk = roll(state)           # compile
     float(chk)   # hard sync: host-transfer (block_until_ready can return
                  # early through the axon tunnel)
-
-    n_calls = max(int(os.environ.get("FYROX_BENCH_CALLS", 5)), 1)
     t0 = time.perf_counter()
     for _ in range(n_calls):
         state, chk = roll(state)
     float(chk)   # hard sync
     elapsed = time.perf_counter() - t0
+    return n_worlds * steps_per_call * n_calls / elapsed
 
-    env_steps = n_worlds * steps_per_call * n_calls
-    value = env_steps / elapsed
+
+def main():
+    from fyrox_tpu.models import build_flagship
+
+    # Defaults are the BASELINE.json flagship config: 1k-body pile (the
+    # honest headline — round 1 benched a 16x easier 64-body config).
+    n_worlds = int(os.environ.get("FYROX_BENCH_WORLDS", 128))
+    n_bodies = int(os.environ.get("FYROX_BENCH_BODIES", 1000))
+    n_verts = int(os.environ.get("FYROX_BENCH_VERTS", 50_000))
+    n_bones = int(os.environ.get("FYROX_BENCH_BONES", 100))
+    steps_per_call = int(os.environ.get("FYROX_BENCH_STEPS", 20))
+    n_calls = max(int(os.environ.get("FYROX_BENCH_CALLS", 5)), 1)
+
+    engine, skin = build_flagship(n_bones=n_bones, n_verts=n_verts,
+                                  n_bodies=n_bodies)
     baseline_per_chip = 125_000.0  # 1M on v5e-8 → per-chip share
+
+    if os.environ.get("FYROX_BENCH_SCALING"):
+        table = []
+        for w in (32, 64, 128, 256, 512):
+            v = _measure(engine, skin, w, steps_per_call, n_calls)
+            table.append({"worlds": w,
+                          "env_steps_per_sec_per_chip": round(v, 1)})
+        best = max(table, key=lambda r: r["env_steps_per_sec_per_chip"])
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_scaling.json"), "w") as f:
+            json.dump({"config": f"{n_bodies}-body pile, {n_bones} bones/"
+                                 f"{n_verts} verts skinned",
+                       "table": table}, f, indent=1)
+        n_worlds = best["worlds"]
+        value = best["env_steps_per_sec_per_chip"]
+    else:
+        value = _measure(engine, skin, n_worlds, steps_per_call, n_calls)
+
     print(json.dumps({
         "metric": f"env_steps_per_sec_per_chip (W={n_worlds}, {n_bones} bones/"
                   f"{n_verts} verts skinned, {n_bodies}-body pile)",

@@ -60,14 +60,23 @@ def main():
     dt = min(times)
     ms_per_world = dt / n_worlds * 1e3
     fps_chip = n_worlds / dt
-    print(json.dumps({
+    result = {
         "metric": f"deferred+CSM frames/s/chip (W={n_worlds}, {size}x{size}, "
                   f"65 meshes, dir light 3-cascade CSM)",
         "value": round(fps_chip, 1),
         "unit": "frames/s/chip",
         "ms_per_frame_per_world": round(ms_per_world, 3),
         "vs_baseline": round(fps_chip / (4096 * 60 / 8), 4),
-    }))
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    # driver-visible per-round artifact (the driver only captures bench.py;
+    # the render number must not live in README prose alone)
+    rnd = os.environ.get("FYROX_BENCH_ROUND", "")
+    out = f"BENCH_render_r{rnd}.json" if rnd else "BENCH_render.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out),
+              "w") as f:
+        json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -13,7 +13,7 @@ from fyrox_tpu.core import ray as ray_mod
 from fyrox_tpu.physics import shapes as sh
 from fyrox_tpu.physics.world import PhysicsState, PhysicsTemplate, _collider_world
 
-__all__ = ["cast_ray", "sphere_cast", "compute_contacts"]
+__all__ = ["cast_ray", "sphere_cast", "shape_cast", "compute_contacts"]
 
 _BIG = 3.0e38
 
@@ -162,6 +162,174 @@ def sphere_cast(state: PhysicsState, t: PhysicsTemplate, origin, direction,
     out["point"] = jnp.asarray(origin) + d * jnp.where(out["hit"], toi_adj,
                                                        0.0)[..., None]
     return out
+
+
+def _support_h(kind, params, m):
+    """Local support height g(m) = max_{x in shape} m·x for direction m
+    (any scale) in the shape's local frame. kind: [.,.] int or python int;
+    params [...,6]; m [...,3]. Exact for ball/cuboid/capsule/cylinder/
+    cone/halfspace-irrelevant; CONVEX uses its bounding-sphere radius
+    (params[0]) — conservative."""
+    mx, my, mz = m[..., 0], m[..., 1], m[..., 2]
+    mlen = jnp.sqrt(mx * mx + my * my + mz * mz)
+    mxz = jnp.sqrt(mx * mx + mz * mz)
+    g_ball = params[..., 0] * mlen
+    g_box = (params[..., 0] * jnp.abs(mx) + params[..., 1] * jnp.abs(my)
+             + params[..., 2] * jnp.abs(mz))
+    g_cap = params[..., 0] * jnp.abs(my) + params[..., 1] * mlen
+    g_cyl = params[..., 0] * jnp.abs(my) + params[..., 1] * mxz
+    g_cone = jnp.maximum(params[..., 0] * my,
+                         -params[..., 0] * my + params[..., 1] * mxz)
+    g_conv = params[..., 0] * mlen
+    if isinstance(kind, int):
+        return {sh.BALL: g_ball, sh.CUBOID: g_box, sh.CAPSULE: g_cap,
+                sh.CYLINDER: g_cyl, sh.CONE: g_cone,
+                sh.CONVEX: g_conv}[kind]
+    return jnp.where(kind == sh.BALL, g_ball,
+           jnp.where(kind == sh.CUBOID, g_box,
+           jnp.where(kind == sh.CAPSULE, g_cap,
+           jnp.where(kind == sh.CYLINDER, g_cyl,
+           jnp.where(kind == sh.CONE, g_cone, g_conv)))))
+
+
+def _support_point(kind, params, rot, m_local):
+    """Local support POINT along local direction m (unit-ish); world
+    offset = rot @ point. Used only to report the contact location."""
+    mx, my, mz = m_local[..., 0], m_local[..., 1], m_local[..., 2]
+    mlen = jnp.sqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-12))
+    n = m_local / mlen[..., None]
+    if kind == sh.BALL:
+        p = n * params[..., 0:1]
+    elif kind == sh.CUBOID:
+        p = jnp.sign(m_local) * params[..., :3]
+    elif kind in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
+        ay = jnp.sign(my) * params[..., 0]
+        p = jnp.stack([n[..., 0] * params[..., 1], ay,
+                       n[..., 2] * params[..., 1]], -1)
+    else:
+        p = n * params[..., 0:1]
+    return jnp.einsum("...ij,...j->...i", rot, p)
+
+
+def shape_cast(state: PhysicsState, t: PhysicsTemplate, kind, params,
+               origin, rotation, direction, max_toi=jnp.inf):
+    """Arbitrary convex shape cast (reference `cast_shape`,
+    fyrox-impl/src/scene/graph/physics/mod.rs:1357): sweep a shape of
+    `kind` (BALL/CUBOID/CAPSULE/CYLINDER/CONE) along `direction` from
+    (origin, rotation) and return the earliest hit per ray.
+
+    Method — swept SAT over a candidate separating-axis set (shape axes,
+    collider axes, their 9 edge crosses, the center line, the sweep
+    direction, plane normals): every gap along an axis n is linear in the
+    sweep parameter λ (gap_n(λ) = gap_n(0) − λ n·direction), so the hit
+    time is max over crossing axes and a positive non-closing gap is an
+    exact miss certificate. Exact for box/convex-polytope pairs when the
+    achieving axis is in the set (face normals + edge crosses — the SAT
+    completeness set); round shapes have exact supports so errors only
+    come from the finite axis set. Heightfield/trimesh colliders are not
+    supported (dense-scenery scenes: use cast_ray grids).
+
+    origin [W,R,3]; rotation [W,R,4] xyzw quat (None = identity);
+    direction [W,R,3] = velocity (toi is in time units of it). Returns
+    the cast_ray dict.
+    """
+    from fyrox_tpu.core import quat as quat_mod
+    kind = int(kind)
+    cpos, crot = _collider_world(state, t)           # [W,C,3], [W,C,3,3]
+    w, c = cpos.shape[:2]
+    origin = jnp.asarray(origin, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+    r = origin.shape[1]
+    if rotation is None:
+        rot_a = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (w, r, 3, 3))
+    else:
+        rot_a = quat_mod.to_mat3(jnp.asarray(rotation, jnp.float32))
+    p6 = jnp.broadcast_to(
+        jnp.pad(jnp.asarray(params, jnp.float32), (0, 6 - len(params)))[
+            None, None], (w, r, 6))
+
+    ctype = jnp.asarray(t.col_shape)
+    is_hs = ctype == sh.HALFSPACE
+    cparams = jnp.asarray(t.col_params)
+
+    # ---- candidate axes [W,R,C,D,3] ----
+    axes_a = [jnp.broadcast_to(rot_a[..., None, :, j], (w, r, c, 3))
+              for j in range(3)]
+    axes_b = [jnp.broadcast_to(crot[:, None, :, :, j], (w, r, c, 3))
+              for j in range(3)]
+    c2c = cpos[:, None] - origin[:, :, None]                      # [W,R,C,3]
+    dn = jnp.broadcast_to(direction[:, :, None], (w, r, c, 3))
+    cands = list(axes_a) + list(axes_b) + [c2c, dn]
+    for i in range(3):
+        for j in range(3):
+            cr_ = jnp.cross(axes_a[i], axes_b[j])
+            ln = jnp.linalg.norm(cr_, axis=-1, keepdims=True)
+            cands.append(jnp.where(ln > 1e-8, cr_, c2c))
+    # halfspace: ONLY the inward plane normal is a valid axis (B on the
+    # -m side); others get gap = -inf below via masking
+    m_plane = crot[:, None, :, :, 1]                              # [W,R,C,3]
+    cands.append(jnp.where(is_hs[None, :, None], -m_plane, c2c))
+    nd = jnp.stack(cands, axis=-2)                                # [W,R,C,D,3]
+    nd = jnp.concatenate([nd, -nd], axis=-2)                      # ± both
+    d_ax = nd.shape[-2]
+
+    # ---- gaps at λ=0: gap_n = -h_B(-n) - h_A(n) ----
+    # h_X(n) = n·p_X + g_X(R_X^T n)
+    m_a = jnp.einsum("wrji,wrcdj->wrcdi", rot_a, nd)              # R_A^T n
+    g_a = _support_h(kind, p6[:, :, None, None], m_a)
+    h_a = jnp.sum(nd * origin[:, :, None, None], -1) + g_a
+    m_b = jnp.einsum("wcji,wrcdj->wrcdi", crot, -nd)
+    g_b = _support_h(ctype[None, None, :, None],
+                     cparams[None, None, :, None], m_b)
+    h_b_neg = jnp.sum(-nd * cpos[:, None, :, None], -1) + g_b
+    gap = -h_b_neg - h_a                                          # [W,R,C,D]
+    # halfspace: valid only on its dedicated axis slots (the ± of cand -1)
+    if True:
+        d_base = d_ax // 2
+        ax_id = jnp.arange(d_ax) % d_base
+        hs_ok = (ax_id == (d_base - 1))[None, None, None, :]
+        gap = jnp.where(is_hs[None, None, :, None] & ~hs_ok, -1e9, gap)
+        # the mirrored (+m_plane) slot must not certify a miss either
+        sign_neg = (jnp.arange(d_ax) >= d_base)[None, None, None, :]
+        gap = jnp.where(is_hs[None, None, :, None] & hs_ok & sign_neg,
+                        -1e9, gap)
+
+    closing = jnp.sum(nd * dn[..., None, :], -1)                  # n·d
+    sep = gap > 0.0
+    crossing = sep & (closing > 1e-12)
+    lam = jnp.where(crossing, gap / jnp.maximum(closing, 1e-12), -1.0)
+    toi_pair = jnp.max(lam, axis=-1)                              # [W,R,C]
+    miss_cert = jnp.any(sep & (closing <= 1e-12), axis=-1)
+    started_sep = jnp.any(sep, axis=-1)
+    toi_pair = jnp.where(~started_sep, 0.0, toi_pair)   # already touching
+    toi_pair = jnp.where(miss_cert | (toi_pair > max_toi)
+                         | (toi_pair < 0.0), _BIG, toi_pair)
+
+    best = jnp.argmin(toi_pair, axis=-1)                          # [W,R]
+    best_toi = jnp.take_along_axis(toi_pair, best[..., None], -1)[..., 0]
+    hit = best_toi < _BIG
+    collider = jnp.where(hit, best, -1)
+    body = jnp.where(hit, jnp.asarray(t.col_body)[best], -1)
+
+    # achieving axis of the winning collider → hit normal (-n, outward
+    # from the collider toward the cast shape)
+    lam_best = jnp.take_along_axis(
+        lam, best[..., None, None].repeat(d_ax, -1), axis=-2)[..., 0, :]
+    n_best = jnp.take_along_axis(
+        nd, best[..., None, None, None].repeat(d_ax, -2).repeat(3, -1),
+        axis=-3)[..., 0, :, :]                                    # [W,R,D,3]
+    ax_best = jnp.argmax(lam_best, axis=-1)                       # [W,R]
+    n_hit = jnp.take_along_axis(
+        n_best, ax_best[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    n_hit = n_hit / jnp.maximum(
+        jnp.linalg.norm(n_hit, axis=-1, keepdims=True), 1e-8)
+    # contact point: the cast shape's support along n at the hit pose
+    m_loc = jnp.einsum("wrji,wrj->wri", rot_a, n_hit)
+    sp = _support_point(kind, p6, rot_a, m_loc)
+    point = origin + direction * jnp.where(hit, best_toi, 0.0)[..., None] + sp
+
+    return dict(hit=hit, toi=jnp.where(hit, best_toi, jnp.inf),
+                collider=collider, body=body, point=point, normal=-n_hit)
 
 
 def compute_contacts(state: PhysicsState, t: PhysicsTemplate, pred=0.002):

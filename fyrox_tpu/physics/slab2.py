@@ -144,13 +144,33 @@ def _grid(inc_gc, plane):
     return jnp.einsum("gc,wc->wg", jnp.asarray(inc_gc), plane)
 
 
+def _grid_multi(inc_gc, planes):
+    """Batched [W,C]→[W,Cg]: ONE matmul for the whole plane list (a
+    per-plane loop would launch one small MXU kernel each)."""
+    out = jnp.einsum("gc,wac->wag", jnp.asarray(inc_gc),
+                     jnp.stack(planes, axis=1))
+    return [out[:, i] for i in range(len(planes))]
+
+
 def _body_to_grid(inc_gb, plane):
     return jnp.einsum("gb,wb->wg", jnp.asarray(inc_gb), plane)
+
+
+def _body_to_grid_multi(inc_gb, planes):
+    out = jnp.einsum("gb,wab->wag", jnp.asarray(inc_gb),
+                     jnp.stack(planes, axis=1))
+    return [out[:, i] for i in range(len(planes))]
 
 
 def _grid_to_body(inc_gb, plane):
     return jnp.einsum("gb,wg->wb", jnp.asarray(inc_gb), plane,
                       precision="highest")
+
+
+def _grid_to_body_multi(inc_gb, planes):
+    out = jnp.einsum("gb,wag->wab", jnp.asarray(inc_gb),
+                     jnp.stack(planes, axis=1), precision="highest")
+    return [out[:, i] for i in range(len(planes))]
 
 
 def _bcast_slots(plane_g, s):
@@ -237,13 +257,11 @@ def _collider_pose_planes(cx: _Ctx, pos_b, q_b, lv_b):
 
     Returns (cpos v3, cq quat4, lv_c v3) as [W,C] planes."""
     inc = jnp.asarray(cx.inc_cb)
-
-    def to_col(p):
-        return jnp.einsum("cb,wb->wc", inc, p)
-
-    bpos = tuple(to_col(p) for p in pos_b)
-    bq = tuple(to_col(p) for p in q_b)
-    lvc = tuple(to_col(p) for p in lv_b)
+    out = jnp.einsum("cb,wab->wac", inc,
+                     jnp.stack(list(pos_b) + list(q_b) + list(lv_b), axis=1))
+    bpos = tuple(out[:, i] for i in range(3))
+    bq = tuple(out[:, i] for i in range(3, 7))
+    lvc = tuple(out[:, i] for i in range(7, 10))
     if cx.trivial_offsets:
         return bpos, bq, lvc
     cq_s = tuple(jnp.asarray(cx.col_rot[:, i])[None] for i in range(4))
@@ -345,6 +363,9 @@ def _narrowphase_windows(cx: _Ctx, t, cands, cpos, cq, crot9, v_sweep,
                                "act", "fric", "rest", "sigma", "own")}
     parts_i = {k: [] for k in ("body_j", "pid")}
 
+    # grid-collider planes once (shared across classes): pos3 quat4 vs3
+    ig_all = _grid_multi(cx.inc_gc, list(cpos) + list(cq) + list(v_sweep))
+
     for cls in range(3):
         cand = cands[cls]
         kp_c = cand.j_real.shape[1]
@@ -362,12 +383,9 @@ def _narrowphase_windows(cx: _Ctx, t, cands, cpos, cq, crot9, v_sweep,
         kind_j = jg[15].astype(jnp.int32)
         j_vs = tuple(jg[16:19])
 
-        def islot(plane_c):
-            return _bcast_slots(_grid(cx.inc_gc, plane_c), nslot_c)
-
-        i_pos = tuple(islot(p) for p in cpos)
-        i_q = tuple(islot(p) for p in cq)
-        i_vs = tuple(islot(p) for p in v_sweep)
+        i_pos = tuple(_bcast_slots(p, nslot_c) for p in ig_all[0:3])
+        i_q = tuple(_bcast_slots(p, nslot_c) for p in ig_all[3:7])
+        i_vs = tuple(_bcast_slots(p, nslot_c) for p in ig_all[7:10])
         i_p6 = tuple(jnp.asarray(cx.params[i_static, i])[None]
                      for i in range(6))
         i_fric = jnp.asarray(cx.fric[i_static])[None]
@@ -584,15 +602,17 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
     com_j = tuple(jg[2:5])
     ii_j = tuple(jg[5:14])
 
-    def islot(plane_b):
-        return _bcast_slots(_body_to_grid(cx.inc_gb, plane_b), s)
+    def islot_multi(planes_b):
+        return [_bcast_slots(p, s)
+                for p in _body_to_grid_multi(cx.inc_gb, planes_b)]
 
     im_i = _bcast_slots(jnp.einsum(
         "gb,b->g", jnp.asarray(cx.inc_gb), cx.inv_mass)[None], s)
     im_i = jnp.broadcast_to(im_i, (w, kc))
-    cnt_i = islot(count)
-    com_i = tuple(islot(p) for p in com_w0)
-    ii_i = tuple(islot(p) for p in ii0)
+    ig13 = islot_multi([count] + list(com_w0) + list(ii0))
+    cnt_i = ig13[0]
+    com_i = tuple(ig13[1:4])
+    ii_i = tuple(ig13[4:13])
 
     swapped = con.sigma < 0.0
     im_a = jnp.where(swapped, im_j, im_i)
@@ -627,7 +647,7 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
     def rel_vel(lv_, av_):
         vel6 = list(lv_) + list(av_)
         jv = _gather_planes(vel6, con.body_j, b)
-        iv = [islot(p) for p in vel6]
+        iv = islot_multi(vel6)
         lv_a = where3(swapped, tuple(jv[0:3]), tuple(iv[0:3]))
         av_a = where3(swapped, tuple(jv[3:6]), tuple(iv[3:6]))
         lv_b2 = where3(swapped, tuple(iv[0:3]), tuple(jv[0:3]))
@@ -642,9 +662,8 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
         imp_s = scale3(imp, -con.sigma)
         lin = scale3(imp_s, im_s)
         torq = cross3(r_s, imp_s)
-        both = list(lin) + list(torq)
-        sums = [_grid_to_body(cx.inc_gb, _window_sum(p, cg, s))
-                for p in both]
+        sums = _grid_to_body_multi(
+            cx.inc_gb, [_window_sum(p, cg, s) for p in list(lin) + list(torq)])
         lv_ = add3(lv_, tuple(sums[0:3]))
         av_ = add3(av_, _mv9(ii0, tuple(sums[3:6])))
         return lv_, av_
@@ -767,9 +786,9 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
             imp_s = scale3(n, -con.sigma * p_imp)
             lin = scale3(imp_s, im_s)
             torq = cross3(r_s, imp_s)
-            both = list(lin) + list(torq)
-            sums = [_grid_to_body(cx.inc_gb, _window_sum(p, cg, s))
-                    for p in both]
+            sums = _grid_to_body_multi(
+                cx.inc_gb,
+                [_window_sum(p, cg, s) for p in list(lin) + list(torq)])
             dpos = tuple(sums[0:3])
             dtheta = _mv9(ii0, tuple(sums[3:6]))
             posx = add3(posx, dpos)
@@ -783,7 +802,7 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
             # depth update from the applied correction
             d6 = list(dpos) + list(dtheta)
             jg2 = _gather_planes(d6, con.body_j, b)
-            ig2 = [islot(p) for p in d6]
+            ig2 = islot_multi(d6)
             dp_a = where3(swapped, tuple(jg2[0:3]), tuple(ig2[0:3]))
             dth_a = where3(swapped, tuple(jg2[3:6]), tuple(ig2[3:6]))
             dp_b = where3(swapped, tuple(ig2[0:3]), tuple(jg2[0:3]))

@@ -581,8 +581,9 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
     if t.grid is not None:
         from fyrox_tpu.physics.broadphase import SlabConfig
         if isinstance(t.grid, SlabConfig):
+            import os
             from fyrox_tpu.physics import slab2
-            if slab2.supports(t):
+            if slab2.supports(t) and not os.environ.get("FYROX_SLAB_V1"):
                 return slab2.step_slab2(state, t, dt, accel, angvel, inv_mass)
             return _step_physics_slab(state, t, dt, accel, angvel, inv_mass)
         return _step_physics_grid(state, t, dt, accel, angvel, inv_mass)

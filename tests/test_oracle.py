@@ -19,6 +19,8 @@ from fyrox_tpu.physics import (BALL, CAPSULE, CUBOID, HALFSPACE, BodyType,
 from fyrox_tpu.physics import oracle as orc
 from fyrox_tpu.physics import world as wm
 
+pytestmark = pytest.mark.slow  # minutes-long f64 trajectory diffs
+
 
 def _compare_trajectory(pb, broadphase, steps, samples, tol):
     t = pb.build(broadphase=broadphase)

@@ -120,6 +120,64 @@ class TestShapeCastAndContacts:
         assert abs(float(sw_out["toi"][0, 0]) - 3.5) < 1e-3
         assert float(sw_out["toi"][0, 0]) < float(ray_out["toi"][0, 0])
 
+    def test_box_cast_onto_plane_analytic(self):
+        """Axis-aligned box dropped onto the ground plane: exact TOI
+        (reference cast_shape semantics, physics/mod.rs:1357)."""
+        from fyrox_tpu.physics.queries import shape_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[20.0, 3.0, 0.0]]])        # clear of other shapes
+        d = jnp.asarray([[[0.0, -1.0, 0.0]]])
+        out = shape_cast(s, t, CUBOID, [0.3, 0.3, 0.3], o, None, d)
+        assert bool(out["hit"][0, 0])
+        assert abs(float(out["toi"][0, 0]) - 2.7) < 1e-4   # (3.0 - 0.3)/1
+        assert np.allclose(np.asarray(out["normal"][0, 0]), [0, 1, 0],
+                           atol=1e-5)
+
+    def test_rotated_box_cast_onto_plane(self):
+        """45°-rotated box: the corner leads — toi = h - half*sqrt(2)."""
+        import math
+        from fyrox_tpu.physics.queries import shape_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[20.0, 3.0, 0.0]]])
+        d = jnp.asarray([[[0.0, -1.0, 0.0]]])
+        a = math.pi / 4
+        q = jnp.asarray([[[math.sin(a / 2), 0.0, 0.0, math.cos(a / 2)]]])
+        out = shape_cast(s, t, CUBOID, [0.3, 0.3, 0.3], o, q, d)
+        expect = 3.0 - 0.3 * math.sqrt(2.0)
+        assert abs(float(out["toi"][0, 0]) - expect) < 1e-4
+
+    def test_capsule_cast_onto_box(self):
+        """Vertical capsule cast down onto the unit box at (-5,1,0):
+        box top at y=2; capsule bottom = center - (hh+r)."""
+        from fyrox_tpu.physics.queries import shape_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[-5.0, 6.0, 0.0]]])
+        d = jnp.asarray([[[0.0, -1.0, 0.0]]])
+        out = shape_cast(s, t, CAPSULE, [0.5, 0.4], o, None, d)
+        assert bool(out["hit"][0, 0])
+        assert int(out["collider"][0, 0]) == 2
+        assert abs(float(out["toi"][0, 0]) - (6.0 - 2.0 - 0.9)) < 1e-4
+
+    def test_ball_shape_cast_matches_sphere_cast(self):
+        from fyrox_tpu.physics.queries import shape_cast, sphere_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[0.0, 1.0, 0.0]]])
+        d = jnp.asarray([[[1.0, 0.0, 0.0]]])
+        a = shape_cast(s, t, BALL, [0.5], o, None, d)
+        b2 = sphere_cast(s, t, o, d, radius=0.5)
+        assert bool(a["hit"][0, 0])
+        assert abs(float(a["toi"][0, 0]) - float(b2["toi"][0, 0])) < 1e-3
+
+    def test_shape_cast_miss_certificate(self):
+        """Moving away from everything: the positive non-closing gap is
+        an exact miss certificate."""
+        from fyrox_tpu.physics.queries import shape_cast
+        _, t, s = make_query_world()
+        o = jnp.asarray([[[0.0, 5.0, 0.0]]])
+        d = jnp.asarray([[[0.0, 1.0, 0.0]]])
+        out = shape_cast(s, t, CUBOID, [0.3, 0.3, 0.3], o, None, d)
+        assert not bool(out["hit"][0, 0])
+
     def test_compute_contacts_reports_touching_pair(self):
         from fyrox_tpu.physics import BodyType, PhysicsBuilder, init_physics_state
         from fyrox_tpu.physics.queries import compute_contacts

@@ -112,6 +112,7 @@ class TestSlabCoverage:
         assert missing <= max(2, total // 100), (missing, total)
 
 
+@pytest.mark.slow
 class TestSlabDynamics:
     def _bounce_peak(self, mode):
         pb = wd.PhysicsBuilder()
@@ -164,6 +165,7 @@ class TestSlabDynamics:
         assert float(jnp.max(jnp.abs(st.linvel))) < 20.0
 
 
+@pytest.mark.slow
 class TestCCD:
     """Speculative-contact CCD (rapier max_ccd_substeps fidelity point,
     fyrox-impl/src/scene/graph/physics/mod.rs:905): fat AABBs sweep along
