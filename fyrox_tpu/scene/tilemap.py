@@ -18,16 +18,22 @@ import numpy as np
 from fyrox_tpu.render.mesh import MeshData
 
 __all__ = ["TileDef", "TileSet", "TileMap", "tilemap_mesh",
-           "tilemap_collider_boxes"]
+           "tilemap_collider_boxes", "tilemap_property_layer",
+           "apply_autotile", "tilemap_from_wfc", "tilemap_to_physics"]
 
 EMPTY = -1
 
 
 @dataclass
 class TileDef:
-    """One tile kind (tilemap/tileset.rs TileDefinition essentials)."""
+    """One tile kind (tilemap/tileset.rs TileDefinition essentials).
+
+    `properties`: arbitrary named values (the reference's tile property
+    layers, fyrox-impl/src/scene/tilemap/tileset.rs) — query per-cell
+    grids with `tilemap_property_layer`."""
     color: Tuple[float, float, float] = (0.8, 0.8, 0.8)
     solid: bool = False             # participates in collider extraction
+    properties: Dict[str, float] = field(default_factory=dict)
 
 
 @dataclass
@@ -116,3 +122,69 @@ def tilemap_collider_boxes(tm: TileMap):
             boxes.append((ox + x * cs + wx / 2, oy + y * cs + wy / 2,
                           wx / 2, wy / 2))
     return boxes
+
+
+def tilemap_property_layer(tm: TileMap, name: str, default=0.0):
+    """[H,W] float grid of a named tile property (tile property layers,
+    fyrox-impl/src/scene/tilemap/tileset.rs): each cell takes its tile's
+    `properties[name]`, `default` where empty/unset."""
+    h, w = tm.grid.shape
+    lut = np.asarray([t.properties.get(name, default)
+                      for t in tm.tile_set.tiles], np.float32)
+    out = np.full((h, w), float(default), np.float32)
+    occ = tm.grid != EMPTY
+    out[occ] = lut[tm.grid[occ]]
+    return out
+
+
+def apply_autotile(tm: TileMap, terrain_ids, variant_table,
+                   diagonal=True) -> TileMap:
+    """Autotile↔tilemap bridge (fyrox-autotile ↔ tilemap, the reference's
+    autotile bridge in fyrox-impl/src/scene/tilemap/): cells holding any
+    tile in `terrain_ids` are treated as one terrain; each is replaced by
+    `variant_table[bitmask]` (blob 8-neighbor bitmask from
+    utils.autotile.autotile_bitmask; missing masks keep the original
+    tile). Returns a new TileMap sharing the tile set."""
+    from fyrox_tpu.utils.autotile import autotile_bitmask
+    terrain_ids = set(int(i) for i in terrain_ids)
+    filled = np.isin(tm.grid, list(terrain_ids))
+    mask = autotile_bitmask(filled, diagonal=diagonal)
+    grid = tm.grid.copy()
+    h, w = grid.shape
+    for y in range(h):
+        for x in range(w):
+            m = int(mask[y, x])
+            if m >= 0 and m in variant_table:
+                grid[y, x] = variant_table[m]
+    return TileMap(tile_set=tm.tile_set, grid=grid,
+                   cell_size=tm.cell_size, origin=tm.origin)
+
+
+def tilemap_from_wfc(model, tile_set: TileSet, height, width,
+                     wfc_to_tile=None, seed=0, cell_size=1.0,
+                     origin=(0.0, 0.0)) -> TileMap:
+    """Generate a TileMap by wave-function collapse (the fyrox-autotile
+    WFC → tilemap placement path): `model` is utils.autotile.WfcModel;
+    `wfc_to_tile` maps WFC tile index → tile-set id (identity default)."""
+    from fyrox_tpu.utils.autotile import wfc_collapse
+    grid = np.asarray(wfc_collapse(model, height, width, seed=seed))
+    if wfc_to_tile is not None:
+        lut = np.asarray([int(wfc_to_tile[i]) for i in range(model.num_tiles)])
+        grid = lut[grid]
+    return TileMap(tile_set=tile_set, grid=grid.astype(np.int64),
+                   cell_size=cell_size, origin=origin)
+
+
+def tilemap_to_physics(tm: TileMap, pb, body=None, z_half=0.5,
+                       friction=0.6):
+    """Attach the tilemap's merged solid rectangles as static cuboid
+    colliders (the reference's tilemap collider shape extraction reduced
+    to rapier cuboids). Returns (body index, number of colliders)."""
+    from fyrox_tpu.physics import CUBOID, BodyType
+    if body is None:
+        body = pb.add_body(body_type=BodyType.STATIC)
+    boxes = tilemap_collider_boxes(tm)
+    for (cx, cy, hx, hy) in boxes:
+        pb.add_collider(body, CUBOID, [hx, hy, z_half],
+                        offset=(cx, cy, 0.0), friction=friction)
+    return body, len(boxes)
