@@ -516,8 +516,9 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     if template.grid is not None:
         from fyrox_tpu.physics.broadphase import CLASS_NPTS, SlabConfig
         if isinstance(template.grid, SlabConfig):
+            import os
             from fyrox_tpu.physics import slab2
-            if slab2.supports(template):
+            if slab2.supports(template) and not os.environ.get("FYROX_SLAB_V1"):
                 # v2 plane path: point-level compacted slots (pid-matched
                 # warmstart at Cg * s_active contact points)
                 kk = cap = (int(template.grid.grid_cols.size)

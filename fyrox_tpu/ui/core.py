@@ -12,6 +12,7 @@ batched hot loop.
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -90,6 +91,12 @@ class Widget:
     indent: float = 16.0
     # check box (check_box.rs)
     checked: bool = False
+    # text box (text_box.rs): caret/selection state + wrap mode
+    # (formatted text layout lives in ui/text.py)
+    caret: int = 0
+    sel_anchor: int = -1
+    wrap: str = "none"             # "none" | "letter" | "word"
+    on_commit: Optional[Callable] = None   # fn(ui, handle) on Enter
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -103,6 +110,7 @@ class UserInterface:
         self.root = self.nodes.spawn(Widget(name="__ROOT__", kind="canvas"))
         self.screen_size = screen_size
         self._queue: List[UiMessage] = []
+        self.focus: Optional[Handle] = None    # keyboard focus (text input)
 
     # -- tree ---------------------------------------------------------------
     def add(self, widget: Widget, parent: Optional[Handle] = None) -> Handle:
@@ -131,9 +139,27 @@ class UserInterface:
 
     def process_os_event(self, event: Dict):
         """Hit-test clicks → click messages → on_click callbacks."""
+        if event.get("type") == "key":
+            self._key_event(event)
+            return
         if event.get("type") == "click":
             x, y = event["x"], event["y"]
             hit = self._hit_test(self.root, x, y)
+            if hit is not None and self.nodes.borrow(hit).kind == "textbox":
+                w = self.nodes.borrow(hit)
+                if self.focus != hit:
+                    self.focus = hit
+                    self.send_message(UiMessage(
+                        destination=hit, data={"type": "focused"},
+                        direction="from_widget"))
+                from fyrox_tpu.ui.text import FormattedText
+                ft = FormattedText(w.text, w.font_size, wrap=w.wrap,
+                                   constraint=(w.actual_rect.w, w.actual_rect.h))
+                w.caret = ft.xy_to_caret(x - w.actual_rect.x - 3,
+                                         y - w.actual_rect.y - 2)
+                w.sel_anchor = -1
+            elif self.focus is not None:
+                self.focus = None
             if hit is not None:
                 w = self.nodes.borrow(hit)
                 msg = UiMessage(destination=hit,
@@ -161,6 +187,31 @@ class UserInterface:
                                 max(w.scroll[1] - event.get("dy", 0.0), 0.0))
                     break
                 hit = w.parent if w.parent.is_some() else None
+
+    def _key_event(self, event: Dict):
+        """Keyboard input routed to the focused TextBox (text_box.rs
+        on_key_down/char handling)."""
+        if self.focus is None:
+            return
+        w = self.nodes.try_borrow(self.focus)
+        if w is None or w.kind != "textbox":
+            return
+        from fyrox_tpu.ui.text import apply_key
+        key = event.get("key", "Char")
+        char = event.get("char", "")
+        if key == "Char" and not char and len(event.get("key", "")) == 1:
+            key, char = "Char", event["key"]
+        text, caret, anchor, events = apply_key(
+            w.text, w.caret, w.sel_anchor, key, char=char,
+            shift=bool(event.get("shift")))
+        w.text, w.caret, w.sel_anchor = text, caret, anchor
+        for ev in events:
+            self.send_message(UiMessage(
+                destination=self.focus,
+                data={"type": f"text_{ev}", "text": w.text},
+                direction="from_widget"))
+            if ev == "committed" and w.on_commit is not None:
+                w.on_commit(self, self.focus)
 
     def _hit_test(self, h: Handle, x, y) -> Optional[Handle]:
         w = self.nodes.borrow(h)
@@ -240,6 +291,14 @@ class UserInterface:
         elif w.kind == "text":
             content = (len(w.text) * w.font_size * 0.55 if w.text else 0.0,
                        w.font_size * 1.3)
+        elif w.kind == "textbox":
+            from fyrox_tpu.ui.text import FormattedText
+            ft = FormattedText(w.text, w.font_size, wrap=w.wrap,
+                               constraint=(inner[0] - 6, math.inf)
+                               if w.wrap != "none" else (math.inf, math.inf))
+            tw, th = ft.size
+            content = (max(tw + 6, w.font_size * 3),
+                       max(th + 4, w.font_size * 1.3 + 4))
         else:  # border/button/canvas: fit children
             content = (0.0, 0.0)
             for c in w.children:
@@ -399,6 +458,37 @@ class UserInterface:
         if w.kind in ("text", "button") and w.text:
             cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
                                     text=w.text))
+        if w.kind == "textbox":
+            from fyrox_tpu.ui.text import FormattedText, _sel_range
+            cmds.append(DrawCommand("rect", w.actual_rect,
+                                    (0.12, 0.12, 0.12, 1.0)))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+            ft = FormattedText(w.text, w.font_size, wrap=w.wrap,
+                               constraint=(w.actual_rect.w - 6, math.inf)
+                               if w.wrap != "none" else (math.inf, math.inf))
+            ox, oy = w.actual_rect.x + 3, w.actual_rect.y + 2
+            sel = _sel_range(w.caret, w.sel_anchor)
+            for i, ln in enumerate(ft.lines):
+                if sel is not None:           # per-line selection band
+                    a = max(sel[0], ln.start)
+                    b = min(sel[1], ln.end)
+                    if a < b:
+                        cmds.append(DrawCommand(
+                            "rect",
+                            Rect(ox + ln.x + (a - ln.start) * ft.char_w,
+                                 oy + ln.y, (b - a) * ft.char_w, ft.line_h),
+                            (0.2, 0.35, 0.6, 1.0)))
+                if ln.end > ln.start:
+                    cmds.append(DrawCommand(
+                        "text", Rect(ox + ln.x, oy + ln.y, ln.width,
+                                     ft.line_h),
+                        w.foreground, text=ft.line_text(i)))
+            if self.focus is not None and self.nodes.try_borrow(
+                    self.focus) is w:
+                cx, cy = ft.caret_to_xy(w.caret)
+                cmds.append(DrawCommand(
+                    "rect", Rect(ox + cx, oy + cy, 1.0, ft.line_h),
+                    w.foreground))
         if w.kind == "tree" and not w.expanded:
             return                    # collapsed subtree draws nothing
         for c in w.children:

@@ -27,6 +27,25 @@ def _fmt(v) -> str:
     return str(v)
 
 
+def _parse(text: str, like):
+    """Parse an edited value string against the current value's type (the
+    Inspector's property editors reduced to text round-trips)."""
+    text = text.strip()
+    if isinstance(like, bool):
+        return text.lower() in ("1", "true", "yes", "on")
+    if isinstance(like, int) and not isinstance(like, bool):
+        return int(float(text))
+    if isinstance(like, float):
+        return float(text)
+    if isinstance(like, np.ndarray):
+        vals = [float(x) for x in text.strip("()[] ").split(",") if x.strip()]
+        return np.asarray(vals, like.dtype).reshape(like.shape)
+    if isinstance(like, (tuple, list)):
+        vals = [float(x) for x in text.strip("()[] ").split(",") if x.strip()]
+        return type(like)(vals)
+    return text
+
+
 class Inspector:
     """Property grid bound to a target object.
 
@@ -49,9 +68,26 @@ class Inspector:
         for i, p in enumerate(self.paths):
             ui.add(Widget(kind="text", text=p, grid_row=i, grid_column=0),
                    self.root)
-            vw = ui.add(Widget(kind="text", text=_fmt(reflect.get_path(target, p)),
-                               grid_row=i, grid_column=1), self.root)
+            vw = ui.add(Widget(kind="textbox",
+                               text=_fmt(reflect.get_path(target, p)),
+                               grid_row=i, grid_column=1,
+                               on_commit=self._make_commit(p)), self.root)
             self._value_widgets[p] = vw
+
+    def _make_commit(self, path):
+        """Enter in a value TextBox → parse + functional write-through
+        (the Inspector PropertyChanged round trip, now actually editable
+        — text_box.rs + inspector/ semantics)."""
+        def commit(ui, handle):
+            w = ui.nodes.borrow(handle)
+            cur = reflect.get_path(self.target, path)
+            try:
+                val = _parse(w.text, cur)
+            except (ValueError, TypeError):
+                w.text = _fmt(cur)            # reject: restore display
+                return
+            self.set_value(path, val)
+        return commit
 
     def refresh(self):
         """Re-read every bound field (Inspector sync pass)."""

@@ -1,0 +1,200 @@
+"""Formatted-text layout + text editing ops.
+
+Host-side equivalents of fyrox-ui's formatted text engine and TextBox
+(fyrox-ui/src/formatted_text.rs, text_box.rs): paragraph splitting, word/
+letter wrap against a width constraint, horizontal/vertical alignment,
+caret↔position mapping, and the caret/selection editing operations the
+TextBox widget applies to key events. Glyph metrics use the UI's
+monospace model (advance = font_size * CHAR_ASPECT, line height =
+font_size * LINE_FACTOR) — the same metric ui/renderer.py rasterizes
+with, so layout and drawing agree.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+__all__ = ["CHAR_ASPECT", "LINE_FACTOR", "FormattedText", "apply_key"]
+
+CHAR_ASPECT = 0.55
+LINE_FACTOR = 1.3
+
+
+@dataclass
+class Line:
+    start: int          # global char index (inclusive)
+    end: int            # exclusive; excludes the wrap point / newline
+    x: float = 0.0      # line origin (alignment applied)
+    y: float = 0.0
+    width: float = 0.0
+
+
+class FormattedText:
+    """Wrap `text` into positioned lines (formatted_text.rs build pass).
+
+    wrap: "none" | "letter" | "word" (WrapMode). halign: "left" |
+    "center" | "right"; valign: "top" | "center" | "bottom" (only
+    meaningful with a finite constraint on that axis).
+    """
+
+    def __init__(self, text: str, font_size: float = 14.0, wrap="word",
+                 halign="left", valign="top",
+                 constraint=(math.inf, math.inf)):
+        self.text = text
+        self.font_size = font_size
+        self.wrap = wrap
+        self.halign = halign
+        self.valign = valign
+        self.constraint = constraint
+        self.char_w = font_size * CHAR_ASPECT
+        self.line_h = font_size * LINE_FACTOR
+        self.lines: List[Line] = []
+        self._build()
+
+    # -- layout -------------------------------------------------------------
+
+    def _max_cols(self):
+        cw = self.constraint[0]
+        if not math.isfinite(cw) or self.wrap == "none":
+            return None
+        return max(int(cw // self.char_w), 1)
+
+    def _build(self):
+        self.lines = []
+        cols = self._max_cols()
+        pos = 0
+        for para in self.text.split("\n"):
+            p0 = pos
+            n = len(para)
+            if cols is None or n <= cols:
+                self.lines.append(Line(p0, p0 + n))
+            elif self.wrap == "letter":
+                for s in range(0, n, cols):
+                    self.lines.append(Line(p0 + s, p0 + min(s + cols, n)))
+            else:                                   # word wrap
+                s = 0
+                while s < n:
+                    if n - s <= cols:
+                        self.lines.append(Line(p0 + s, p0 + n))
+                        break
+                    cut = para.rfind(" ", s, s + cols + 1)
+                    if cut <= s:                    # long word: letter-break
+                        self.lines.append(Line(p0 + s, p0 + s + cols))
+                        s = s + cols
+                    else:
+                        self.lines.append(Line(p0 + s, p0 + cut))
+                        s = cut + 1                 # swallow the space
+            pos += n + 1                            # +1 for the newline
+        if not self.lines:
+            self.lines = [Line(0, 0)]
+        for i, ln in enumerate(self.lines):
+            ln.width = (ln.end - ln.start) * self.char_w
+            ln.y = i * self.line_h
+        total_w = max((ln.width for ln in self.lines), default=0.0)
+        cw, ch = self.constraint
+        box_w = cw if math.isfinite(cw) else total_w
+        box_h = ch if math.isfinite(ch) else len(self.lines) * self.line_h
+        for ln in self.lines:
+            if self.halign == "center":
+                ln.x = (box_w - ln.width) * 0.5
+            elif self.halign == "right":
+                ln.x = box_w - ln.width
+        if self.valign in ("center", "bottom"):
+            extra = box_h - len(self.lines) * self.line_h
+            off = extra * (0.5 if self.valign == "center" else 1.0)
+            for ln in self.lines:
+                ln.y += off
+
+    # -- queries ------------------------------------------------------------
+
+    @property
+    def size(self) -> Tuple[float, float]:
+        w = max((ln.width for ln in self.lines), default=0.0)
+        return (w, len(self.lines) * self.line_h)
+
+    def line_text(self, i: int) -> str:
+        ln = self.lines[i]
+        return self.text[ln.start:ln.end]
+
+    def caret_to_xy(self, idx: int) -> Tuple[float, float]:
+        """Top-left of the caret for char index idx ∈ [0, len(text)]."""
+        idx = max(0, min(idx, len(self.text)))
+        for ln in self.lines:
+            if ln.start <= idx <= ln.end:
+                return (ln.x + (idx - ln.start) * self.char_w, ln.y)
+        ln = self.lines[-1]
+        return (ln.x + (ln.end - ln.start) * self.char_w, ln.y)
+
+    def xy_to_caret(self, x: float, y: float) -> int:
+        """Nearest char index for a local point (click → caret)."""
+        li = max(0, min(int(y // self.line_h), len(self.lines) - 1))
+        ln = self.lines[li]
+        col = int(round((x - ln.x) / self.char_w))
+        return ln.start + max(0, min(col, ln.end - ln.start))
+
+
+# -- TextBox editing ops (text_box.rs key handling) -------------------------
+
+def _sel_range(caret, anchor):
+    if anchor < 0 or anchor == caret:
+        return None
+    return (min(caret, anchor), max(caret, anchor))
+
+
+def apply_key(text: str, caret: int, anchor: int, key: str, char: str = "",
+              shift: bool = False):
+    """One TextBox key event → (text, caret, anchor, events).
+
+    key: "Left"/"Right"/"Home"/"End"/"Backspace"/"Delete"/"Enter"/"Char";
+    char: the printable char for key == "Char". anchor: selection anchor
+    index or -1. events ⊆ {"changed", "committed"}.
+    """
+    caret = max(0, min(caret, len(text)))
+    events = []
+    sel = _sel_range(caret, anchor)
+
+    def delete_sel():
+        nonlocal text, caret, anchor, sel
+        a, b = sel
+        text = text[:a] + text[b:]
+        caret = a
+        anchor = -1
+        sel = None
+
+    if key in ("Left", "Right", "Home", "End"):
+        if shift and anchor < 0:
+            anchor = caret
+        if key == "Left":
+            caret = max(caret - 1, 0)
+        elif key == "Right":
+            caret = min(caret + 1, len(text))
+        elif key == "Home":
+            caret = 0
+        else:
+            caret = len(text)
+        if not shift:
+            anchor = -1
+    elif key == "Backspace":
+        if sel:
+            delete_sel()
+        elif caret > 0:
+            text = text[:caret - 1] + text[caret:]
+            caret -= 1
+        events.append("changed")
+    elif key == "Delete":
+        if sel:
+            delete_sel()
+        elif caret < len(text):
+            text = text[:caret] + text[caret + 1:]
+        events.append("changed")
+    elif key == "Enter":
+        events.append("committed")
+    elif key == "Char" and char:
+        if sel:
+            delete_sel()
+        text = text[:caret] + char + text[caret:]
+        caret += len(char)
+        anchor = -1
+        events.append("changed")
+    return text, caret, anchor, events

@@ -249,3 +249,138 @@ class TestInspector:
         r0 = ui.nodes.borrow(ins._value_widgets[ins.paths[0]]).actual_rect
         r1 = ui.nodes.borrow(ins._value_widgets[ins.paths[1]]).actual_rect
         assert r0.y != r1.y
+
+
+class TestFormattedText:
+    """Formatted-text layout engine (fyrox-ui/src/formatted_text.rs)."""
+
+    def test_word_wrap_breaks_at_spaces(self):
+        from fyrox_tpu.ui.text import FormattedText
+        ft = FormattedText("hello brave new world", font_size=10.0,
+                           wrap="word", constraint=(5.5 * 11, float("inf")))
+        texts = [ft.line_text(i) for i in range(len(ft.lines))]
+        assert texts == ["hello brave", "new world"]
+        joined = "".join(texts).replace(" ", "")
+        assert joined == "hello brave new world".replace(" ", "")
+
+    def test_letter_wrap_and_newlines(self):
+        from fyrox_tpu.ui.text import FormattedText
+        ft = FormattedText("abcdef\ngh", font_size=10.0, wrap="letter",
+                           constraint=(5.5 * 4, float("inf")))
+        assert [ft.line_text(i) for i in range(len(ft.lines))] == \
+            ["abcd", "ef", "gh"]
+
+    def test_alignment_and_caret_roundtrip(self):
+        from fyrox_tpu.ui.text import FormattedText
+        ft = FormattedText("ab\nabcd", font_size=10.0, wrap="none",
+                           halign="right", constraint=(5.5 * 8, 100.0))
+        # right-aligned: short line starts further right
+        assert ft.lines[0].x > ft.lines[1].x
+        for idx in range(len(ft.text) + 1):
+            if ft.text[idx - 1:idx] == "\n":
+                continue
+            x, y = ft.caret_to_xy(idx)
+            assert ft.xy_to_caret(x + 0.1, y + 0.1) == idx
+
+    def test_apply_key_editing(self):
+        from fyrox_tpu.ui.text import apply_key
+        t, c, a = "", 0, -1
+        for ch in "3.x5":
+            t, c, a, ev = apply_key(t, c, a, "Char", char=ch)
+        assert t == "3.x5"
+        t, c, a, _ = apply_key(t, c, a, "Left")
+        t, c, a, _ = apply_key(t, c, a, "Backspace")
+        assert t == "3.5" and c == 2
+        # shift-select to start then type replaces selection
+        t, c, a, _ = apply_key(t, c, a, "Home", shift=True)
+        t, c, a, ev = apply_key(t, c, a, "Char", char="7")
+        assert t == "75" and c == 1 and a == -1
+        _, _, _, ev = apply_key(t, c, a, "Enter")
+        assert "committed" in ev
+
+
+class TestTextBox:
+    """TextBox widget: focus, caret, key routing (text_box.rs)."""
+
+    def _ui_with_box(self):
+        from fyrox_tpu.ui import UserInterface
+        from fyrox_tpu.ui.core import Widget
+        ui = UserInterface((200, 100))
+        h = ui.add(Widget(kind="textbox", text="abc", width=120, height=20))
+        ui.update_layout()
+        return ui, h
+
+    def test_click_focuses_and_places_caret(self):
+        ui, h = self._ui_with_box()
+        w = ui.nodes.borrow(h)
+        r = w.actual_rect
+        ui.process_os_event({"type": "click",
+                             "x": r.x + r.w - 2, "y": r.y + 2})
+        assert ui.focus == h
+        assert w.caret == 3            # clicked past the end
+        ui.process_os_event({"type": "key", "key": "Char", "char": "d"})
+        assert w.text == "abcd"
+        # clicking empty space clears focus; keys then go nowhere
+        ui.process_os_event({"type": "click", "x": 199, "y": 99})
+        assert ui.focus is None
+        ui.process_os_event({"type": "key", "key": "Char", "char": "z"})
+        assert w.text == "abcd"
+
+    def test_caret_draws_when_focused(self):
+        ui, h = self._ui_with_box()
+        w = ui.nodes.borrow(h)
+        r = w.actual_rect
+        ui.process_os_event({"type": "click", "x": r.x + 2, "y": r.y + 2})
+        cmds = ui.draw()
+        carets = [c for c in cmds if c.kind == "rect" and c.bounds.w == 1.0]
+        assert carets, "focused textbox must draw a caret"
+
+
+class TestInspectorEditing:
+    """Inspector edit round-trip driven by synthetic key events
+    (fyrox-ui inspector/ + text_box.rs; VERDICT round-2 item 7)."""
+
+    def test_type_value_and_commit(self):
+        import dataclasses
+        from fyrox_tpu.ui import UserInterface
+        from fyrox_tpu.ui.inspector import Inspector
+
+        @dataclasses.dataclass
+        class Settings:
+            speed: float = 1.5
+            count: int = 3
+            name: str = "bot"
+
+        ui = UserInterface((300, 200))
+        ins = Inspector(ui, Settings())
+        ui.update_layout()
+        vw = ins._value_widgets["speed"]
+        r = ui.nodes.borrow(vw).actual_rect
+        # click into the speed cell, select-all via Home..shift-End,
+        # type a new value, commit with Enter
+        ui.process_os_event({"type": "click", "x": r.x + 3, "y": r.y + 3})
+        assert ui.focus == vw
+        ui.process_os_event({"type": "key", "key": "Home"})
+        ui.process_os_event({"type": "key", "key": "End", "shift": True})
+        for ch in "4.25":
+            ui.process_os_event({"type": "key", "key": "Char", "char": ch})
+        ui.process_os_event({"type": "key", "key": "Enter"})
+        assert ins.target.speed == 4.25
+        assert ui.nodes.borrow(vw).text == "4.25"
+        # int field: committing '7' coerces to int
+        vw2 = ins._value_widgets["count"]
+        r2 = ui.nodes.borrow(vw2).actual_rect
+        ui.process_os_event({"type": "click", "x": r2.x + 3, "y": r2.y + 3})
+        ui.process_os_event({"type": "key", "key": "Home"})
+        ui.process_os_event({"type": "key", "key": "End", "shift": True})
+        ui.process_os_event({"type": "key", "key": "Char", "char": "7"})
+        ui.process_os_event({"type": "key", "key": "Enter"})
+        assert ins.target.count == 7 and isinstance(ins.target.count, int)
+        # invalid input restores the display, value untouched
+        ui.process_os_event({"type": "click", "x": r2.x + 3, "y": r2.y + 3})
+        ui.process_os_event({"type": "key", "key": "Home"})
+        ui.process_os_event({"type": "key", "key": "End", "shift": True})
+        ui.process_os_event({"type": "key", "key": "Char", "char": "x"})
+        ui.process_os_event({"type": "key", "key": "Enter"})
+        assert ins.target.count == 7
+        assert ui.nodes.borrow(vw2).text == "7"
