@@ -24,7 +24,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-__all__ = ["FbxNode", "parse_fbx", "fbx_to_scene", "load_fbx_scene"]
+__all__ = ["FbxNode", "parse_fbx", "fbx_to_scene", "load_fbx_scene",
+           "write_fbx"]
 
 _BINARY_MAGIC = b"Kaydara FBX Binary  \x00"
 
@@ -273,6 +274,55 @@ def _props70(model):
     return out
 
 
+# --------------------------------------------------------------------------
+# binary writer (the reverse of the reader above: Kaydara header + node
+# records with typed properties; used for asset generation and export)
+# --------------------------------------------------------------------------
+
+def _write_prop(p):
+    if isinstance(p, bool):
+        return b"C" + struct.pack("<B", int(p))
+    if isinstance(p, int):
+        return b"I" + struct.pack("<i", p)
+    if isinstance(p, float):
+        return b"D" + struct.pack("<d", p)
+    if isinstance(p, str):
+        raw = p.encode()
+        return b"S" + struct.pack("<I", len(raw)) + raw
+    arr = np.asarray(p)
+    code = {np.dtype(np.float64): b"d", np.dtype(np.int32): b"i",
+            np.dtype(np.int64): b"l", np.dtype(np.float32): b"f"}[arr.dtype]
+    raw = arr.tobytes()
+    comp = zlib.compress(raw)
+    return code + struct.pack("<III", arr.size, 1, len(comp)) + comp
+
+
+def _write_node(name, props=(), children=(), base=0):
+    pb = b"".join(_write_prop(p) for p in props)
+    nb = name.encode()
+    header_len = 12 + 1 + len(nb)
+    kids = b""
+    off = base + header_len + len(pb)
+    for cname, cprops, ckids in children:
+        kb = _write_node(cname, cprops, ckids, base=off + len(kids))
+        kids += kb
+    if children:
+        kids += b"\x00" * 13
+    end = base + header_len + len(pb) + len(kids)
+    hdr = struct.pack("<III", end, len(props), len(pb)) + bytes([len(nb)]) + nb
+    return hdr + pb + kids
+
+
+def write_fbx(top_nodes) -> bytes:
+    """Serialize `(name, [props], [children])` trees to binary FBX
+    (version 7400). Round-trips through `parse_fbx`."""
+    out = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
+    for name, props, kids in top_nodes:
+        out += _write_node(name, props, kids, base=len(out))
+    out += b"\x00" * 13
+    return out
+
+
 def fbx_to_scene(doc: FbxNode, scene_builder=None, return_ids=False):
     """Build a SceneTemplate from an FBX document: Model nodes (Lcl
     Translation/Rotation/Scaling) + Geometry meshes connected via OO links
@@ -408,14 +458,18 @@ def extract_skin(doc: FbxNode, geometry_id=None):
             # bone Model links INTO the cluster (Model -OO-> Cluster)
             bone = bones[0] if bones else -1
             bone_ids.append(bone)
+            # FBX matrices are COLUMN-major flats; engine matrices are
+            # column-vector convention (translation in [:3,3]) — the
+            # row-major reshape must be transposed (a no-op only for the
+            # identity, which is why synthetic fixtures never caught it)
             tl = cl.child("TransformLink")
             t = cl.child("Transform")
             if t is not None:
                 inv_bind.append(np.asarray(t.properties[0],
-                                           np.float64).reshape(4, 4))
+                                           np.float64).reshape(4, 4).T)
             elif tl is not None:
                 inv_bind.append(np.linalg.inv(
-                    np.asarray(tl.properties[0], np.float64).reshape(4, 4)))
+                    np.asarray(tl.properties[0], np.float64).reshape(4, 4).T))
             else:
                 inv_bind.append(np.eye(4))
             idxs = cl.child("Indexes")

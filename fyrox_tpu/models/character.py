@@ -109,9 +109,19 @@ def build_pile_scene(sb: SceneBuilder, n_bodies=64, seed=1, spread=4.0):
 
 
 def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
-                   max_active_pairs=None, seed=0):
+                   max_active_pairs=None, seed=0, real_asset=None):
     """Full flagship world: character + pile + camera. Returns
-    (Engine, SkinTemplate)."""
+    (Engine, SkinTemplate).
+
+    real_asset: binary FBX bytes or a path — the character then comes
+    through the FULL import pipeline (io/fbx.fbx_to_engine: document →
+    models → skin clusters → animation curves) instead of synthetic
+    arrays, so import→skin→render fidelity is exercised end-to-end
+    (fyrox-impl/src/resource/fbx/ intent). Use
+    models.assets.make_character_fbx() to generate one."""
+    if real_asset is not None:
+        return _build_flagship_real(real_asset, n_bodies=n_bodies,
+                                    seed=seed)
     sb, aset, mt, bones, (verts, idx4, w4) = build_character_scene(
         n_bones=n_bones, n_verts=n_verts, seed=seed)
     pb, _ = build_pile_scene(sb, n_bodies=n_bodies, seed=seed + 1)
@@ -141,4 +151,22 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
                         vertices=verts, bone_indices=idx4, bone_weights=w4)
 
     engine = Engine(template=template, physics=pt, animations=aset, machine=mt)
+    return engine, skin
+
+
+def _build_flagship_real(asset, n_bodies=64, seed=0):
+    """Flagship with an imported skinned character (see build_flagship)."""
+    from fyrox_tpu.io.fbx import fbx_to_engine
+    sb = SceneBuilder()
+    sb2, names, skin, aset = fbx_to_engine(asset, scene_builder=sb)
+    if skin is None:
+        raise ValueError("real_asset has no skin deformer")
+    pb, _ = build_pile_scene(sb, n_bodies=n_bodies, seed=seed + 1)
+    sb.add_camera("main_camera", position=(0, 3.0, -10.0))
+    template = sb.build()
+    if n_bodies >= 192:
+        pt = pb.build(broadphase="slab", slab_window=(12, 8, 10))
+    else:
+        pt = pb.build(max_active_pairs=0, broadphase="dense")
+    engine = Engine(template=template, physics=pt, animations=aset)
     return engine, skin

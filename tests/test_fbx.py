@@ -5,8 +5,6 @@ No FBX fixtures ship with the reference, so the binary test WRITES a
 spec-conformant Kaydara binary document (incl. a zlib-compressed array)
 and round-trips it through the parser.
 """
-import struct
-import zlib
 
 import numpy as np
 
@@ -18,48 +16,7 @@ from fyrox_tpu.scene.template import NodeType
 # minimal binary FBX writer (test-only)
 # ---------------------------------------------------------------------------
 
-def _prop_bytes(p):
-    if isinstance(p, bool):
-        return b"C" + struct.pack("<B", int(p))
-    if isinstance(p, int):
-        return b"I" + struct.pack("<i", p)
-    if isinstance(p, float):
-        return b"D" + struct.pack("<d", p)
-    if isinstance(p, str):
-        raw = p.encode()
-        return b"S" + struct.pack("<I", len(raw)) + raw
-    arr = np.asarray(p)
-    code = {np.dtype(np.float64): b"d", np.dtype(np.int32): b"i",
-            np.dtype(np.int64): b"l"}[arr.dtype]
-    raw = arr.tobytes()
-    comp = zlib.compress(raw)
-    return code + struct.pack("<III", arr.size, 1, len(comp)) + comp
-
-
-def _node_bytes(name, props=(), children=(), base=0):
-    pb = b"".join(_prop_bytes(p) for p in props)
-    nb = name.encode()
-    header_len = 12 + 1 + len(nb)
-    body = pb
-    # children serialized with a running offset
-    kids = b""
-    off = base + header_len + len(pb)
-    for cname, cprops, ckids in children:
-        kb = _node_bytes(cname, cprops, ckids, base=off + len(kids))
-        kids += kb
-    if children:
-        kids += b"\x00" * 13
-    end = base + header_len + len(pb) + len(kids)
-    hdr = struct.pack("<III", end, len(props), len(pb)) + bytes([len(nb)]) + nb
-    return hdr + body + kids
-
-
-def write_fbx_binary(top_nodes):
-    out = b"Kaydara FBX Binary  \x00\x1a\x00" + struct.pack("<I", 7400)
-    for name, props, kids in top_nodes:
-        out += _node_bytes(name, props, kids, base=len(out))
-    out += b"\x00" * 13
-    return out
+from fyrox_tpu.io.fbx import write_fbx as write_fbx_binary
 
 
 def _cube_doc_nodes():
