@@ -68,15 +68,14 @@ CLASS_NPTS = (1, 2, 4)
 
 
 def pair_class_table():
-    """[7,7] int32: manifold-size class of each (kind_a, kind_b) combo
-    (effective kinds — cylinder/cone collapse onto capsule; CONVEX has
-    its own row). Mirrors narrowphase.KIND_POINTS for both orderings."""
+    """[9,9] int32: manifold-size class of each (kind_a, kind_b) combo
+    (effective kinds — cylinder/cone collapse onto capsule; CONVEX,
+    HEIGHTFIELD and TRIMESH have their own rows). Mirrors
+    narrowphase.KIND_POINTS for both orderings."""
     from fyrox_tpu.physics.narrowphase import KIND_POINTS, effective_kind
-    tab = np.zeros((7, 7), np.int32)
+    tab = np.zeros((9, 9), np.int32)
     npts_to_class = {1: 0, 2: 1, 4: 2}
     for (ka, kb), npts in KIND_POINTS.items():
-        if ka > sh.CONVEX or kb > sh.CONVEX:
-            continue        # heightfield/trimesh are dense-mode only
         tab[ka, kb] = npts_to_class[npts]
         tab[kb, ka] = npts_to_class[npts]
     # cylinder/cone mirror their capsule proxy rows/cols
@@ -408,10 +407,6 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
     nc = int(col_shape.shape[0])
     if nc == 0:
         return None
-    if np.any(col_shape > sh.CONVEX):
-        raise NotImplementedError(
-            "heightfield/trimesh colliders are dense-broadphase only for "
-            "now (use broadphase='dense')")
     bound = np.zeros(nc, np.float64)
     for i in range(nc):
         t = int(col_shape[i])
@@ -425,6 +420,8 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
         elif t == sh.CONVEX:
             bound[i] = p[0]          # hull radius bound set at build
         else:
+            # HALFSPACE + scenery (heightfield/trimesh): broadphase-big
+            # partners — one static slot per grid collider per class
             bound[i] = np.inf
     finite = np.isfinite(bound)
     med = np.median(bound[finite]) if finite.any() else 1.0

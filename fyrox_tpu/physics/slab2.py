@@ -38,8 +38,9 @@ from fyrox_tpu.physics import np_planes
 from fyrox_tpu.physics import shapes as sh
 from fyrox_tpu.physics.pallas_ops import BLK, pad_contacts, pad_to, plane_gather
 from fyrox_tpu.physics.planes import (add3, cross3, dot3, neg3, norm3,
-                                      q_to_rot9, qmul, qrotate, rot9_apply,
-                                      scale3, splat, sub3, where3, where_n)
+                                      normalize3, q_to_rot9, qmul, qrotate,
+                                      rot9_apply, rot9_apply_t, scale3,
+                                      splat, sub3, where3, where_n)
 
 __all__ = ["supports", "step_slab2", "overflow_stats"]
 
@@ -52,13 +53,12 @@ DYNAMIC = 0
 
 def supports(t) -> bool:
     """v2 handles the primitive shape set (ball/cuboid/capsule + cylinder/
-    cone capsule proxies/halfspace). Convex hulls and scenery fall back to
-    the v1 slab path until their plane kernels land."""
+    cone capsule proxies/halfspace) plus heightfield/trimesh scenery as
+    broadphase-big partners. Convex hulls still fall back to the v1 slab
+    path until their plane kernels land."""
     if not isinstance(t.grid, bp_mod.SlabConfig):
         return False
     if np.any(np.asarray(t.col_shape) == sh.CONVEX):
-        return False
-    if t.col_hf is not None or t.col_tm is not None:
         return False
     return True
 
@@ -109,6 +109,35 @@ class _Ctx:
         self.trivial_offsets = (not np.any(self.col_pos)
                                 and np.allclose(self.col_rot[:, :3], 0.0)
                                 and np.allclose(self.col_rot[:, 3], 1.0))
+        # ---- scenery (heightfield/trimesh) big partners ----
+        # Each carries: its index in sc.big_cols (for the broadphase
+        # validity columns), its kind, and prepared lookup tables.
+        self.scenery = []
+        big_index = {int(cidx): i for i, cidx in enumerate(sc.big_cols)}
+        for cidx in range(c):
+            k = int(self.shape[cidx])
+            if k == sh.HEIGHTFIELD:
+                hf = int(t.col_hf[cidx])
+                heights = np.asarray(t.hf_heights[hf], np.float32)  # [Rz,Rx]
+                rz, rx = heights.shape
+                # shifted corner tables [4, Rz*Rx] so ONE MXU gather at
+                # idx = j0*Rx+i0 returns all 4 bilinear corners
+                h00 = heights
+                h10 = np.concatenate([heights[:, 1:], heights[:, -1:]], 1)
+                h01 = np.concatenate([heights[1:], heights[-1:]], 0)
+                h11 = np.concatenate([h01[:, 1:], h01[:, -1:]], 1)
+                corners = np.stack([x.reshape(-1) for x in
+                                    (h00, h10, h01, h11)])       # [4,Rh]
+                self.scenery.append(dict(
+                    col=cidx, kind=k, big=big_index[cidx],
+                    corners=corners, rz=rz, rx=rx,
+                    sx=float(t.hf_size[hf, 0]), sz=float(t.hf_size[hf, 1])))
+            elif k == sh.TRIMESH:
+                tm = int(t.col_tm[cidx])
+                self.scenery.append(dict(
+                    col=cidx, kind=k, big=big_index[cidx],
+                    tris=np.asarray(t.tm_tris[tm], np.float32),
+                    tmask=np.asarray(t.tm_mask[tm], bool)))
         self.has_com = bool(np.any(np.asarray(t.com_local)))
         # body-plane statics
         self.inv_mass = np.asarray(t.inv_mass)
@@ -293,12 +322,18 @@ def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin):
     is_box = shp == sh.CUBOID
     is_cap = shp == sh.CAPSULE
     is_cyl = (shp == sh.CYLINDER) | (shp == sh.CONE)
+    # scenery: rotation-invariant sphere bounds (HEIGHTFIELD p[2], TRIMESH
+    # p[0] — builder conventions, see shapes.shape_aabb_half_extents)
+    is_hf = shp == sh.HEIGHTFIELD
+    is_tm = shp == sh.TRIMESH
     he = []
     for i in range(3):
         h = jnp.where(is_ball, ball[i],
             jnp.where(is_box, box[i],
             jnp.where(is_cap, cap[i],
-            jnp.where(is_cyl, cyl[i], huge))))
+            jnp.where(is_cyl, cyl[i],
+            jnp.where(is_hf, p[2],
+            jnp.where(is_tm, p[0], huge))))))
         he.append(h + margin)
     cap3 = jnp.asarray(sc.sweep_cap)[None]
     amin, amax = [], []
@@ -438,9 +473,312 @@ def _narrowphase_windows(cx: _Ctx, t, cands, cpos, cq, crot9, v_sweep,
             parts_i["body_j"].append(rsh(cand.body_j))
             parts_i["pid"].append(rsh(cand.pid * 4 + p_i))
 
+    if cx.scenery:
+        _scenery_parts(cx, t, cands, ig_all, cpos, cq, margin, dtype,
+                       parts_f, parts_i)
+
     attrs_f = {k: jnp.concatenate(v, axis=2) for k, v in parts_f.items()}
     attrs_i = {k: jnp.concatenate(v, axis=2) for k, v in parts_i.items()}
     return attrs_f, attrs_i
+
+
+def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
+                   parts_f, parts_i):
+    """Heightfield/trimesh big-partner contacts in plane form.
+
+    Mirrors the dense point-sample formulation (physics/scenery.py):
+    sample the dynamic shape (ball center / capsule ends / box corners),
+    contact each sample against the scenery surface, keep the manifold
+    class's deepest samples with ONE shared normal from the deepest.
+    The heightfield normal uses the bilinear cell's analytic gradient
+    (the dense path's finite differences converge to it); heights fetch
+    is one MXU gather over 4 pre-shifted corner tables."""
+    from fyrox_tpu.physics.scenery import MAX_TRIS
+    sc = t.grid
+    cg = cx.cg
+    w = cpos[0].shape[0]
+    kind_g = cx.kinds[cx.grid_cols]                       # [Cg] static
+    p_g = cx.params[cx.grid_cols]                         # [Cg,6] static
+    pos_g = tuple(ig_all[0:3])
+    rot_g = q_to_rot9(tuple(ig_all[3:7]))
+    vs_g = tuple(ig_all[7:10])
+    pred_g = (margin + norm3(vs_g)).astype(dtype)         # [W,Cg]
+
+    is_ball = jnp.asarray(kind_g == sh.BALL)[None]
+    is_cap = jnp.asarray(kind_g == sh.CAPSULE)[None]
+    is_box = jnp.asarray(kind_g == sh.CUBOID)[None]
+    p0 = jnp.asarray(p_g[:, 0])[None]
+    p1 = jnp.asarray(p_g[:, 1])[None]
+    hx, hy, hz = (jnp.asarray(p_g[:, i])[None] for i in range(3))
+    radius = jnp.where(is_ball, p0, jnp.where(is_cap, p1, 0.0))
+    ay = (rot_g[1], rot_g[4], rot_g[7])                   # local +Y world
+
+    corner_sel = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+                  for sz in (-1, 1)]
+    samples, svalid = [], []
+    for s_i in range(8):
+        csx, csy, csz = corner_sel[s_i]
+        corner = add3(pos_g, rot9_apply(
+            rot_g, (csx * hx, csy * hy, csz * hz)))
+        if s_i == 0:
+            cap_pt = sub3(pos_g, scale3(ay, p0))
+            pt = where3(is_box, corner,
+                        where3(is_cap, cap_pt, pos_g))
+            valid = is_box | is_cap | is_ball
+        elif s_i == 1:
+            cap_pt = add3(pos_g, scale3(ay, p0))
+            pt = where3(is_box, corner, cap_pt)
+            valid = is_box | is_cap
+        else:
+            pt = corner
+            valid = is_box
+        samples.append(pt)
+        svalid.append(jnp.broadcast_to(valid, (w, cg)))
+
+    c_total = cx.c
+    for scn in cx.scenery:
+        col = scn["col"]
+        p_sc = tuple(p[:, col:col + 1] for p in cpos)     # [W,1]
+        q_sc = tuple(p[:, col:col + 1] for p in cq)
+        rot_sc = q_to_rot9(q_sc)
+
+        # per-sample contact (depth, world point, world normal)
+        depth_s, pw_s, nw_s = [], [], []
+        if scn["kind"] == sh.HEIGHTFIELD:
+            rz, rx = scn["rz"], scn["rx"]
+            sx_, sz_ = scn["sx"], scn["sz"]
+            rh = rz * rx
+            tbl = [jnp.broadcast_to(jnp.asarray(scn["corners"][i])[None],
+                                    (w, rh)) for i in range(4)]
+            for s_i in range(8):
+                loc = rot9_apply_t(rot_sc, sub3(samples[s_i], p_sc))
+                x, y, z = loc
+                u = jnp.clip((x / sx_ + 0.5) * (rx - 1), 0.0, rx - 1.0)
+                v = jnp.clip((z / sz_ + 0.5) * (rz - 1), 0.0, rz - 1.0)
+                i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rx - 2)
+                j0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, rz - 2)
+                fu = u - i0
+                fv = v - j0
+                hcs = _gather_planes(tbl, j0 * rx + i0, rh)
+                h00, h10, h01, h11 = hcs
+                gy = ((h00 * (1 - fu) + h10 * fu) * (1 - fv)
+                      + (h01 * (1 - fu) + h11 * fu) * fv)
+                dhdx = ((h10 - h00) * (1 - fv) + (h11 - h01) * fv) \
+                    * (rx - 1) / sx_
+                dhdz = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) \
+                    * (rz - 1) / sz_
+                (n_l, _) = normalize3((-dhdx, jnp.ones_like(gy), -dhdz))
+                dist = (y - gy) * n_l[1]
+                depth = radius - dist
+                inside = ((jnp.abs(x) <= sx_ * 0.5 + radius)
+                          & (jnp.abs(z) <= sz_ * 0.5 + radius))
+                depth = jnp.where(inside, depth, -1e9)
+                contact_l = sub3(loc, scale3(n_l, dist))
+                depth_s.append(depth)
+                pw_s.append(add3(p_sc, rot9_apply(rot_sc, contact_l)))
+                nw_s.append(rot9_apply(rot_sc, n_l))
+        else:                                             # TRIMESH
+            tris = jnp.asarray(scn["tris"])               # [T,3,3]
+            tmask = jnp.asarray(scn["tmask"])
+            # Bullet-style collision margin: two-sided distance cannot
+            # represent penetration for zero-radius samples (box corners)
+            rad_m = jnp.maximum(radius, 0.04)
+            flat = [jnp.concatenate([s[i] for s in samples], axis=1)
+                    for i in range(3)]                    # [W, Cg*8]
+            loc = rot9_apply_t(rot_sc, sub3(
+                tuple(flat), tuple(jnp.repeat(p, 8, axis=1)
+                                   if p.shape[1] == cg else p
+                                   for p in p_sc)))
+            big = jnp.full_like(loc[0], 1e9)
+            zero = jnp.zeros_like(loc[0])
+
+            def body(carry, tri_m):
+                bd, qx, qy, qz, nx, ny, nz = carry
+                tri, msk = tri_m
+                a = tuple(tri[0, i] for i in range(3))
+                b = tuple(tri[1, i] for i in range(3))
+                c = tuple(tri[2, i] for i in range(3))
+                q = _closest_on_triangle_p(loc, a, b, c)
+                d = norm3(sub3(loc, q))
+                d = jnp.where(msk, d, 1e9)
+                better = d < bd
+                ntri, _ = normalize3(cross3(
+                    tuple(jnp.full_like(loc[0], b[i] - a[i])
+                          for i in range(3)),
+                    tuple(jnp.full_like(loc[0], c[i] - a[i])
+                          for i in range(3))), eps=1e-12)
+                bd = jnp.where(better, d, bd)
+                qx = jnp.where(better, q[0], qx)
+                qy = jnp.where(better, q[1], qy)
+                qz = jnp.where(better, q[2], qz)
+                nx = jnp.where(better, ntri[0], nx)
+                ny = jnp.where(better, ntri[1], ny)
+                nz = jnp.where(better, ntri[2], nz)
+                return (bd, qx, qy, qz, nx, ny, nz), None
+
+            carry = (big, zero, zero, zero, zero, zero, zero)
+            (bd, qx, qy, qz, nx, ny, nz), _ = jax.lax.scan(
+                body, carry, (tris, tmask))
+            qbest = (qx, qy, qz)
+            nbest = (nx, ny, nz)
+            dir_raw = sub3(loc, qbest)
+            side = jnp.sign(dot3(dir_raw, nbest))
+            side = jnp.where(side == 0, 1.0, side)
+            dlen = norm3(dir_raw)
+            dir_l = where3(dlen > 1e-6,
+                           scale3(dir_raw, 1.0 / jnp.maximum(dlen, 1e-9)),
+                           scale3(nbest, side))
+            rad8 = jnp.concatenate([rad_m] * 8, axis=1) \
+                if rad_m.shape[1] == cg else rad_m
+            rad8 = jnp.broadcast_to(rad8, bd.shape)
+            depth_f = rad8 - bd
+            pw_f = add3(tuple(jnp.repeat(p, 1, axis=1) for p in p_sc),
+                        rot9_apply(rot_sc, qbest))
+            nw_f = rot9_apply(rot_sc, dir_l)
+            for s_i in range(8):
+                sl = slice(s_i * cg, (s_i + 1) * cg)
+                depth_s.append(depth_f[:, sl])
+                pw_s.append(tuple(p[:, sl] for p in pw_f))
+                nw_s.append(tuple(p[:, sl] for p in nw_f))
+
+        # invalid samples never contact
+        depth_s = [jnp.where(svalid[s_i], d, -1e9)
+                   for s_i, d in enumerate(depth_s)]
+        act_s = [(d > -pred_g) for d in depth_s]
+
+        # shared normal = -(deepest active sample's surface normal)
+        gated = [jnp.where(a, d, -1e9) for d, a in zip(depth_s, act_s)]
+        best = gated[0]
+        for d in gated[1:]:
+            best = jnp.maximum(best, d)
+        nxp = nyp = nzp = None
+        taken = jnp.zeros(best.shape, bool)
+        for d, nw in zip(gated, nw_s):
+            hit = (d == best) & ~taken
+            taken = taken | hit
+            if nxp is None:
+                h = hit.astype(dtype)
+                nxp, nyp, nzp = nw[0] * h, nw[1] * h, nw[2] * h
+            else:
+                h = hit.astype(dtype)
+                nxp = nxp + nw[0] * h
+                nyp = nyp + nw[1] * h
+                nzp = nzp + nw[2] * h
+        n_pair = (-nxp, -nyp, -nzp)
+
+        # rank samples by gated depth (ties by slot order)
+        ranks = []
+        for i_s in range(8):
+            r = None
+            for j_s in range(8):
+                if j_s == i_s:
+                    continue
+                gt = ((gated[j_s] > gated[i_s])
+                      | ((gated[j_s] == gated[i_s]) & (j_s < i_s)))
+                r = gt.astype(jnp.int32) if r is None else r + gt
+            ranks.append(r)
+
+        kind_sc = scn["kind"]
+        cls_of = sc.cls_tab[kind_g, kind_sc]              # [Cg] static
+        fric_pair = jnp.asarray(np.sqrt(
+            cx.fric[cx.grid_cols] * cx.fric[col]))[None]
+        rest_pair = jnp.asarray(np.maximum(
+            cx.rest[cx.grid_cols], cx.rest[col]))[None]
+        body_sc = int(cx.col_body[col])
+        pid_base = jnp.asarray(
+            (cx.grid_cols.astype(np.int64) * c_total + col) * 4)[None]
+
+        for cls in range(3):
+            nslot_c = sc.nslot(cls)
+            if nslot_c == 0 or not np.any(cls_of == cls):
+                continue
+            npts = bp_mod.CLASS_NPTS[cls]
+            m_c = jnp.asarray(cls_of == cls)[None]
+            bvalid = cands[cls].valid.reshape(w, cg, nslot_c)[
+                :, :, sc.s_class[cls] + scn["big"]]
+            gate = (m_c & bvalid).astype(dtype)
+            for p_i in range(npts):
+                px = py = pz = dsel = asel = None
+                for s_i in range(8):
+                    m = (ranks[s_i] == p_i).astype(dtype)
+                    if px is None:
+                        px = pw_s[s_i][0] * m
+                        py = pw_s[s_i][1] * m
+                        pz = pw_s[s_i][2] * m
+                        dsel = depth_s[s_i] * m
+                        asel = act_s[s_i].astype(dtype) * m
+                    else:
+                        px = px + pw_s[s_i][0] * m
+                        py = py + pw_s[s_i][1] * m
+                        pz = pz + pw_s[s_i][2] * m
+                        dsel = dsel + depth_s[s_i] * m
+                        asel = asel + act_s[s_i].astype(dtype) * m
+
+                def col3(p):
+                    return p.reshape(w, cg, 1)
+
+                parts_f["nx"].append(col3(n_pair[0]))
+                parts_f["ny"].append(col3(n_pair[1]))
+                parts_f["nz"].append(col3(n_pair[2]))
+                parts_f["px"].append(col3(px))
+                parts_f["py"].append(col3(py))
+                parts_f["pz"].append(col3(pz))
+                parts_f["depth"].append(col3(dsel))
+                parts_f["act"].append(col3(asel * gate))
+                parts_f["fric"].append(col3(jnp.broadcast_to(
+                    fric_pair, (w, cg))))
+                parts_f["rest"].append(col3(jnp.broadcast_to(
+                    rest_pair, (w, cg))))
+                parts_f["sigma"].append(col3(splat(1.0, px)))
+                parts_f["own"].append(col3(splat(float(npts), px)))
+                parts_i["body_j"].append(col3(jnp.broadcast_to(
+                    jnp.asarray(body_sc, jnp.int32), (w, cg))))
+                parts_i["pid"].append(col3(jnp.broadcast_to(
+                    (pid_base + p_i).astype(jnp.int32), (w, cg))))
+
+
+def _closest_on_triangle_p(p, a, b, c):
+    """Plane-form Ericson closest-point-on-triangle; a/b/c are static
+    scalar triples (or planes), p a v3 of planes."""
+    def const3(t, like):
+        return tuple(jnp.broadcast_to(jnp.asarray(v), like.shape)
+                     for v in t)
+    a = const3(a, p[0])
+    b = const3(b, p[0])
+    c = const3(c, p[0])
+    ab = sub3(b, a)
+    ac = sub3(c, a)
+    ap = sub3(p, a)
+    d1 = dot3(ab, ap)
+    d2 = dot3(ac, ap)
+    bp = sub3(p, b)
+    d3 = dot3(ab, bp)
+    d4 = dot3(ac, bp)
+    cp = sub3(p, c)
+    d5 = dot3(ab, cp)
+    d6 = dot3(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-12)
+    v = vb / denom
+    w_ = vc / denom
+    inner = add3(a, add3(scale3(ab, v), scale3(ac, w_)))
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0.0, 1.0)
+    p_ab = add3(a, scale3(ab, t_ab))
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0.0, 1.0)
+    p_ac = add3(a, scale3(ac, t_ac))
+    t_bc = jnp.clip((d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-12),
+                    0.0, 1.0)
+    p_bc = add3(b, scale3(sub3(c, b), t_bc))
+    out = inner
+    out = where3((vc <= 0) & (d1 >= 0) & (d3 <= 0), p_ab, out)
+    out = where3((vb <= 0) & (d2 >= 0) & (d6 <= 0), p_ac, out)
+    out = where3((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0), p_bc, out)
+    out = where3((d1 <= 0) & (d2 <= 0), a, out)
+    out = where3((d3 >= 0) & (d4 <= d3), b, out)
+    out = where3((d6 >= 0) & (d5 <= d6), c, out)
+    return out
 
 
 def _compact(cx: _Ctx, attrs_f, attrs_i, dtype):

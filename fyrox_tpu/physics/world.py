@@ -795,6 +795,13 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
     take_along_axis / searchsorted on wide tensors (both lower to
     near-scalar code on TPU — measured ~58 ms for one [32,24k,6] gather
     on v5e, vs ~1 ms for the pallas one-hot MXU formulation)."""
+    if t.col_hf is not None or t.col_tm is not None:
+        raise NotImplementedError(
+            "scenery (heightfield/trimesh) in slab mode requires the v2 "
+            "plane path (physics/slab2.py); this legacy path would "
+            "silently drop terrain contacts. Remove FYROX_SLAB_V1 / the "
+            "convex colliders that forced the fallback, or use "
+            "broadphase='dense'.")
     from fyrox_tpu.physics import broadphase as bp_mod
     from fyrox_tpu.physics.pallas_ops import gather_rows
 
