@@ -917,13 +917,15 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
               if has_com else pos)
 
     # ---- warmstart slot matching (point identity) ----
+    # zero carries are tied to the state so they stay device-varying
+    # under shard_map (lax.scan requires matching varying manual axes)
+    zvary = jnp.zeros((w, kc), dtype) + pos[0][:, :1] * 0.0
     if warm is not None:
         wn, wt1, wt2, wpid = warm
         same = (wpid == con.pid).astype(dtype) * con.act
         lam0 = (wn * same, wt1 * same, wt2 * same)
     else:
-        z = jnp.zeros((w, kc), dtype)
-        lam0 = (z, z, z)
+        lam0 = (zvary, zvary, zvary)
 
     # ---- mass splitting counts ----
     actp = con.act / con.own
@@ -1095,8 +1097,7 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
         return (posx, qx, lvx, avx, depth, lam_n, lam_t1, lam_t2,
                 lam_mx), None
 
-    zk = jnp.zeros((w, kc), dtype)
-    carry = (pos, q, lv, av, con.depth, lam0[0], lam0[1], lam0[2], zk)
+    carry = (pos, q, lv, av, con.depth, lam0[0], lam0[1], lam0[2], zvary)
     carry, _ = jax.lax.scan(substep, carry, None, length=n_sub)
     pos, q, lv, av, depth, lam_n, lam_t1, lam_t2, lam_mx = carry
 

@@ -49,26 +49,58 @@ def update_hierarchical_data(state: WorldState, template: SceneTemplate) -> Worl
     """
     locals_ = local_matrices(state)
     w = locals_.shape[0]
+    n = locals_.shape[1]
     dtype = locals_.dtype
 
-    # Pointer doubling: ceil(log2(depth)) rounds of gather + batched 4x4
-    # matmul — no scatters, so the program is a handful of large fused ops
-    # instead of one small scatter chain per hierarchy level. A virtual
-    # identity node at slot N absorbs exhausted ancestor chains.
+    # Pointer doubling: ceil(log2(depth)) rounds of gather + affine
+    # compose — no scatters. A virtual identity node at slot N absorbs
+    # exhausted ancestor chains.
+    #
+    # The rounds run in PLANE FORM (14 planes [W,N+1]: a 3x4 affine + the
+    # visibility/enabled flags as 0/1 floats): [W,N,4,4] tensors pad
+    # their (4,4) minor dims to TPU (8,128) tiles — an 8x HBM blowup per
+    # round that made this the engine's hottest non-physics op. The
+    # gather is one static one-hot matmul over the 14-plane stack.
     tables = template.doubling_pointers()
-    ident = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (w, 1, 4, 4))
-    acc = jnp.concatenate([locals_, ident], axis=1)            # [W,N+1,4,4]
-    true_col = jnp.ones((w, 1), bool)
-    vis = jnp.concatenate([state.visibility & state.alive, true_col], axis=1)
-    en = jnp.concatenate([state.enabled, true_col], axis=1)
+    import numpy as _np
+    ident_vals = (1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+    planes = [jnp.concatenate(
+        [locals_[..., i, j], jnp.full((w, 1), v, dtype)], axis=1)
+        for (i, j), v in zip([(r, c) for r in range(3) for c in range(4)],
+                             ident_vals)]
+    one_col = jnp.ones((w, 1), dtype)
+    vis = jnp.concatenate([(state.visibility & state.alive).astype(dtype),
+                           one_col], axis=1)
+    en = jnp.concatenate([state.enabled.astype(dtype), one_col], axis=1)
+    stack = jnp.stack(planes + [vis, en], axis=1)              # [W,14,N+1]
     for p in tables:
-        idx = jnp.asarray(p)
-        acc = tfm.mat4_mul(acc[:, idx], acc)
-        vis = vis[:, idx] & vis
-        en = en[:, idx] & en
+        m = _np.zeros((n + 1, n + 1), _np.float32)
+        m[_np.arange(n + 1), _np.asarray(p)] = 1.0
+        par = jnp.einsum("in,wan->wai", jnp.asarray(m), stack,
+                         precision="highest")
+        pr = [par[:, k] for k in range(12)]
+        ch = [stack[:, k] for k in range(12)]
+        out = []
+        for r in range(3):
+            for c in range(4):
+                v = (pr[r * 4 + 0] * ch[0 * 4 + c]
+                     + pr[r * 4 + 1] * ch[1 * 4 + c]
+                     + pr[r * 4 + 2] * ch[2 * 4 + c])
+                if c == 3:
+                    v = v + pr[r * 4 + 3]
+                out.append(v)
+        out.append(par[:, 12] * stack[:, 12])
+        out.append(par[:, 13] * stack[:, 13])
+        stack = jnp.stack(out, axis=1)
 
-    return state._replace(globals_=acc[:, :-1], global_visibility=vis[:, :-1],
-                          global_enabled=en[:, :-1])
+    aff = jnp.stack([stack[:, r * 4 + c, :n] for r in range(3)
+                     for c in range(4)], axis=-1).reshape(w, n, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype), (w, n, 1, 4))
+    globals_ = jnp.concatenate([aff, bottom], axis=2)
+    return state._replace(globals_=globals_,
+                          global_visibility=stack[:, 12, :n] > 0.5,
+                          global_enabled=stack[:, 13, :n] > 0.5)
 
 
 def step(state: WorldState, template: SceneTemplate, dt: float,
