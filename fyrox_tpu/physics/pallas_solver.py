@@ -1,0 +1,339 @@
+"""Fused Pallas TGS solver: the whole substep loop in VMEM, per world.
+
+The XLA plane solver (slab2._solve_tgs_planes) costs ~8.6 ms/step at
+W=32 on v5e — ~20 elementwise passes per step round-trip every [W,Kc]
+plane through HBM between the gather/scatter matmuls. All solver state
+for one world fits VMEM (contact planes ~2 MB + body planes ~100 KB), so
+this kernel runs the COMPLETE velocity solve — 4 TGS substeps (warmstart,
+soft/hard PGS, friction), position integration, restitution, 4 NGS
+stabilization passes — in one pallas_call with grid=(W,).
+
+Layout inside the kernel:
+  contact planes  [A, S, Cg]   S = s_active sublanes, Cg colliders lanes.
+                               Self-side broadcast = sublane broadcast;
+                               the impulse scatter's window-sum = one
+                               sublane reduction. Both free.
+  body planes     [A, Bp]      Bp = bodies padded to 128 lanes.
+  partner gather: two-level one-hot (body = hi*32 + lo) per sublane row —
+                  an [A*32, 32] @ [32, Cg] MXU dot + a 32-way masked
+                  reduce, so the compare cost is K*64 instead of K*B.
+  collider→body scatter: one static one-hot matmul (HIGHEST precision).
+
+Semantics are identical to slab2._solve_tgs_planes (rapier parameter
+mapping per fyrox-impl/src/scene/graph/physics/mod.rs:892-908); a
+same-seed equivalence test runs this kernel in interpreter mode against
+the XLA path (tests/test_pallas_solver.py). Scenes with COM offsets or
+joints take the XLA path (kernel scope: the flagship fast case).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["solve_tgs_pallas", "supports_kernel"]
+
+# contact plane indices (input stack)
+_C_NAMES = ("nx", "ny", "nz", "t1x", "t1y", "t1z", "t2x", "t2y", "t2z",
+            "rax", "ray", "raz", "rbx", "rby", "rbz", "rsx", "rsy", "rsz",
+            "m_n", "m_t1", "m_t2", "im_s", "fric", "actf", "rest_t",
+            "depth", "lam_n", "lam_t1", "lam_t2", "sigma")
+_CI = {n: i for i, n in enumerate(_C_NAMES)}
+_AC = len(_C_NAMES)
+
+# body plane indices
+_B_NAMES = ("lvx", "lvy", "lvz", "avx", "avy", "avz",
+            "px", "py", "pz", "qx", "qy", "qz", "qw",
+            "accx", "accy", "accz", "im",
+            "ii0", "ii1", "ii2", "ii3", "ii4", "ii5", "ii6", "ii7", "ii8")
+_BI = {n: i for i, n in enumerate(_B_NAMES)}
+_AB = len(_B_NAMES)
+
+
+def supports_kernel(t, has_com) -> bool:
+    joints = t.joints
+    return (not has_com) and (joints is None or joints.num_joints == 0)
+
+
+def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
+            self_body_ref, out_body_ref, out_lam_ref, *, s, cg, bp,
+            n_sub, n_pgs, n_stab):
+    f32 = jnp.float32
+    prm = params_ref[0]
+    h = prm[0]
+    allowed = prm[1]
+    max_corr = prm[2]
+    rest_thr = prm[3]
+    wc = prm[4]
+    erp = prm[5]
+    bias_rate = prm[6]
+    mscale_soft = prm[7]
+    iscale_soft = prm[8]
+
+    def cp(name):
+        return con_ref[0, _CI[name]]              # [S, Cg]
+
+    def bpl(name):
+        return body_ref[0, _BI[name]]             # [Bp]
+
+    n = (cp("nx"), cp("ny"), cp("nz"))
+    t1 = (cp("t1x"), cp("t1y"), cp("t1z"))
+    t2 = (cp("t2x"), cp("t2y"), cp("t2z"))
+    r_a = (cp("rax"), cp("ray"), cp("raz"))
+    r_b = (cp("rbx"), cp("rby"), cp("rbz"))
+    r_s = (cp("rsx"), cp("rsy"), cp("rsz"))
+    m_n = cp("m_n")
+    m_t1 = cp("m_t1")
+    m_t2 = cp("m_t2")
+    im_s = cp("im_s")
+    fric = cp("fric")
+    actf = cp("actf")
+    rest_t = cp("rest_t")
+    sigma = cp("sigma")
+    swapped = sigma < 0.0
+
+    hi = hi_ref[0]                                # [S, Cg] int32
+    lo = lo_ref[0]
+    self_b = self_body_ref[...]                   # [Cg, Bp] one-hot (row g
+                                                  #  → its body)
+
+    # two-level one-hot gather with the NATIVE (n_hi, 128) decomposition:
+    # body = hi*128 + lo. Minor-dim splits must keep 128 lanes — Mosaic
+    # rejects non-tile-aligned shape casts (e.g. 1024 -> 32x32).
+    # (A fully batched [A*hi,128]@[128,S*Cg] single-dot variant measured
+    # SLOWER — the wide-N dot + 4D reshape relayouts cost more than the
+    # per-row dots.)
+    n_hi = bp // 128
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, cg), 0)
+
+    def gather6(planes):
+        """planes: list of [Bp] body planes -> list of [S,Cg] partner
+        values: one [A*n_hi, 128] @ [128, Cg] MXU dot per sublane row +
+        an n_hi-way masked select."""
+        a = len(planes)
+        mat = jnp.stack(planes).reshape(a * n_hi, 128)
+        rows = []
+        for s_i in range(s):
+            oh_lo = (iota_lo == lo[s_i][None, :]).astype(f32)   # [128,Cg]
+            tmp = jax.lax.dot_general(
+                mat, oh_lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                     # [A*hi,Cg]
+            tmp3 = tmp.reshape(a, n_hi, cg)
+            hrow = hi[s_i][None, :]
+            acc = tmp3[:, 0, :] * (hrow == 0).astype(f32)
+            for s8 in range(1, n_hi):
+                acc = acc + tmp3[:, s8, :] * (hrow == s8).astype(f32)
+            rows.append(acc)
+        out = jnp.stack(rows, axis=1)                           # [A,S,Cg]
+        return [out[i] for i in range(a)]
+
+    def selfcast(planes):
+        """list of [Bp] → per-collider [Cg] (static one-hot) broadcast to
+        [S, Cg]."""
+        a = len(planes)
+        mat = jnp.stack(planes)                                # [A, Bp]
+        percol = jax.lax.dot_general(
+            mat, self_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                        # [A, Cg]
+        return [jnp.broadcast_to(percol[i][None], (s, cg)) for i in range(a)]
+
+    def scatter6(vals):
+        """6 × [S,Cg] self-half contributions → 6 × [Bp] body sums."""
+        sums = jnp.stack([jnp.sum(v, axis=0) for v in vals])   # [6, Cg]
+        out = jax.lax.dot_general(
+            sums, self_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)               # [6, Bp]
+        return [out[i] for i in range(6)]
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def dot3(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def sel3(c, a, b):
+        return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+    def rel_vel(lv, av):
+        jv = gather6(list(lv) + list(av))
+        iv = selfcast(list(lv) + list(av))
+        lv_a = sel3(swapped, tuple(jv[0:3]), tuple(iv[0:3]))
+        av_a = sel3(swapped, tuple(jv[3:6]), tuple(iv[3:6]))
+        lv_b = sel3(swapped, tuple(iv[0:3]), tuple(jv[0:3]))
+        av_b = sel3(swapped, tuple(iv[3:6]), tuple(jv[3:6]))
+        va = tuple(l + c for l, c in zip(lv_a, cross(av_a, r_a)))
+        vb = tuple(l + c for l, c in zip(lv_b, cross(av_b, r_b)))
+        return tuple(b_ - a_ for a_, b_ in zip(va, vb))
+
+    ii0 = [bpl(f"ii{k}") for k in range(9)]
+
+    def mv9(v):
+        return (ii0[0] * v[0] + ii0[1] * v[1] + ii0[2] * v[2],
+                ii0[3] * v[0] + ii0[4] * v[1] + ii0[5] * v[2],
+                ii0[6] * v[0] + ii0[7] * v[1] + ii0[8] * v[2])
+
+    def apply_imp(lv, av, imp):
+        imp_s = tuple(-sigma * i for i in imp)
+        lin = tuple(i * im_s for i in imp_s)
+        torq = cross(r_s, imp_s)
+        sums = scatter6(list(lin) + list(torq))
+        lv = tuple(l + d for l, d in zip(lv, sums[0:3]))
+        dth = mv9(tuple(sums[3:6]))
+        av = tuple(a_ + d for a_, d in zip(av, dth))
+        return lv, av
+
+    lv = (bpl("lvx"), bpl("lvy"), bpl("lvz"))
+    av = (bpl("avx"), bpl("avy"), bpl("avz"))
+    pos = (bpl("px"), bpl("py"), bpl("pz"))
+    q = (bpl("qx"), bpl("qy"), bpl("qz"), bpl("qw"))
+    acc = (bpl("accx"), bpl("accy"), bpl("accz"))
+    depth = cp("depth")
+    lam_n = cp("lam_n")
+    lam_t1 = cp("lam_t1")
+    lam_t2 = cp("lam_t2")
+    lam_mx = jnp.zeros_like(lam_n)
+
+    for _sub in range(n_sub):
+        lv = tuple(l + h * a_ for l, a_ in zip(lv, acc))
+
+        # warmstart
+        lam_n = lam_n * wc
+        lam_t1 = lam_t1 * wc
+        lam_t2 = lam_t2 * wc
+        warm_imp = tuple(lam_n * nn + lam_t1 * tt1 + lam_t2 * tt2
+                         for nn, tt1, tt2 in zip(n, t1, t2))
+        lv, av = apply_imp(lv, av, warm_imp)
+
+        sep = -(depth - allowed)
+        bias = jnp.where(sep > 0.0, sep / h,
+                         jnp.maximum(bias_rate * sep, -max_corr))
+        mscale = jnp.where(sep > 0.0, 1.0, mscale_soft)
+        iscale = jnp.where(sep > 0.0, 0.0, iscale_soft)
+
+        for _p in range(n_pgs):
+            rv = rel_vel(lv, av)
+            vn = dot3(rv, n)
+            dl = (-m_n * mscale * (vn + bias) - iscale * lam_n) * actf
+            new_n = jnp.maximum(lam_n + dl, 0.0)
+            d1 = new_n - lam_n
+            # lane-padding columns carry m_n = 0 (zero-padded planes);
+            # guard the 0/0 — their impulses are actf-masked anyway
+            vn2 = vn + d1 / jnp.maximum(m_n, 1e-12)
+            spec = jnp.where(sep > 0.0, bias, 0.0)
+            dl2 = -m_n * (vn2 + spec) * actf
+            new_n2 = jnp.maximum(new_n + dl2, 0.0)
+            dn = new_n2 - lam_n
+            lam_n = new_n2
+            max_f = fric * lam_n
+            vt1 = dot3(rv, t1)
+            new1 = jnp.clip(lam_t1 - m_t1 * vt1 * actf, -max_f, max_f)
+            dt1 = new1 - lam_t1
+            lam_t1 = new1
+            vt2 = dot3(rv, t2)
+            new2 = jnp.clip(lam_t2 - m_t2 * vt2 * actf, -max_f, max_f)
+            dt2 = new2 - lam_t2
+            lam_t2 = new2
+            imp = tuple(dn * nn + dt1 * tt1 + dt2 * tt2
+                        for nn, tt1, tt2 in zip(n, t1, t2))
+            lv, av = apply_imp(lv, av, imp)
+
+        lam_mx = jnp.maximum(lam_mx, lam_n)
+        vn_end = dot3(rel_vel(lv, av), n)
+        depth = depth - h * vn_end
+
+        # integrate (no COM offsets in the kernel's scope)
+        dq = (q[3] * av[0] + av[1] * q[2] - av[2] * q[1],
+              q[3] * av[1] - av[0] * q[2] + av[2] * q[0],
+              q[3] * av[2] + av[0] * q[1] - av[1] * q[0],
+              -av[0] * q[0] - av[1] * q[1] - av[2] * q[2])
+        qn = tuple(qc + 0.5 * h * dc for qc, dc in zip(q, dq))
+        inv = jax.lax.rsqrt(qn[0] ** 2 + qn[1] ** 2 + qn[2] ** 2
+                            + qn[3] ** 2 + 1e-30)
+        q = tuple(qc * inv for qc in qn)
+        pos = tuple(p + h * l for p, l in zip(pos, lv))
+
+    # restitution
+    vn = dot3(rel_vel(lv, av), n)
+    dl = jnp.maximum(-m_n * (vn - rest_t), 0.0) * actf \
+        * (lam_mx > 0.0).astype(f32)
+    lv, av = apply_imp(lv, av, tuple(dl * nn for nn in n))
+    lam_n = lam_n + dl
+
+    # NGS stabilization
+    for _it in range(n_stab):
+        corr = erp * jnp.maximum(depth - allowed, 0.0)
+        p_imp = m_n * corr * actf
+        imp_s = tuple(-sigma * p_imp * nn for nn in n)
+        lin = tuple(i * im_s for i in imp_s)
+        torq = cross(r_s, imp_s)
+        sums = scatter6(list(lin) + list(torq))
+        dpos = tuple(sums[0:3])
+        dth = mv9(tuple(sums[3:6]))
+        pos = tuple(p + d for p, d in zip(pos, dpos))
+        dq = (q[3] * dth[0] + dth[1] * q[2] - dth[2] * q[1],
+              q[3] * dth[1] - dth[0] * q[2] + dth[2] * q[0],
+              q[3] * dth[2] + dth[0] * q[1] - dth[1] * q[0],
+              -dth[0] * q[0] - dth[1] * q[1] - dth[2] * q[2])
+        qn = tuple(qc + 0.5 * dc for qc, dc in zip(q, dq))
+        inv = jax.lax.rsqrt(qn[0] ** 2 + qn[1] ** 2 + qn[2] ** 2
+                            + qn[3] ** 2 + 1e-30)
+        q = tuple(qc * inv for qc in qn)
+        d6 = list(dpos) + list(dth)
+        jg = gather6(d6)
+        ig = selfcast(d6)
+        dp_a = sel3(swapped, tuple(jg[0:3]), tuple(ig[0:3]))
+        dt_a = sel3(swapped, tuple(jg[3:6]), tuple(ig[3:6]))
+        dp_b = sel3(swapped, tuple(ig[0:3]), tuple(jg[0:3]))
+        dt_b = sel3(swapped, tuple(ig[3:6]), tuple(jg[3:6]))
+        rel_corr = tuple(
+            (pb_ + cb_) - (pa_ + ca_)
+            for pa_, ca_, pb_, cb_ in zip(dp_a, cross(dt_a, r_a),
+                                          dp_b, cross(dt_b, r_b)))
+        depth = depth - dot3(rel_corr, n)
+
+    out = [lv[0], lv[1], lv[2], av[0], av[1], av[2],
+           pos[0], pos[1], pos[2], q[0], q[1], q[2], q[3]]
+    out_body_ref[0] = jnp.stack(out)
+    out_lam_ref[0] = jnp.stack([lam_n, lam_t1, lam_t2])
+
+
+def solve_tgs_pallas(con_planes, hi, lo, body_planes,
+                     self_body, params, s, cg, bp, n_sub, n_pgs, n_stab,
+                     interpret=False):
+    """con_planes [W,AC,S,Cg] f32; hi/lo [W,S,Cg] i32; body_planes
+    [W,AB,Bp]; self_body [Cg,Bp] one-hot f32; params [9] f32.
+
+    Returns (body_out [W,13,Bp], lam_out [W,3,S,Cg])."""
+    w = con_planes.shape[0]
+    kern = functools.partial(_kernel, s=s, cg=cg, bp=bp, n_sub=n_sub,
+                             n_pgs=n_pgs, n_stab=n_stab)
+    return pl.pallas_call(
+        kern,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((1, 9), lambda i: (0, 0)),
+            pl.BlockSpec((1, _AC, s, cg), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, _AB, bp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cg, bp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 13, bp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((w, 13, bp), jnp.float32),
+            jax.ShapeDtypeStruct((w, 3, s, cg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params[None], con_planes, hi, lo, body_planes, self_body)
