@@ -131,8 +131,15 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
         # slab broadphase (static per-collider per-class candidate
         # windows + MXU one-hot gathers) — the TPU production path.
         # Windows sized from the measured per-collider AABB-valid
-        # directed-partner demand of the settled 1k pile.
-        pt = pb.build(broadphase="slab", slab_window=(12, 8, 10))
+        # directed-partner demand of the settled 1k pile
+        # (FYROX_SLAB_* env overrides for tuning sweeps).
+        import os as _os
+        sw = tuple(int(x) for x in _os.environ.get(
+            "FYROX_SLAB_WINDOW", "12,8,10").split(","))
+        pt = pb.build(broadphase="slab", slab_window=sw,
+                      slab_active=int(_os.environ.get("FYROX_SLAB_ACTIVE",
+                                                      16)),
+                      slab_walk=int(_os.environ.get("FYROX_SLAB_WALK", 48)))
     else:
         if max_active_pairs is None:
             # dense (uncompacted) pair lists unlock the static-incidence

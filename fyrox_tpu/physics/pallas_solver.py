@@ -37,11 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["solve_tgs_pallas", "supports_kernel"]
 
-# contact plane indices (input stack)
-_C_NAMES = ("nx", "ny", "nz", "t1x", "t1y", "t1z", "t2x", "t2y", "t2z",
-            "rax", "ray", "raz", "rbx", "rby", "rbz", "rsx", "rsy", "rsz",
-            "m_n", "m_t1", "m_t2", "im_s", "fric", "actf", "rest_t",
-            "depth", "lam_n", "lam_t1", "lam_t2", "sigma")
+# contact plane indices (input stack). Constraint prep (tangents,
+# anchors, effective masses, mass-splitting counts, restitution targets)
+# happens IN-KERNEL from these raw planes — moving it off the XLA side
+# halved the packing traffic and removed the separate prep gathers.
+_C_NAMES = ("nx", "ny", "nz", "ptx", "pty", "ptz", "depth", "fric",
+            "rest", "actf", "own", "sigma", "lam_n", "lam_t1", "lam_t2")
 _CI = {n: i for i, n in enumerate(_C_NAMES)}
 _AC = len(_C_NAMES)
 
@@ -61,7 +62,7 @@ def supports_kernel(t, has_com) -> bool:
 
 def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
             self_body_ref, out_body_ref, out_lam_ref, *, s, cg, bp,
-            n_sub, n_pgs, n_stab):
+            n_sub, n_pgs, n_stab, msp):
     f32 = jnp.float32
     prm = params_ref[0]
     h = prm[0]
@@ -81,20 +82,20 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         return body_ref[0, _BI[name]]             # [Bp]
 
     n = (cp("nx"), cp("ny"), cp("nz"))
-    t1 = (cp("t1x"), cp("t1y"), cp("t1z"))
-    t2 = (cp("t2x"), cp("t2y"), cp("t2z"))
-    r_a = (cp("rax"), cp("ray"), cp("raz"))
-    r_b = (cp("rbx"), cp("rby"), cp("rbz"))
-    r_s = (cp("rsx"), cp("rsy"), cp("rsz"))
-    m_n = cp("m_n")
-    m_t1 = cp("m_t1")
-    m_t2 = cp("m_t2")
-    im_s = cp("im_s")
+    pt = (cp("ptx"), cp("pty"), cp("ptz"))
     fric = cp("fric")
+    rest_c = cp("rest")
     actf = cp("actf")
-    rest_t = cp("rest_t")
+    own = cp("own")
     sigma = cp("sigma")
     swapped = sigma < 0.0
+
+    # tangent frame (branch-free Pixar ONB, solver._orthonormal_tangents)
+    sgn_t = jnp.where(n[2] >= 0.0, 1.0, -1.0)
+    a_t = -1.0 / (sgn_t + n[2])
+    b_t = n[0] * n[1] * a_t
+    t1 = (1.0 + sgn_t * n[0] * n[0] * a_t, sgn_t * b_t, -sgn_t * n[0])
+    t2 = (b_t, sgn_t + n[1] * n[1] * a_t, -n[1])
 
     hi = hi_ref[0]                                # [S, Cg] int32
     lo = lo_ref[0]
@@ -174,6 +175,71 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
     ii0 = [bpl(f"ii{k}") for k in range(9)]
 
+    # ---- in-kernel constraint prep ----
+    # mass-splitting counts: per-body active-pair count (own-point
+    # normalized), count^msp (solver.SolverParams.mass_split_pow)
+    own_safe = jnp.maximum(own, 1.0)
+    actp = actf / own_safe
+    per_col = jnp.sum(actp, axis=0)[None]                  # [1, Cg]
+    count_b = jax.lax.dot_general(
+        per_col, self_b, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)[0]            # [Bp]
+    count_b = jnp.maximum(count_b, 1.0)
+    if msp == 0.5:
+        count_b = jnp.sqrt(count_b)
+    elif msp != 1.0:
+        count_b = count_b ** msp
+
+    im_plane = bpl("im")
+    body14 = [im_plane, count_b, bpl("px"), bpl("py"), bpl("pz")] + ii0
+    jg14 = gather6(body14)
+    ig14 = selfcast(body14)
+    im_j, cnt_j = jg14[0], jg14[1]
+    im_i, cnt_i = ig14[0], ig14[1]
+    com_j = tuple(jg14[2:5])
+    com_i = tuple(ig14[2:5])
+    ii_j = tuple(jg14[5:14])
+    ii_i = tuple(ig14[5:14])
+    sw_f = swapped
+    im_a = jnp.where(sw_f, im_j, im_i)
+    im_b = jnp.where(sw_f, im_i, im_j)
+    cnt_a = jnp.where(sw_f, cnt_j, cnt_i) * own_safe
+    cnt_b2 = jnp.where(sw_f, cnt_i, cnt_j) * own_safe
+    com_a = sel3(sw_f, com_j, com_i)
+    com_b = sel3(sw_f, com_i, com_j)
+    ii_a = tuple(jnp.where(sw_f, x, y) for x, y in zip(ii_j, ii_i))
+    ii_b = tuple(jnp.where(sw_f, y, x) for x, y in zip(ii_j, ii_i))
+    im_s = im_i
+    r_a = tuple(p - c for p, c in zip(pt, com_a))
+    r_b = tuple(p - c for p, c in zip(pt, com_b))
+    r_s = tuple(p - c for p, c in zip(pt, com_i))
+
+    def _mvc(m9, v):
+        return (m9[0] * v[0] + m9[1] * v[1] + m9[2] * v[2],
+                m9[3] * v[0] + m9[4] * v[1] + m9[5] * v[2],
+                m9[6] * v[0] + m9[7] * v[1] + m9[8] * v[2])
+
+    def _cross_pre(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def _dot_pre(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def eff_mass(d):
+        rxd_a = _cross_pre(r_a, d)
+        rxd_b = _cross_pre(r_b, d)
+        k = (im_a * cnt_a + im_b * cnt_b2
+             + cnt_a * _dot_pre(rxd_a, _mvc(ii_a, rxd_a))
+             + cnt_b2 * _dot_pre(rxd_b, _mvc(ii_b, rxd_b)))
+        return 1.0 / jnp.maximum(k, 1e-12)
+
+    m_n = eff_mass(n)
+    m_t1 = eff_mass(t1)
+    m_t2 = eff_mass(t2)
+
     def mv9(v):
         return (ii0[0] * v[0] + ii0[1] * v[1] + ii0[2] * v[2],
                 ii0[3] * v[0] + ii0[4] * v[1] + ii0[5] * v[2],
@@ -194,6 +260,11 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     pos = (bpl("px"), bpl("py"), bpl("pz"))
     q = (bpl("qx"), bpl("qy"), bpl("qz"), bpl("qw"))
     acc = (bpl("accx"), bpl("accy"), bpl("accz"))
+    # restitution target from pre-substep approach velocity
+    rv0 = rel_vel(lv, av)
+    v0n = dot3(rv0, n)
+    rest_t = jnp.where(v0n < -rest_thr, -rest_c * v0n, 0.0)
+
     depth = cp("depth")
     lam_n = cp("lam_n")
     lam_t1 = cp("lam_t1")
@@ -306,14 +377,14 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
 def solve_tgs_pallas(con_planes, hi, lo, body_planes,
                      self_body, params, s, cg, bp, n_sub, n_pgs, n_stab,
-                     interpret=False):
+                     msp=0.5, interpret=False):
     """con_planes [W,AC,S,Cg] f32; hi/lo [W,S,Cg] i32; body_planes
     [W,AB,Bp]; self_body [Cg,Bp] one-hot f32; params [9] f32.
 
     Returns (body_out [W,13,Bp], lam_out [W,3,S,Cg])."""
     w = con_planes.shape[0]
     kern = functools.partial(_kernel, s=s, cg=cg, bp=bp, n_sub=n_sub,
-                             n_pgs=n_pgs, n_stab=n_stab)
+                             n_pgs=n_pgs, n_stab=n_stab, msp=msp)
     return pl.pallas_call(
         kern,
         grid=(w,),

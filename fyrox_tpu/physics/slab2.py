@@ -927,6 +927,20 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
     else:
         lam0 = (zvary, zvary, zvary)
 
+    # ---- fused Pallas path: constraint prep + the whole substep/
+    # restitution/NGS loop run IN-KERNEL per world (pallas_solver.py);
+    # only the warm matching above stays in XLA ----
+    import os as _os
+    from fyrox_tpu.physics import pallas_solver as pk
+    from fyrox_tpu.physics.pallas_ops import _is_tpu
+    use_kernel = (pk.supports_kernel(t, has_com)
+                  and (_is_tpu()
+                       or _os.environ.get("FYROX_PALLAS_INTERPRET")))
+    if use_kernel and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"):
+        return _run_solver_kernel(
+            cx, t, con, pos, q, lv, av, accel, ii0, lam0, dt, dtype,
+            interpret=bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
+
     # ---- mass splitting counts ----
     actp = con.act / con.own
     count = _grid_to_body(cx.inc_gb, _window_sum(actp, cg, s))
@@ -1021,21 +1035,6 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
     bias_rate = omega / (2.0 * zeta + h * omega)
     mass_scale_soft = csoft / (1.0 + csoft)
     imp_scale_soft = 1.0 / (1.0 + csoft)
-
-    # ---- fused Pallas path: the whole substep/restitution/NGS loop in
-    # one VMEM-resident kernel per world (physics/pallas_solver.py) ----
-    import os as _os
-    from fyrox_tpu.physics import pallas_solver as pk
-    from fyrox_tpu.physics.pallas_ops import _is_tpu
-    use_kernel = (pk.supports_kernel(t, has_com)
-                  and (_is_tpu()
-                       or _os.environ.get("FYROX_PALLAS_INTERPRET")))
-    if use_kernel and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"):
-        return _run_solver_kernel(
-            cx, t, con, pos, q, lv, av, accel, ii0, n, t1, t2, r_a, r_b,
-            r_s, m_n, m_t1, m_t2, im_s, actf, rest_target, lam0, h,
-            bias_rate, mass_scale_soft, imp_scale_soft, dtype,
-            interpret=bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
 
     if has_joints:
         from fyrox_tpu.physics import joints as joints_mod
@@ -1172,20 +1171,18 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
     return pos, q, lv, av, (lam_n, lam_t1, lam_t2)
 
 
-def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, n, t1, t2,
-                       r_a, r_b, r_s, m_n, m_t1, m_t2, im_s, actf,
-                       rest_target, lam0, h, bias_rate, mass_scale_soft,
-                       imp_scale_soft, dtype, interpret=False):
-    """Pack the prep'd planes into the fused Pallas solver's layouts and
-    unpack its outputs (see pallas_solver.py)."""
+def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, lam0,
+                       dt, dtype, interpret=False):
+    """Pack raw contact/body planes into the fused Pallas solver's
+    layouts and unpack its outputs (see pallas_solver.py — constraint
+    prep happens in-kernel)."""
     from fyrox_tpu.physics import pallas_solver as pk
     from fyrox_tpu.physics.pallas_ops import pad_to
+    import numpy as np
     w = pos[0].shape[0]
     b, cg, s = cx.b, cx.cg, cx.s_active
     cgp = pad_to(cg, 128)
     bp = pad_to(b, 128)
-    if bp % 32:
-        bp = pad_to(bp, 32)
 
     def to_sc(p):
         """[W, Kc=cg*s] collider-major → [W, S, Cgp]."""
@@ -1198,10 +1195,9 @@ def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, n, t1, t2,
     def from_sc(x):
         return x[:, :, :cg].transpose(0, 2, 1).reshape(w, cg * s)
 
-    con_list = (list(n) + list(t1) + list(t2) + list(r_a) + list(r_b)
-                + list(r_s)
-                + [m_n, m_t1, m_t2, im_s, con.fric, actf, rest_target,
-                   con.depth, lam0[0], lam0[1], lam0[2], con.sigma])
+    con_list = (list(con.n) + list(con.pt)
+                + [con.depth, con.fric, con.rest, con.act, con.own,
+                   con.sigma, lam0[0], lam0[1], lam0[2]])
     con_planes = jnp.stack([to_sc(p) for p in con_list], axis=1)
     bj = jnp.clip(con.body_j, 0, bp - 1)
     hi = to_sc(bj // 128).astype(jnp.int32)
@@ -1221,13 +1217,9 @@ def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, n, t1, t2,
     self_body = np.zeros((cgp, bp), np.float32)
     self_body[np.arange(cg), cx.col_body[cx.grid_cols]] = 1.0
 
-    params = jnp.asarray([h, t.allowed_linear_error,
-                          t.max_corrective_velocity, t.restitution_threshold,
-                          t.warmstart_coefficient, t.erp, bias_rate,
-                          mass_scale_soft, imp_scale_soft], jnp.float32)
+    params = _kernel_params(t, dt)
     import os as _os
     if _os.environ.get("FYROX_SOLVER_PREP_ONLY"):
-        # profiling ablation: run everything but the kernel
         tag = (jnp.sum(con_planes) + jnp.sum(body_planes)
                + jnp.sum(hi + lo)) * 1e-30
         z = con.depth * 0.0
@@ -1235,13 +1227,29 @@ def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, n, t1, t2,
     body_out, lam_out = pk.solve_tgs_pallas(
         con_planes, hi, lo, body_planes, jnp.asarray(self_body), params,
         s=s, cg=cgp, bp=bp, n_sub=t.n_substeps, n_pgs=t.n_pgs,
-        n_stab=t.n_stabilization, interpret=interpret)
+        n_stab=t.n_stabilization, msp=float(t.mass_split_pow),
+        interpret=interpret)
     lv_o = tuple(body_out[:, i, :b] for i in range(3))
     av_o = tuple(body_out[:, 3 + i, :b] for i in range(3))
     pos_o = tuple(body_out[:, 6 + i, :b] for i in range(3))
     q_o = tuple(body_out[:, 9 + i, :b] for i in range(4))
     lams = tuple(from_sc(lam_out[:, i]) for i in range(3))
     return pos_o, q_o, lv_o, av_o, lams
+
+
+def _kernel_params(t, dt):
+    """[9] f32 solver parameter vector (see pallas_solver._kernel).
+    dt may be traced — the substep scalars ride the params array."""
+    h = jnp.asarray(dt, jnp.float32) / t.n_substeps
+    omega = 2.0 * np.pi * 30.0
+    zeta = 10.0
+    csoft = h * omega * (2.0 * zeta + h * omega)
+    c = jnp.float32
+    return jnp.stack(
+        [h, c(t.allowed_linear_error), c(t.max_corrective_velocity),
+         c(t.restitution_threshold), c(t.warmstart_coefficient), c(t.erp),
+         omega / (2.0 * zeta + h * omega),
+         csoft / (1.0 + csoft), 1.0 / (1.0 + csoft)])
 
 
 # --------------------------------------------------------------------------

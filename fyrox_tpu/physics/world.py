@@ -321,7 +321,7 @@ class PhysicsBuilder:
 
     def build(self, max_active_pairs=0, broadphase="auto",
               grid_window=48, grid_caps=None, grid_windows_body=None,
-              slab_window=(12, 8, 10), slab_active=16,
+              slab_window=(12, 8, 10), slab_active=16, slab_walk=48,
               **solver_kw) -> "PhysicsTemplate":
         """broadphase: "dense" = static all-pairs candidate list (best for
         small scenes — unlocks the static-incidence MXU solver path);
@@ -414,7 +414,7 @@ class PhysicsBuilder:
             grid_cfg = build_slab_config(
                 col_shape_arr, col_params_arr, col_body, body_type,
                 margin=margin, window=slab_window, active_window=slab_active,
-                extent_hint=extent * 2.0)
+                walk=slab_walk, extent_hint=extent * 2.0)
 
         if grid_cfg is not None:
             pa = pb = np.zeros(0, np.int32)
