@@ -218,8 +218,21 @@ class Engine:
         else:
             new_pos, new_rot = bpos, brot
 
-        position = scene.position.at[:, nodes].set(new_pos)
-        rotation = scene.rotation.at[:, nodes].set(new_rot)
+        # one-hot matmul write-back instead of .at[].set — XLA scatters
+        # lower poorly on TPU (same rationale as physics/pallas_ops.py)
+        if getattr(self, "_sync_onehot", None) is None:
+            m = np.zeros((self.template.num_nodes, len(nodes)), np.float32)
+            m[nodes, np.arange(len(nodes))] = 1.0
+            # cache host constants only — jnp arrays created under a trace
+            # must not leak across jit boundaries
+            self._sync_onehot = (m, (m.sum(1) == 0.0).astype(np.float32))
+        m, keep = (jnp.asarray(a) for a in self._sync_onehot)
+        position = (scene.position * keep[None, :, None]
+                    + jnp.einsum("nb,wbc->wnc", m, new_pos,
+                                 precision="highest"))
+        rotation = (scene.rotation * keep[None, :, None]
+                    + jnp.einsum("nb,wbc->wnc", m, new_rot,
+                                 precision="highest"))
         return scene._replace(position=position, rotation=rotation)
 
     # ------------------------------------------------------------------
