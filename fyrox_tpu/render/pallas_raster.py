@@ -36,11 +36,14 @@ _BIG = 1e9
 _NFEAT = 16  # padded feature row per triangle
 
 
-def _tri_features(tri_clip, tri_valid, height, width):
+def _tri_features(tri_clip, tri_valid, height, width, backface_cull=True):
     """Per-triangle screen-space constants.
 
     Returns feats [T,_NFEAT]: a0,b0,c0,a1,b1,c1 (edge-affine barycentrics
     w0,w1 as functions of pixel coords), za,zb,zc (z plane), valid flag.
+    Dividing the edge functions by the SIGNED area makes the barycentrics
+    orientation-independent, so backface_cull=False (shadow depth passes)
+    needs no winding fixup.
     """
     w_clip = tri_clip[..., 3]
     degenerate = jnp.any(w_clip <= 1e-6, axis=-1)
@@ -53,7 +56,10 @@ def _tri_features(tri_clip, tri_valid, height, width):
     x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
     y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
     area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    ok = tri_valid & (area < -1e-9) & ~degenerate
+    if backface_cull:
+        ok = tri_valid & (area < -1e-9) & ~degenerate
+    else:
+        ok = tri_valid & (jnp.abs(area) > 1e-9) & ~degenerate
     inv_area = 1.0 / jnp.where(jnp.abs(area) < 1e-9, 1.0, area)
 
     # w0(p) = ((x2-x1)(py-y1) - (y2-y1)(px-x1)) / area
@@ -78,7 +84,12 @@ def _tri_features(tri_clip, tri_valid, height, width):
 
 
 def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile):
-    """Top-K triangle ids per tile by bbox overlap. [nty, ntx, K] int32."""
+    """Top-K triangle ids per tile by bbox overlap.
+
+    Returns (ids [nty,ntx,K] int32, valid [nty,ntx,K] bool, count
+    [nty,ntx] int32). Valid slots are contiguous-first (top_k on a
+    monotone score), so the kernel can run a dynamic-trip-count loop to
+    `count` instead of the static K."""
     nty = height // tile_h
     ntx = width // tile_w
     t = bbox.shape[0]
@@ -98,93 +109,166 @@ def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile):
     topv, topi = jax.lax.top_k(jnp.moveaxis(score, 0, -1).reshape(nty, ntx, t),
                                k_per_tile)
     valid = topv > -2 ** 29
-    return jnp.where(valid, topi, 0).astype(jnp.int32), valid
+    count = jnp.sum(valid.astype(jnp.int32), -1)
+    return jnp.where(valid, topi, 0).astype(jnp.int32), valid, count
 
 
-def _raster_kernel(feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
-                   *, tile_h, tile_w, k_per_tile):
+_CHUNK = 8  # triangles per vectorized kernel step
+
+
+def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
+                   *, tile_h, tile_w, k_per_tile, depth_only):
+    """Tile visibility kernel, vectorized over _CHUNK triangles per step.
+
+    The loop trip count is the tile's actual bin occupancy (scalar-
+    prefetched `cnt_ref`), so sparse tiles cost ~nothing; the edge/z
+    evaluation runs on [_CHUNK, tile_h, tile_w] blocks instead of one
+    scalar-indexed triangle at a time (the round-2 kernel's bottleneck:
+    11 scalar VMEM loads + broadcasts per triangle)."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
     py = (ti * tile_h + row_i).astype(jnp.float32) + 0.5
     px = (tj * tile_w + col_i).astype(jnp.float32) + 0.5
 
     z_ref[:] = jnp.full((tile_h, tile_w), _BIG, jnp.float32)
-    idx_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    w0_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    w1_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    if not depth_only:
+        idx_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        w0_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
+        w1_ref[:] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-    def body(k, _):
-        f = feat_ref[0, 0, k]                 # [_NFEAT]; f[10] = bin validity
-        w0 = f[0] * px + f[1] * py + f[2]
-        w1 = f[3] * px + f[4] * py + f[5]
-        w2 = 1.0 - w0 - w1
-        z = f[6] * px + f[7] * py + f[8]
-        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-                  & (z >= -1.0) & (z <= 1.0)
-                  & (f[9] > 0.5) & (f[10] > 0.5))
-        better = inside & (z < z_ref[:])
-        z_ref[:] = jnp.where(better, z, z_ref[:])
-        idx_ref[:] = jnp.where(better, k, idx_ref[:])
-        w0_ref[:] = jnp.where(better, w0, w0_ref[:])
-        w1_ref[:] = jnp.where(better, w1, w1_ref[:])
+    nv = cnt_ref[ti * (pl.num_programs(1)) + tj]
+
+    def body(c, _):
+        base = c * _CHUNK
+        f = feat_ref[0, 0, pl.ds(base, _CHUNK), :]     # [C,_NFEAT]
+        a0 = f[:, 0][:, None, None]
+        b0 = f[:, 1][:, None, None]
+        c0 = f[:, 2][:, None, None]
+        a1 = f[:, 3][:, None, None]
+        b1 = f[:, 4][:, None, None]
+        c1 = f[:, 5][:, None, None]
+        za = f[:, 6][:, None, None]
+        zb = f[:, 7][:, None, None]
+        zc = f[:, 8][:, None, None]
+        okf = f[:, 9][:, None, None]
+        w0 = a0 * px + b0 * py + c0                    # [C,th,tw]
+        w1 = a1 * px + b1 * py + c1
+        z = za * px + zb * py + zc
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
+                + base)
+        inside = ((w0 >= 0) & (w1 >= 0) & (1.0 - w0 - w1 >= 0)
+                  & (z >= -1.0) & (z <= 1.0) & (okf > 0.5)
+                  & (slot < nv))
+        zm = jnp.where(inside, z, _BIG)
+        if depth_only:
+            zbest = z_ref[:]
+            for j in range(_CHUNK):
+                zbest = jnp.minimum(zbest, zm[j])
+            z_ref[:] = zbest
+        else:
+            zbest = z_ref[:]
+            ibest = idx_ref[:]
+            w0best = w0_ref[:]
+            w1best = w1_ref[:]
+            for j in range(_CHUNK):
+                better = zm[j] < zbest
+                zbest = jnp.where(better, zm[j], zbest)
+                ibest = jnp.where(better, base + j, ibest)
+                w0best = jnp.where(better, w0[j], w0best)
+                w1best = jnp.where(better, w1[j], w1best)
+            z_ref[:] = zbest
+            idx_ref[:] = ibest
+            w0_ref[:] = w0best
+            w1_ref[:] = w1best
         return _
 
-    jax.lax.fori_loop(0, k_per_tile, body, None)
+    jax.lax.fori_loop(0, pl.cdiv(nv, _CHUNK), body, None)
 
 
-def _visibility_pallas(feats, tile_ids, tile_valid, height, width,
-                       tile_h, tile_w, k_per_tile, interpret=False):
-    """Run the tile kernel. Returns (z, local_idx, w0, w1) [H,W]."""
+def _visibility_pallas(feats, tile_ids, tile_count, height, width,
+                       tile_h, tile_w, k_per_tile, interpret=False,
+                       depth_only=False):
+    """Run the tile kernel. Returns (z, local_idx, w0, w1) [H,W]
+    (z only when depth_only)."""
     nty = height // tile_h
     ntx = width // tile_w
     feat_tiles = feats[tile_ids]                     # [nty,ntx,K,_NFEAT]
-    # fold the bin-slot validity into feature slot 10
-    feat_tiles = feat_tiles.at[..., 10].set(tile_valid.astype(jnp.float32))
 
     grid = (nty, ntx)
+    n_out = 1 if depth_only else 4
     out_shape = [
         jax.ShapeDtypeStruct((height, width), jnp.float32),
         jax.ShapeDtypeStruct((height, width), jnp.int32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
         jax.ShapeDtypeStruct((height, width), jnp.float32),
-    ]
-    out_specs = [pl.BlockSpec((tile_h, tile_w), lambda i, j: (i, j),
-                              memory_space=pltpu.VMEM) for _ in range(4)]
+    ][:n_out]
+    out_specs = [pl.BlockSpec((tile_h, tile_w), lambda i, j, cnt: (i, j))
+                 for _ in range(n_out)]
     in_specs = [
-        pl.BlockSpec((1, 1, k_per_tile, _NFEAT), lambda i, j: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, k_per_tile, _NFEAT),
+                     lambda i, j, cnt: (i, j, 0, 0)),
     ]
-    z, idx, w0, w1 = pl.pallas_call(
-        partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
-                k_per_tile=k_per_tile),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+    kernel = partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
+                     k_per_tile=k_per_tile, depth_only=depth_only)
+    if depth_only:
+        def kernel(cnt_ref, feat_ref, z_ref):
+            _raster_kernel(cnt_ref, feat_ref, z_ref, None, None, None,
+                           tile_h=tile_h, tile_w=tile_w,
+                           k_per_tile=k_per_tile, depth_only=True)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
         out_shape=out_shape,
         interpret=interpret,
-    )(feat_tiles)
-    return z, idx, w0, w1
+    )(tile_count.reshape(-1).astype(jnp.int32), feat_tiles)
+    if depth_only:
+        return out[0]
+    return tuple(out)
 
 
 def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
-                     width, tri_valid=None, tile_h=32, tile_w=128,
-                     k_per_tile=256, near_clip=True, interpret=False):
+                     width, tri_valid=None, tile_h=8, tile_w=128,
+                     k_per_tile=256, near_clip=True, interpret=False,
+                     depth_only=False, backface_cull=True):
     """Drop-in replacement for raster.rasterize (single image; vmap over
-    worlds). Requires height % tile_h == 0 and width % tile_w == 0."""
+    worlds). Requires height % tile_h == 0 and width % tile_w == 0.
+
+    depth_only=True skips the winner/barycentric tracking and the
+    attribute interpolation pass entirely and returns just the depth
+    image [H,W] — the shadow-map / occlusion-prepass path."""
+    tile_h = min(tile_h, height)
+    tile_w = min(tile_w, width)
     assert height % tile_h == 0 and width % tile_w == 0
     if tri_valid is None:
         tri_valid = jnp.ones(tri_clip.shape[0], bool)
     if near_clip:
         tri_clip, tri_attrs, tri_valid = clip_near(tri_clip, tri_attrs, tri_valid)
     k_per_tile = min(k_per_tile, tri_clip.shape[0])
+    k_per_tile = -(-k_per_tile // _CHUNK) * _CHUNK   # pad to chunk multiple
 
-    feats, bbox, ok = _tri_features(tri_clip, tri_valid, height, width)
-    tile_ids, tile_valid = _bin_triangles(bbox, ok, height, width,
-                                          tile_h, tile_w, k_per_tile)
+    feats, bbox, ok = _tri_features(tri_clip, tri_valid, height, width,
+                                    backface_cull=backface_cull)
+    if feats.shape[0] < k_per_tile:                  # tiny scenes: pad rows
+        pad = k_per_tile - feats.shape[0]
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        bbox = jnp.pad(bbox, ((0, pad), (0, 0)),
+                       constant_values=-_BIG)        # empty bbox: no overlap
+        ok = jnp.pad(ok, (0, pad))
+    tile_ids, _, tile_count = _bin_triangles(bbox, ok, height, width,
+                                             tile_h, tile_w, k_per_tile)
+    if depth_only:
+        return _visibility_pallas(
+            feats, tile_ids, tile_count, height, width, tile_h, tile_w,
+            k_per_tile, interpret=interpret, depth_only=True)
     z, local_idx, w0, w1 = _visibility_pallas(
-        feats, tile_ids, tile_valid, height, width, tile_h, tile_w,
+        feats, tile_ids, tile_count, height, width, tile_h, tile_w,
         k_per_tile, interpret=interpret)
 
     # local tile slot → global triangle id

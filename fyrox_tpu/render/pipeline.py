@@ -261,13 +261,20 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         from fyrox_tpu.render import occlusion as occ_mod
         os_ = config.occlusion_size
         pre_valid = node_vis[jnp.asarray(rt.tri_node)]
-        dummy3 = jnp.zeros(tri_clip.shape[:2] + (3,), jnp.float32)
-        dummy2 = jnp.zeros(tri_clip.shape[:2] + (2,), jnp.float32)
-        pre = raster_mod.rasterize(
-            tri_clip, dict(albedo=dummy3, normal=dummy3, position=dummy3,
-                           material=dummy2, emission=dummy3),
-            os_, os_, tri_valid=pre_valid, chunk=config.chunk)
-        hzb = occ_mod.build_hzb(pre.depth)
+        if config.use_pallas:
+            from fyrox_tpu.render.pallas_raster import rasterize_pallas
+            pre_depth = rasterize_pallas(
+                tri_clip, {}, os_, os_, tri_valid=pre_valid,
+                k_per_tile=config.k_per_tile, depth_only=True,
+                interpret=config.pallas_interpret)
+        else:
+            dummy3 = jnp.zeros(tri_clip.shape[:2] + (3,), jnp.float32)
+            dummy2 = jnp.zeros(tri_clip.shape[:2] + (2,), jnp.float32)
+            pre_depth = raster_mod.rasterize(
+                tri_clip, dict(albedo=dummy3, normal=dummy3, position=dummy3,
+                               material=dummy2, emission=dummy3),
+                os_, os_, tri_valid=pre_valid, chunk=config.chunk).depth
+        hzb = occ_mod.build_hzb(pre_depth)
         occ_vis = occ_mod.occlusion_visible(wmin, wmax, vp, hzb, os_, os_)
         node_vis = node_vis & occ_vis
 

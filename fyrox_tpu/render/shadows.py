@@ -114,13 +114,14 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
         clip = raster_mod.transform_clip(world_tri_positions, vp[None])
         if use_pallas:
             from fyrox_tpu.render.pallas_raster import rasterize_pallas
-            g = rasterize_pallas(clip, attrs, map_size, map_size,
-                                 tri_valid=tri_valid, k_per_tile=k_per_tile,
-                                 interpret=pallas_interpret)
-        else:
-            g = raster_mod.rasterize(clip, attrs, map_size, map_size,
-                                     tri_valid=tri_valid, chunk=chunk,
-                                     backface_cull=False)
+            return rasterize_pallas(clip, {}, map_size, map_size,
+                                    tri_valid=tri_valid,
+                                    k_per_tile=k_per_tile,
+                                    interpret=pallas_interpret,
+                                    depth_only=True, backface_cull=False)
+        g = raster_mod.rasterize(clip, attrs, map_size, map_size,
+                                 tri_valid=tri_valid, chunk=chunk,
+                                 backface_cull=False)
         return g.depth
 
     return jax.vmap(one)(cascade_vps)

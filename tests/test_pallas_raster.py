@@ -49,3 +49,40 @@ class TestPallasRaster:
         g = rasterize_pallas(clip, attrs, 64, 128, tile_h=32, tile_w=128,
                              k_per_tile=16, interpret=True)
         assert int(g.mask.sum()) > 0
+
+
+class TestDepthOnly:
+    def test_depth_only_matches_full(self):
+        """depth_only (shadow-map path) returns the same depth image as the
+        full G-buffer kernel."""
+        rng = np.random.default_rng(2)
+        clip, attrs = random_tris(rng, t=64)
+        g = rasterize_pallas(clip, attrs, 64, 128, k_per_tile=160,
+                             interpret=True)
+        z = rasterize_pallas(clip, {}, 64, 128, k_per_tile=160,
+                             interpret=True, depth_only=True)
+        np.testing.assert_allclose(np.asarray(g.depth), np.asarray(z),
+                                   atol=1e-6)
+
+    def test_two_sided_sees_backfaces(self):
+        """backface_cull=False (shadow passes) rasterizes triangles of
+        either winding — flipping a winding must not change the depth."""
+        rng = np.random.default_rng(3)
+        clip, _ = random_tris(rng, t=32)
+        flipped = clip[:, ::-1, :]
+        z1 = rasterize_pallas(clip, {}, 64, 128, interpret=True,
+                              depth_only=True, backface_cull=False)
+        z2 = rasterize_pallas(flipped, {}, 64, 128, interpret=True,
+                              depth_only=True, backface_cull=False)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+        # and it covers at least as much as the culled pass
+        zc = rasterize_pallas(clip, {}, 64, 128, interpret=True,
+                              depth_only=True)
+        assert (np.asarray(z1) < 1e8).sum() >= (np.asarray(zc) < 1e8).sum()
+
+    def test_tiny_scene_padding(self):
+        """Fewer triangles than one chunk still rasterizes (row padding)."""
+        rng = np.random.default_rng(4)
+        clip, attrs = random_tris(rng, t=3)
+        g = rasterize_pallas(clip, attrs, 32, 128, interpret=True)
+        assert int(g.mask.sum()) > 0
