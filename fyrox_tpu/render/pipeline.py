@@ -52,6 +52,9 @@ class RenderConfig(NamedTuple):
     occlusion_size: int = 64
     # volumetric light shafts (renderer/light_volume.rs equivalent)
     light_shafts: bool = False
+    # cube-textured skybox (scene/skybox.rs): a render.skybox.SkyBox;
+    # overrides the sky_zenith/sky_horizon gradient when set
+    skybox: Optional[object] = None
 
 
 @dataclass
@@ -444,8 +447,13 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 jnp.asarray(rt.light_color)[li]
                 * jnp.asarray(rt.light_intensity)[li] * 0.25)
 
-    # ---- sky background (skybox.rs equivalent: vertical gradient) ----
-    if any(v > 0 for v in config.sky_zenith) or any(v > 0 for v in config.sky_horizon):
+    # ---- sky background (skybox.rs: cube faces sampled by view ray;
+    # gradient fallback) ----
+    if config.skybox is not None:
+        from fyrox_tpu.render import skybox as skybox_mod
+        color = skybox_mod.apply_skybox(color, gbuf.mask, config.skybox,
+                                        cam_g, rt.fov_y, aspect)
+    elif any(v > 0 for v in config.sky_zenith) or any(v > 0 for v in config.sky_horizon):
         ys = jnp.linspace(0.0, 1.0, config.height)[:, None, None]
         sky = (jnp.asarray(config.sky_zenith) * (1 - ys)
                + jnp.asarray(config.sky_horizon) * ys)

@@ -259,3 +259,88 @@ class TestReflectionProbe:
                                              face_irradiance(faces)))
         assert out[0, 0, 1] > 0.003
         assert out[0, 1, 1] < 1e-6
+
+
+class TestSpecularIBL:
+    """Specular prefilter (renderer convolution.rs equivalent)."""
+
+    def test_uniform_env_invariant(self):
+        """A constant environment convolves to itself at every roughness."""
+        from fyrox_tpu.render.probe import prefilter_specular
+        faces = jnp.full((6, 16, 16, 3), 0.7)
+        pre = prefilter_specular(faces, out_size=4)
+        np.testing.assert_allclose(np.asarray(pre), 0.7, atol=1e-4)
+
+    def test_sharp_lobe_tracks_bright_face(self):
+        """Low roughness keeps a bright +X patch localized to +X
+        directions; high roughness spreads it everywhere."""
+        from fyrox_tpu.render.probe import (prefilter_specular,
+                                            _sample_cube)
+        faces = jnp.zeros((6, 16, 16, 3)).at[0].set(1.0)  # +X face bright
+        pre = prefilter_specular(faces, roughness_levels=(0.1, 1.0),
+                                 out_size=8)
+        px = np.asarray(_sample_cube(pre[0], jnp.asarray([1.0, 0, 0])))
+        nx = np.asarray(_sample_cube(pre[0], jnp.asarray([-1.0, 0, 0])))
+        assert px[0] > 0.5 and nx[0] < 0.05      # sharp: localized
+        px_r = np.asarray(_sample_cube(pre[1], jnp.asarray([1.0, 0, 0])))
+        nx_r = np.asarray(_sample_cube(pre[1], jnp.asarray([-1.0, 0, 0])))
+        assert px_r[0] < px[0]                   # rough: spread out
+        assert nx_r[0] > nx[0]
+
+    def test_apply_specular_metal_mirror(self):
+        """A metallic, smooth pixel facing a bright +X env picks up the
+        reflection; a rough dielectric picks up far less."""
+        from fyrox_tpu.render.probe import (prefilter_specular,
+                                            apply_probe_specular)
+        from fyrox_tpu.render.raster import GBuffer
+        faces = jnp.zeros((6, 16, 16, 3)).at[0].set(1.0)
+        pre = prefilter_specular(faces, out_size=8)
+        # camera at +X above, surface normal +X → reflection goes +X-ish
+        mk = lambda metal, rough: GBuffer(
+            depth=jnp.zeros((1, 1)),
+            albedo=jnp.full((1, 1, 3), 0.9),
+            normal=jnp.asarray([[[1.0, 0.0, 0.0]]]),
+            position=jnp.zeros((1, 1, 3)),
+            material=jnp.asarray([[[metal, rough]]]),
+            emission=jnp.zeros((1, 1, 3)),
+            mask=jnp.ones((1, 1), bool))
+        cam = jnp.asarray([2.0, 0.0, 0.0])
+        mirror = np.asarray(apply_probe_specular(
+            jnp.zeros((1, 1, 3)), mk(1.0, 0.1), cam, pre))
+        dielec = np.asarray(apply_probe_specular(
+            jnp.zeros((1, 1, 3)), mk(0.0, 0.9), cam, pre))
+        assert mirror[0, 0, 0] > 0.5
+        assert dielec[0, 0, 0] < mirror[0, 0, 0] * 0.3
+
+
+class TestSkybox:
+    def test_gradient_faces_sample(self):
+        """Up samples zenith, horizon-level samples horizon color."""
+        from fyrox_tpu.render.skybox import SkyBox, gradient_faces
+        sb = SkyBox(gradient_faces((0.0, 0.0, 1.0), (1.0, 0.0, 0.0),
+                                   size=16))
+        up = np.asarray(sb.sample(jnp.asarray([0.0, 1.0, 0.0])))
+        side = np.asarray(sb.sample(jnp.asarray([1.0, 0.0, 0.0])))
+        assert up[2] > 0.9 and up[0] < 0.1
+        assert side[0] > 0.8
+
+    def test_skybox_backfill_in_pipeline(self):
+        """render_frame fills background pixels from the cube skybox."""
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, render_frame)
+        from fyrox_tpu.render.skybox import SkyBox
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_cube(1.0, albedo=(0.3, 0.3, 0.3)),
+                    position=(0.0, 0.0, 0.0))
+        sb.add_camera("cam", position=(0.0, 0.0, -4.0))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        sky = SkyBox(jnp.full((6, 8, 8, 3), 0.5).at[..., 2].set(1.0))
+        cfg = RenderConfig(width=32, height=32, shadows=False, skybox=sky)
+        color = np.asarray(render_frame(st, t, rt, cfg)[0][0])
+        corner = color[0, 0]          # background pixel
+        assert corner[2] > 0.9        # skybox blue
+        center = color[16, 16]        # cube pixel
+        assert center[2] < 0.9
