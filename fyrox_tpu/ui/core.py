@@ -91,6 +91,16 @@ class Widget:
     indent: float = 16.0
     # check box (check_box.rs)
     checked: bool = False
+    # docking tile (dock/mod.rs Tile): "content" leaf, or a
+    # horizontal/vertical split of exactly two child tiles at `ratio`
+    split: str = "content"
+    ratio: float = 0.5
+    splitter_px: float = 4.0
+    # curve editor (curve/mod.rs): keys live on the widget; `view` is
+    # (origin_x, origin_y, scale_x, scale_y) curve→pixel transform
+    curve_keys: Optional[list] = None      # [(t, value, tangent), ...]
+    view: Tuple[float, float, float, float] = (0.0, 0.0, 50.0, -50.0)
+    selected_key: int = -1
     # text box (text_box.rs): caret/selection state + wrap mode
     # (formatted text layout lives in ui/text.py)
     caret: int = 0
@@ -288,6 +298,22 @@ class UserInterface:
             box = w.font_size
             content = (box + 6 + len(w.text) * w.font_size * 0.55,
                        max(box, w.font_size * 1.3))
+        elif w.kind == "tile":
+            # dock tile (dock/mod.rs): splits measure children at the
+            # ratio-divided size; content tiles fill with their children
+            if w.split in ("horizontal", "vertical") and len(w.children) == 2:
+                if w.split == "horizontal":
+                    self.measure(w.children[0], (inner[0] * w.ratio, inner[1]))
+                    self.measure(w.children[1],
+                                 (inner[0] * (1 - w.ratio), inner[1]))
+                else:
+                    self.measure(w.children[0], (inner[0], inner[1] * w.ratio))
+                    self.measure(w.children[1],
+                                 (inner[0], inner[1] * (1 - w.ratio)))
+            else:
+                for c in w.children:
+                    self.measure(c, inner)
+            content = inner
         elif w.kind == "text":
             content = (len(w.text) * w.font_size * 0.55 if w.text else 0.0,
                        w.font_size * 1.3)
@@ -367,6 +393,23 @@ class UserInterface:
                     offset += cw.desired_size[1]
                 else:
                     self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif (w.kind == "tile" and w.split in ("horizontal", "vertical")
+              and len(w.children) == 2):
+            sp = w.splitter_px * 0.5
+            if w.split == "horizontal":
+                lw = rect.w * w.ratio
+                self.arrange(w.children[0],
+                             Rect(rect.x, rect.y, max(lw - sp, 0), rect.h))
+                self.arrange(w.children[1],
+                             Rect(rect.x + lw + sp, rect.y,
+                                  max(rect.w - lw - sp, 0), rect.h))
+            else:
+                th = rect.h * w.ratio
+                self.arrange(w.children[0],
+                             Rect(rect.x, rect.y, rect.w, max(th - sp, 0)))
+                self.arrange(w.children[1],
+                             Rect(rect.x, rect.y + th + sp, rect.w,
+                                  max(rect.h - th - sp, 0)))
         else:
             for c in w.children:
                 self.arrange(c, rect)
@@ -489,6 +532,9 @@ class UserInterface:
                 cmds.append(DrawCommand(
                     "rect", Rect(ox + cx, oy + cy, 1.0, ft.line_h),
                     w.foreground))
+        if w.kind == "curve_editor":
+            from fyrox_tpu.ui import curve_editor as ce
+            cmds.extend(ce.draw_commands(w))
         if w.kind == "tree" and not w.expanded:
             return                    # collapsed subtree draws nothing
         for c in w.children:
