@@ -181,3 +181,33 @@ class TestSpatialAccel:
                 assert (x0 + w0 <= x1 or x1 + w1 <= x0
                         or y0 + h0 <= y1 or y1 + h1 <= y0)
         assert p.pack(64, 64) is None     # full
+
+
+class TestSStorage:
+    """Interned strings + sparse buffers (fyrox-core/src/{sstorage,sparse}.rs)."""
+
+    def test_immutable_string_interning(self):
+        from fyrox_tpu.core.sstorage import ImmutableString
+        a = ImmutableString("diffuseTexture")
+        b = ImmutableString("diffuse" + "Texture")
+        assert a is b                       # same interned object
+        assert a.cached_hash() == b.cached_hash()
+        assert a == "diffuseTexture"        # still a str
+        assert a.to_mutable() == "diffuseTexture"
+        assert ImmutableString.entry_count() >= 1
+
+    def test_sparse_buffer_spawn_free_recycle(self):
+        from fyrox_tpu.core.sstorage import AtomicIndex, SparseBuffer
+        buf = SparseBuffer()
+        i1 = buf.spawn("a")
+        i2 = buf.spawn("b")
+        assert buf.get(i1) == "a" and buf.get(i2) == "b"
+        assert buf.filled == 2
+        assert buf.free(i1) == "a"
+        assert not i1.assigned
+        i3 = buf.spawn("c")                 # recycles slot 0
+        assert i3.get() == 0 and buf.get(i3) == "c"
+        assert sorted(buf) == ["b", "c"]
+        assert buf.is_index_valid(i3) and buf.is_index_valid(i2)
+        ghost = AtomicIndex.unassigned()
+        assert buf.get(ghost) is None
