@@ -36,7 +36,7 @@ from fyrox_tpu.scene import graph as graph_mod
 from fyrox_tpu.scene.state import WorldState, init_state
 from fyrox_tpu.scene.template import SceneTemplate
 
-__all__ = ["Engine", "EngineState", "DEFAULT_DT"]
+__all__ = ["Engine", "EngineState", "DEFAULT_DT", "debug_step"]
 
 DEFAULT_DT = 1.0 / 60.0  # executor.rs:87
 
@@ -279,3 +279,24 @@ def restore_unhealthy(state: EngineState, fallback: EngineState):
         return jnp.where(m, cur, fb)
 
     return jax.tree_util.tree_map(fix, state, fallback)
+
+def debug_step(engine: Engine, **step_kwargs):
+    """Checkify-instrumented step — the sanitizer build of the engine.
+
+    The reference runs physics under catch_unwind and relies on
+    debug-assert builds for NaN/index bugs (physics/mod.rs:1188); the
+    XLA analog: jax.experimental.checkify instruments the WHOLE traced
+    step with float (nan/inf-producing op) and index (out-of-bounds
+    gather/scatter) checks that are recoverable at the host.
+
+    Returns step_fn(state) -> (error, new_state); call error.throw() (or
+    inspect error.get()) after the step. Jit-compatible:
+    `jax.jit(debug_step(engine))`. Roughly 2x the cost of the plain step
+    — a debug tool, not the production path.
+    """
+    from jax.experimental import checkify
+
+    def step(state, **kw):
+        return engine.step(state, **step_kwargs, **kw)
+    return checkify.checkify(
+        step, errors=checkify.float_checks | checkify.index_checks)

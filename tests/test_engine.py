@@ -152,3 +152,20 @@ class TestShardedSlab:
         np.testing.assert_allclose(np.asarray(state.physics.position),
                                    np.asarray(ref.physics.position),
                                    atol=2e-4)
+
+
+class TestDebugStep:
+    def test_checkified_step_clean_and_dirty(self):
+        """The sanitizer step reports no error on healthy state and
+        flags NaN-poisoned state (aux row: race/sanitizer analog)."""
+        from fyrox_tpu.engine import debug_step
+        engine, nodes = small_engine()
+        state = engine.init_state(num_worlds=1)
+        step = jax.jit(debug_step(engine))
+        err, out = step(state)
+        assert err.get() is None          # healthy step: no checks fire
+        # poison a velocity → the instrumented step must flag it
+        bad_phys = state.physics._replace(
+            linvel=state.physics.linvel.at[0, 1].set(jnp.nan))
+        err2, _ = step(state._replace(physics=bad_phys))
+        assert err2.get() is not None and "nan" in str(err2.get()).lower()
