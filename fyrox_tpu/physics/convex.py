@@ -23,13 +23,16 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["MAX_HULL_VERTS", "MAX_HULL_FACES", "ConvexSet", "ConvexBuilder",
+__all__ = ["MAX_HULL_VERTS", "MAX_HULL_FACES", "MAX_HULL_EDGES",
+           "ConvexSet", "ConvexBuilder",
            "hull_from_points", "prism_hull", "cone_hull", "hull_mass",
            "convex_support", "convex_convex", "ball_convex",
            "convex_halfspace", "box_as_hull"]
 
 MAX_HULL_VERTS = 32
 MAX_HULL_FACES = 32
+MAX_HULL_EDGES = 16
+_EDGE_AXES = 8   # face-normal cap per side for SAT cross axes
 
 
 def hull_from_points(points):
@@ -50,6 +53,36 @@ def hull_from_points(points):
     if len(normals) > MAX_HULL_FACES:
         raise ValueError(f"hull has {len(normals)} faces > {MAX_HULL_FACES}")
     return verts.astype(np.float32), np.asarray(normals, np.float32)
+
+
+def hull_edge_dirs(points, max_edges=None):
+    """Unique edge DIRECTIONS of the convex hull (for SAT cross axes).
+
+    ±d count as one direction; capped at max_edges (the most-frequent
+    directions win, so boxes keep their 3 and high-n prisms keep the
+    dominant ring directions)."""
+    from scipy.spatial import ConvexHull
+    max_edges = MAX_HULL_EDGES if max_edges is None else max_edges
+    pts = np.asarray(points, np.float64)
+    hull = ConvexHull(pts)
+    dirs, counts = [], []
+    for simplex in hull.simplices:
+        for i in range(3):
+            a, b = pts[simplex[i]], pts[simplex[(i + 1) % 3]]
+            d = b - a
+            ln = np.linalg.norm(d)
+            if ln < 1e-9:
+                continue
+            d = d / ln
+            for k, e in enumerate(dirs):
+                if abs(np.dot(d, e)) > 0.9999:
+                    counts[k] += 1
+                    break
+            else:
+                dirs.append(d)
+                counts.append(1)
+    order = np.argsort(counts)[::-1][:max_edges]
+    return np.asarray([dirs[i] for i in order], np.float32)
 
 
 def prism_hull(half_height, radius, n=8):
@@ -224,14 +257,70 @@ def convex_convex(pos_a, rot_a, va, vma, na, nma,
 
     pen_a, ax_a = axis_pen(na_w, nma)
     pen_b, ax_b = axis_pen(nb_w, nmb)
-    pen_all = jnp.concatenate([pen_a, pen_b], -1)
-    ax_all = jnp.concatenate([ax_a, ax_b], -2)
+
+    # ---- edge-cross axes (classic polytope SAT). Hull edge directions
+    # are approximated by the face-normal set (exact for boxes, whose
+    # edges ARE face-normal-parallel; tight for prisms); capped at
+    # _EDGE_AXES per side → _EDGE_AXES² cross axes.
+    ecap = _EDGE_AXES
+    ea_d = na_w[..., :ecap, :]
+    eam = nma[..., :ecap]
+    eb_d = nb_w[..., :ecap, :]
+    ebm = nmb[..., :ecap]
+    cr = jnp.cross(ea_d[..., :, None, :], eb_d[..., None, :, :])
+    crm = eam[..., :, None] & ebm[..., None, :]
+    crl = jnp.linalg.norm(cr, axis=-1)
+    crm = crm & (crl > 1e-6)                      # parallel pairs drop out
+    cr = cr / jnp.maximum(crl[..., None], 1e-12)
+    flat = cr.shape[:-3] + (ecap * ecap, 3)
+    pen_e, ax_e = axis_pen(cr.reshape(flat), crm.reshape(flat[:-1]))
+
+    n_f = pen_a.shape[-1] + pen_b.shape[-1]
+    pen_all = jnp.concatenate([pen_a, pen_b, pen_e], -1)
+    ax_all = jnp.concatenate([ax_a, ax_b, ax_e], -2)
     best = jnp.argmin(pen_all, -1)
     oh = (best[..., None] == jnp.arange(pen_all.shape[-1]))
     best_pen = jnp.sum(jnp.where(oh, pen_all, 0.0), -1)
     normal = jnp.sum(jnp.where(oh[..., None], ax_all, 0.0), -2)
     nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(nlen, 1e-12)
+    edge_win = best >= n_f
+
+    # ---- edge-edge contact point: closest point between the two
+    # supporting edges' LINES (midpoint), replacing the vertex-sampled
+    # manifold when a cross axis is the minimum (parry's edge clipping)
+    # winning cross pair: from the global argmin when an edge axis won,
+    # else the best edge axis (the lateral-clip fallback path)
+    ebest = jnp.argmin(pen_e, -1)
+    eidx = jnp.where(best >= n_f, jnp.maximum(best - n_f, 0), ebest)
+    ia = eidx // ecap
+    ib = eidx % ecap
+    oh_a = (ia[..., None] == jnp.arange(ecap)).astype(ea_d.dtype)
+    oh_b = (ib[..., None] == jnp.arange(ecap)).astype(eb_d.dtype)
+    da = jnp.sum(oh_a[..., None] * ea_d, -2)      # [...,3] edge dir on A
+    db = jnp.sum(oh_b[..., None] * eb_d, -2)
+    # support vertices along ±normal lie on the supporting edges
+    sa_d = jnp.where(vma, jnp.sum(wa * normal[..., None, :], -1), _NEG)
+    pa_oh = (jnp.argmax(sa_d, -1)[..., None]
+             == jnp.arange(sa_d.shape[-1])).astype(wa.dtype)
+    pa_pt = jnp.sum(pa_oh[..., None] * wa, -2)
+    sb_d = jnp.where(vmb, -jnp.sum(wb * normal[..., None, :], -1), _NEG)
+    pb_oh = (jnp.argmax(sb_d, -1)[..., None]
+             == jnp.arange(sb_d.shape[-1])).astype(wb.dtype)
+    pb_pt = jnp.sum(pb_oh[..., None] * wb, -2)
+    w0 = pa_pt - pb_pt
+    aa = jnp.sum(da * da, -1)
+    bb = jnp.sum(da * db, -1)
+    cc = jnp.sum(db * db, -1)
+    dd = jnp.sum(da * w0, -1)
+    ee = jnp.sum(db * w0, -1)
+    den = aa * cc - bb * bb
+    safe = jnp.abs(den) > 1e-9
+    den_s = jnp.where(safe, den, 1.0)
+    s_par = jnp.where(safe, (bb * ee - cc * dd) / den_s, 0.0)
+    t_par = jnp.where(safe, (aa * ee - bb * dd) / den_s, 0.0)
+    edge_pt = 0.5 * (pa_pt + s_par[..., None] * da
+                     + pb_pt + t_par[..., None] * db)
 
     # vertex-sampled manifold: depth of B's verts below A's support plane
     # along n, and of A's verts above B's support plane
@@ -244,14 +333,51 @@ def convex_convex(pos_a, rot_a, va, vma, na, nma,
 
     pts_all = jnp.concatenate([wb, wa], -2)                       # [...,2V,3]
     dep_all = jnp.concatenate([d_b, d_a], -1)
-    # project A's verts onto the contact interface? keep sample points —
-    # adequate for impulse lever arms at these depths
+
+    # lateral clip surrogate: a candidate vertex only forms a contact if
+    # it lies (within a margin) INSIDE the opposite hull's face planes —
+    # without this, depth-along-n alone selects e.g. the far endpoints of
+    # a crossing edge, placing contacts outside the overlap region with
+    # wrong lever arms (parry clips the incident polygon instead)
+    lat_margin = jnp.asarray(pred) + 1e-3
+
+    def _inside(p, nw, nmw, vw, vmw):
+        """p [...,P,3] inside hull (world normals nw [...,F,3], verts vw)."""
+        sup_f = jnp.max(jnp.where(vmw[..., None, :],
+                                  jnp.sum(vw[..., None, :, :]
+                                          * nw[..., :, None, :], -1),
+                                  _NEG), -1)                      # [...,F]
+        d = (jnp.sum(p[..., None, :, :] * nw[..., :, None, :], -1)
+             - sup_f[..., None])                                  # [...,F,P]
+        d = jnp.where(nmw[..., None], d, _NEG)
+        return jnp.max(d, -2) <= lat_margin[..., None]            # [...,P]
+
+    in_a = _inside(wb, na_w, nma, wa, vma)        # B's verts vs hull A
+    in_b = _inside(wa, nb_w, nmb, wb, vmb)        # A's verts vs hull B
+    lat_ok = jnp.concatenate([in_a, in_b], -1)
+    dep_all = jnp.where(lat_ok, dep_all, _NEG)
+
     top_d, top_i = jax.lax.top_k(dep_all, 4)
     ohp = (top_i[..., :, None]
            == jnp.arange(dep_all.shape[-1]))[..., :, :].astype(pts_all.dtype)
     pts = jnp.sum(ohp[..., None] * pts_all[..., None, :, :], -2)
     predn = jnp.asarray(pred)[..., None]
     active = (top_d > -predn) & (best_pen[..., None] > -predn)
+
+    # take the single line-line edge point when the winning axis is an
+    # edge cross OR when the lateral clip left no vertex (pure edge-edge
+    # overlap whose minimum axis tied with a face normal)
+    use_edge = edge_win | (~jnp.any(active, -1)
+                           & (best_pen > -jnp.asarray(pred)))
+    ew1 = use_edge[..., None]
+    ew2 = use_edge[..., None, None]
+    e_sel = jnp.arange(4) == 0
+    pts = jnp.where(ew2, jnp.where(e_sel[..., :, None],
+                                   edge_pt[..., None, :], 0.0), pts)
+    top_d = jnp.where(ew1, jnp.where(e_sel, best_pen[..., None], _NEG),
+                      top_d)
+    active = jnp.where(ew1,
+                       e_sel & (best_pen[..., None] > -predn), active)
     return Manifold(normal, pts, top_d, active)
 
 

@@ -129,3 +129,34 @@ class TestSlabConvex:
         for _ in range(200):
             st = step(st)
         assert abs(float(st.position[0, b2, 1]) - 1.1) < 0.05
+
+
+class TestEdgeEdge:
+    def test_crossed_boxes_edge_contact(self):
+        """Two long boxes crossed at 90° touching edge-to-edge: the SAT
+        must pick the vertical cross axis and place the contact at the
+        crossing point (parry edge-clipping behavior)."""
+        import jax.numpy as jnp
+        from fyrox_tpu.physics import convex as cx
+        # box A along x at origin (top face y=+0.1); box B along z, rotated
+        # 45° about its long axis so its EDGE (not a face) points down,
+        # hovering so the edge dips just into A's top face
+        va, vma, na, nma = cx.box_as_hull(jnp.asarray([2.0, 0.1, 0.1]))
+        vb, vmb, nb, nmb = cx.box_as_hull(jnp.asarray([0.1, 0.1, 2.0]))
+        s2 = float(np.sqrt(0.5))
+        rot_a = jnp.eye(3)
+        # rotate B by 45° about z: its lower edge (sharp) points down
+        c, s = np.cos(np.pi / 4), np.sin(np.pi / 4)
+        rot_b = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]],
+                            jnp.float32)
+        # B's lowest point is at y_b - 0.1*sqrt(2); put it 0.02 into A's top
+        yb = 0.1 + 0.1 * np.sqrt(2) - 0.02
+        m = cx.convex_convex(jnp.zeros(3), rot_a, va, vma, na, nma,
+                             jnp.asarray([0.0, yb, 0.3]), rot_b,
+                             vb, vmb, nb, nmb, jnp.asarray(0.05))
+        assert bool(m.active[0])
+        n = np.asarray(m.normal)
+        assert abs(abs(n[1]) - 1.0) < 0.05        # near-vertical normal
+        pt = np.asarray(m.points[0])
+        assert abs(pt[0]) < 0.2 and abs(pt[2]) < 0.2  # inside the overlap
+        assert float(m.depth[0]) > 0.0            # penetrating
