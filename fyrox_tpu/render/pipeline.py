@@ -25,7 +25,7 @@ from fyrox_tpu.scene import camera as camera_mod
 from fyrox_tpu.scene.template import NodeType, SceneTemplate
 
 __all__ = ["RenderTemplate", "build_render_template", "render_frame",
-           "RenderConfig"]
+           "render_frames_chunked", "RenderConfig"]
 
 
 class RenderConfig(NamedTuple):
@@ -482,3 +482,32 @@ def render_frame(scene_state, scene_template: SceneTemplate,
     """Render every world: [W, H, Wd, 3] color + GBuffer batch."""
     fn = lambda g, v: _frame_one_world(g, v, rt, scene_template, config)
     return jax.vmap(fn)(scene_state.globals_, scene_state.global_visibility)
+
+
+def render_frames_chunked(scene_state, scene_template: SceneTemplate,
+                          rt: RenderTemplate,
+                          config: RenderConfig = RenderConfig(),
+                          world_chunk: int = 16):
+    """render_frame with the world batch processed in lax.map groups of
+    `world_chunk`: same output, bounded memory. The per-world binning /
+    shadow temporaries scale linearly with the vmapped world count and
+    OOM HBM near W=64 at 256²; chunking trades a little dispatch
+    parallelism for a flat footprint. W must divide by world_chunk."""
+    w = scene_state.globals_.shape[0]
+    if w <= world_chunk:
+        return render_frame(scene_state, scene_template, rt, config)
+    assert w % world_chunk == 0, (w, world_chunk)
+    g = w // world_chunk
+    fn = lambda gl, v: _frame_one_world(gl, v, rt, scene_template, config)
+
+    def group(args):
+        gl, vis = args
+        return jax.vmap(fn)(gl, vis)
+
+    gl = scene_state.globals_.reshape((g, world_chunk)
+                                      + scene_state.globals_.shape[1:])
+    vis = scene_state.global_visibility.reshape(
+        (g, world_chunk) + scene_state.global_visibility.shape[1:])
+    color, gbuf = jax.lax.map(group, (gl, vis))
+    unflat = lambda x: x.reshape((w,) + x.shape[2:])
+    return unflat(color), jax.tree_util.tree_map(unflat, gbuf)

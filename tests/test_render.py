@@ -305,3 +305,26 @@ class TestSpriteOnlyScene:
         color, g = jax.jit(lambda s: render_frame(s, t, rt, cfg))(state)
         center = np.asarray(color[0, H // 2, W // 2])
         assert center[2] > 0.3, center
+
+
+class TestChunkedRender:
+    def test_chunked_matches_vmapped(self):
+        """render_frames_chunked == render_frame for the same batch."""
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, render_frame)
+        from fyrox_tpu.render.pipeline import render_frames_chunked
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_cube(1.0, albedo=(0.6, 0.2, 0.2)))
+        sb.add_camera("cam", position=(0.0, 0.5, -4.0))
+        sb.add_light("directional", intensity=1.5)
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 4), t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=32, height=32, shadows=False)
+        a = np.asarray(render_frame(st, t, rt, cfg)[0])
+        b = np.asarray(render_frames_chunked(st, t, rt, cfg,
+                                             world_chunk=2)[0])
+        np.testing.assert_allclose(a, b, atol=1e-6)
