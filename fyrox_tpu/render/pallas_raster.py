@@ -3,8 +3,12 @@
 Replaces the XLA streaming z-buffer (render/raster.py) for the visibility
 pass. Three phases:
 
-  1. XLA prep: screen-space edge/z-plane coefficients per triangle +
-     per-tile binning (bbox overlap → top-K triangle ids per tile).
+  1. XLA prep: per-triangle affine constants + per-tile binning (bbox
+     overlap → top-K triangle ids per tile). Default mode is 2DH
+     homogeneous rasterization (Olano-Greer): edge functions are built
+     from CLIP-space columns, near-plane culling happens per pixel via
+     the W(p) plane, and the Sutherland-Hodgman clip pass (with its 2x
+     triangle expansion on every binned pass) disappears.
   2. Pallas kernel: grid over screen tiles; each tile loops over its K
      binned triangles entirely in VMEM/registers and maintains a tile-local
      z-buffer + winner index + barycentrics. This is where the O(T·H·W)
@@ -34,6 +38,65 @@ __all__ = ["rasterize_pallas"]
 
 _BIG = 1e9
 _NFEAT = 16  # padded feature row per triangle
+
+
+def _tri_features_h(tri_clip, tri_valid, height, width, backface_cull=True):
+    """Homogeneous (2DH / Olano-Greer) per-triangle constants — NO
+    near-plane clipping pass, so T stays T instead of the Sutherland-
+    Hodgman 2x expansion. Five affine forms in pixel coords p=(px,py,1):
+
+      slots 0-2  E0 = cross(c1,c2)   (rows of det*M^-1; c_i = column i of
+      slots 3-5  E1 = cross(c2,c0)    M = [[u],[v],[w]] homogeneous
+      slots 6-8  S  = E0+E1+E2        screen coords)
+      slots 9-11 Z  = sum_i z_ci E_i  (z_ndc(p) = Z/W)
+      slots 12-14 W = sum_i w_ci E_i  (w>0 = in front: per-pixel near cull)
+      slot 15    valid flag
+
+    inside = e0,e1,e2 >= 0 (rows sign-normalized by det) & W > 0;
+    perspective-correct barycentrics fall out as e_i / S. Exact for all
+    front triangles; triangles CROSSING w=0 keep det-sign normalization
+    (their visible wedge may drop — rare, bounded to the camera plane).
+    """
+    x_c, y_c, z_c, w_c = (tri_clip[..., i] for i in range(4))   # [T,3]
+    u = (0.5 * x_c + 0.5 * w_c) * width
+    v = (0.5 * w_c - 0.5 * y_c) * height
+    cols = jnp.stack([u, v, w_c], -1)                  # [T, 3(vert), 3(comp)]
+    c0, c1, c2 = cols[:, 0], cols[:, 1], cols[:, 2]
+    e0 = jnp.cross(c1, c2)
+    e1 = jnp.cross(c2, c0)
+    e2 = jnp.cross(c0, c1)
+    det = jnp.sum(e0 * c0, -1)
+    # the old screen-space path culls area >= 0 (front = CCW = negative
+    # area); det = area * (w0*w1*w2) * const>0, so front = det < 0 for
+    # all-in-front triangles
+    if backface_cull:
+        ok = tri_valid & (det < -1e-12)
+    else:
+        ok = tri_valid & (jnp.abs(det) > 1e-12)
+    sgn = jnp.sign(jnp.where(det == 0, 1.0, det))[..., None]  # e_i = det*λ_i
+    e0 = e0 * sgn
+    e1 = e1 * sgn
+    e2 = e2 * sgn
+    s_row = e0 + e1 + e2
+    z_row = (z_c[..., 0:1] * e0 + z_c[..., 1:2] * e1 + z_c[..., 2:3] * e2)
+    w_row = (w_c[..., 0:1] * e0 + w_c[..., 1:2] * e1 + w_c[..., 2:3] * e2)
+    feats = jnp.concatenate(
+        [e0, e1, s_row, z_row, w_row,
+         ok.astype(jnp.float32)[..., None]], -1)       # [T,16]
+
+    # conservative pixel bbox: projected when fully in front, else the
+    # whole screen (near-crossing triangles can extend to infinity)
+    front = jnp.all(w_c > 1e-6, -1)
+    safe_w = jnp.where(jnp.abs(w_c) < 1e-6, 1.0, w_c)
+    sx = u / safe_w
+    sy = v / safe_w
+    full = jnp.stack([jnp.zeros_like(det), jnp.zeros_like(det),
+                      jnp.full_like(det, width), jnp.full_like(det, height)],
+                     -1)
+    proj = jnp.stack([jnp.min(sx, -1), jnp.min(sy, -1),
+                      jnp.max(sx, -1), jnp.max(sy, -1)], -1)
+    bbox = jnp.where(front[..., None], proj, full)
+    return feats, bbox, ok
 
 
 def _tri_features(tri_clip, tri_valid, height, width, backface_cull=True):
@@ -117,7 +180,8 @@ _CHUNK = 8  # triangles per vectorized kernel step
 
 
 def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
-                   *, tile_h, tile_w, k_per_tile, depth_only):
+                   *, tile_h, tile_w, k_per_tile, depth_only,
+                   homogeneous=False):
     """Tile visibility kernel, vectorized over _CHUNK triangles per step.
 
     The loop trip count is the tile's actual bin occupancy (scalar-
@@ -143,24 +207,38 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
     def body(c, _):
         base = c * _CHUNK
         f = feat_ref[0, 0, pl.ds(base, _CHUNK), :]     # [C,_NFEAT]
-        a0 = f[:, 0][:, None, None]
-        b0 = f[:, 1][:, None, None]
-        c0 = f[:, 2][:, None, None]
-        a1 = f[:, 3][:, None, None]
-        b1 = f[:, 4][:, None, None]
-        c1 = f[:, 5][:, None, None]
-        za = f[:, 6][:, None, None]
-        zb = f[:, 7][:, None, None]
-        zc = f[:, 8][:, None, None]
-        okf = f[:, 9][:, None, None]
-        w0 = a0 * px + b0 * py + c0                    # [C,th,tw]
-        w1 = a1 * px + b1 * py + c1
-        z = za * px + zb * py + zc
+
+        def aff(i):
+            return (f[:, i][:, None, None] * px
+                    + f[:, i + 1][:, None, None] * py
+                    + f[:, i + 2][:, None, None])      # [C,th,tw]
+
         slot = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
                 + base)
-        inside = ((w0 >= 0) & (w1 >= 0) & (1.0 - w0 - w1 >= 0)
-                  & (z >= -1.0) & (z <= 1.0) & (okf > 0.5)
-                  & (slot < nv))
+        if homogeneous:
+            e0 = aff(0)
+            e1 = aff(3)
+            s = aff(6)
+            zf = aff(9)
+            wf = aff(12)
+            okf = f[:, 15][:, None, None]
+            e2 = s - e0 - e1
+            in_front = wf > 1e-12
+            z = zf / jnp.where(in_front, wf, 1.0)
+            s_safe = jnp.where(s == 0.0, 1.0, s)
+            w0 = e0 / s_safe                           # perspective-correct
+            w1 = e1 / s_safe
+            inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0) & in_front
+                      & (z >= -1.0) & (z <= 1.0) & (okf > 0.5)
+                      & (slot < nv))
+        else:
+            w0 = aff(0)
+            w1 = aff(3)
+            z = aff(6)
+            okf = f[:, 9][:, None, None]
+            inside = ((w0 >= 0) & (w1 >= 0) & (1.0 - w0 - w1 >= 0)
+                      & (z >= -1.0) & (z <= 1.0) & (okf > 0.5)
+                      & (slot < nv))
         zm = jnp.where(inside, z, _BIG)
         if depth_only:
             zbest = z_ref[:]
@@ -189,7 +267,7 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
 
 def _visibility_pallas(feats, tile_ids, tile_count, height, width,
                        tile_h, tile_w, k_per_tile, interpret=False,
-                       depth_only=False):
+                       depth_only=False, homogeneous=False):
     """Run the tile kernel. Returns (z, local_idx, w0, w1) [H,W]
     (z only when depth_only)."""
     nty = height // tile_h
@@ -211,12 +289,14 @@ def _visibility_pallas(feats, tile_ids, tile_count, height, width,
                      lambda i, j, cnt: (i, j, 0, 0)),
     ]
     kernel = partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
-                     k_per_tile=k_per_tile, depth_only=depth_only)
+                     k_per_tile=k_per_tile, depth_only=depth_only,
+                     homogeneous=homogeneous)
     if depth_only:
         def kernel(cnt_ref, feat_ref, z_ref):
             _raster_kernel(cnt_ref, feat_ref, z_ref, None, None, None,
                            tile_h=tile_h, tile_w=tile_w,
-                           k_per_tile=k_per_tile, depth_only=True)
+                           k_per_tile=k_per_tile, depth_only=True,
+                           homogeneous=homogeneous)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -236,25 +316,34 @@ def _visibility_pallas(feats, tile_ids, tile_count, height, width,
 def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
                      width, tri_valid=None, tile_h=8, tile_w=128,
                      k_per_tile=256, near_clip=True, interpret=False,
-                     depth_only=False, backface_cull=True):
+                     depth_only=False, backface_cull=True,
+                     mode="homogeneous"):
     """Drop-in replacement for raster.rasterize (single image; vmap over
     worlds). Requires height % tile_h == 0 and width % tile_w == 0.
 
     depth_only=True skips the winner/barycentric tracking and the
     attribute interpolation pass entirely and returns just the depth
-    image [H,W] — the shadow-map / occlusion-prepass path."""
+    image [H,W] — the shadow-map / occlusion-prepass path.
+
+    mode: "homogeneous" (default) rasterizes 2DH clip-space edge
+    functions — no Sutherland-Hodgman near-clip pass, so the binned
+    triangle count stays T instead of 2T on every pass; "clipped" is
+    the exact legacy path (geometric near clipping), kept for
+    triangles-spanning-the-camera-plane exactness."""
     tile_h = min(tile_h, height)
     tile_w = min(tile_w, width)
     assert height % tile_h == 0 and width % tile_w == 0
+    homogeneous = (mode == "homogeneous")
     if tri_valid is None:
         tri_valid = jnp.ones(tri_clip.shape[0], bool)
-    if near_clip:
+    if near_clip and not homogeneous:
         tri_clip, tri_attrs, tri_valid = clip_near(tri_clip, tri_attrs, tri_valid)
     k_per_tile = min(k_per_tile, tri_clip.shape[0])
     k_per_tile = -(-k_per_tile // _CHUNK) * _CHUNK   # pad to chunk multiple
 
-    feats, bbox, ok = _tri_features(tri_clip, tri_valid, height, width,
-                                    backface_cull=backface_cull)
+    feat_fn = _tri_features_h if homogeneous else _tri_features
+    feats, bbox, ok = feat_fn(tri_clip, tri_valid, height, width,
+                              backface_cull=backface_cull)
     if feats.shape[0] < k_per_tile:                  # tiny scenes: pad rows
         pad = k_per_tile - feats.shape[0]
         feats = jnp.pad(feats, ((0, pad), (0, 0)))
@@ -266,10 +355,11 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
     if depth_only:
         return _visibility_pallas(
             feats, tile_ids, tile_count, height, width, tile_h, tile_w,
-            k_per_tile, interpret=interpret, depth_only=True)
+            k_per_tile, interpret=interpret, depth_only=True,
+            homogeneous=homogeneous)
     z, local_idx, w0, w1 = _visibility_pallas(
         feats, tile_ids, tile_count, height, width, tile_h, tile_w,
-        k_per_tile, interpret=interpret)
+        k_per_tile, interpret=interpret, homogeneous=homogeneous)
 
     # local tile slot → global triangle id
     py_tile = jnp.arange(height) // tile_h
@@ -279,16 +369,21 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
     safe_local = jnp.maximum(local_idx, 0)
     tri_id = jnp.take_along_axis(tid_grid, safe_local[..., None], axis=-1)[..., 0]
 
-    # perspective-correct interpolation in XLA
-    w_clip = tri_clip[..., 3]
-    iw = 1.0 / jnp.where(w_clip <= 1e-6, 1.0, w_clip)        # [T,3]
-    iw_px = iw[tri_id]                                        # [H,W,3]
-    w2 = 1.0 - w0 - w1
-    pw0 = w0 * iw_px[..., 0]
-    pw1 = w1 * iw_px[..., 1]
-    pw2 = w2 * iw_px[..., 2]
-    denom = jnp.maximum(pw0 + pw1 + pw2, 1e-12)
-    pw0, pw1, pw2 = pw0 / denom, pw1 / denom, pw2 / denom
+    if homogeneous:
+        # 2DH barycentrics e_i/S are already perspective-correct
+        pw0, pw1 = w0, w1
+        pw2 = 1.0 - w0 - w1
+    else:
+        # screen-space barycentrics need the 1/w correction
+        w_clip = tri_clip[..., 3]
+        iw = 1.0 / jnp.where(w_clip <= 1e-6, 1.0, w_clip)    # [T,3]
+        iw_px = iw[tri_id]                                    # [H,W,3]
+        w2 = 1.0 - w0 - w1
+        pw0 = w0 * iw_px[..., 0]
+        pw1 = w1 * iw_px[..., 1]
+        pw2 = w2 * iw_px[..., 2]
+        denom = jnp.maximum(pw0 + pw1 + pw2, 1e-12)
+        pw0, pw1, pw2 = pw0 / denom, pw1 / denom, pw2 / denom
 
     out = {}
     for k, v in tri_attrs.items():

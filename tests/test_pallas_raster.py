@@ -36,8 +36,10 @@ class TestPallasRaster:
         assert (m1 == m2).mean() > 0.999
         both = m1 & m2
         assert both.sum() > 100
+        # 2e-5: the 2DH path computes z = Z/W per pixel, the XLA path
+        # divides per vertex then lerps — equally-valid f32 rounding
         np.testing.assert_allclose(np.asarray(g1.depth)[both],
-                                   np.asarray(g2.depth)[both], atol=1e-5)
+                                   np.asarray(g2.depth)[both], atol=2e-5)
         np.testing.assert_allclose(np.asarray(g1.albedo)[both],
                                    np.asarray(g2.albedo)[both], atol=1e-4)
 
@@ -74,7 +76,9 @@ class TestDepthOnly:
                               depth_only=True, backface_cull=False)
         z2 = rasterize_pallas(flipped, {}, 64, 128, interpret=True,
                               depth_only=True, backface_cull=False)
-        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-5)
+        # 5e-5: flipped winding permutes the cross-product evaluation
+        # order; 2DH z = Z/W rounds slightly differently per ordering
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=5e-5)
         # and it covers at least as much as the culled pass
         zc = rasterize_pallas(clip, {}, 64, 128, interpret=True,
                               depth_only=True)
