@@ -361,13 +361,17 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
         feats, tile_ids, tile_count, height, width, tile_h, tile_w,
         k_per_tile, interpret=interpret, homogeneous=homogeneous)
 
-    # local tile slot → global triangle id
+    # local tile slot → global triangle id: ONE flat gather. (Building
+    # tile_ids[py_tile, px_tile] first materializes an [H,W,K] grid —
+    # 67 MB/world at 256²/K=256 — that dominated the whole frame.)
+    ntx = width // tile_w
     py_tile = jnp.arange(height) // tile_h
     px_tile = jnp.arange(width) // tile_w
-    tid_grid = tile_ids[py_tile[:, None], px_tile[None, :]]   # [H,W,K]
     mask = local_idx >= 0
     safe_local = jnp.maximum(local_idx, 0)
-    tri_id = jnp.take_along_axis(tid_grid, safe_local[..., None], axis=-1)[..., 0]
+    flat = ((py_tile[:, None] * ntx + px_tile[None, :]) * k_per_tile
+            + safe_local)                                     # [H,W]
+    tri_id = tile_ids.reshape(-1)[flat]
 
     if homogeneous:
         # 2DH barycentrics e_i/S are already perspective-correct
