@@ -55,6 +55,9 @@ class RenderConfig(NamedTuple):
     # cube-textured skybox (scene/skybox.rs): a render.skybox.SkyBox;
     # overrides the sky_zenith/sky_horizon gradient when set
     skybox: Optional[object] = None
+    # Pallas visibility mode: "homogeneous" (2DH, clip-free — default) or
+    # "clipped" (exact Sutherland-Hodgman near clipping, 2x binned tris)
+    raster_mode: str = "homogeneous"
 
 
 @dataclass
@@ -269,7 +272,8 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
             pre_depth = rasterize_pallas(
                 tri_clip, {}, os_, os_, tri_valid=pre_valid,
                 k_per_tile=config.k_per_tile, depth_only=True,
-                interpret=config.pallas_interpret)
+                interpret=config.pallas_interpret,
+                mode=config.raster_mode)
         else:
             dummy3 = jnp.zeros(tri_clip.shape[:2] + (3,), jnp.float32)
             dummy2 = jnp.zeros(tri_clip.shape[:2] + (2,), jnp.float32)
@@ -335,7 +339,8 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         gbuf = rasterize_pallas(tri_clip, attrs, config.height, config.width,
                                 tri_valid=tri_valid,
                                 k_per_tile=config.k_per_tile,
-                                interpret=config.pallas_interpret)
+                                interpret=config.pallas_interpret,
+                                mode=config.raster_mode)
     else:
         gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
                                     config.width, tri_valid=tri_valid,
