@@ -48,6 +48,9 @@ def _measure(engine, skin, n_worlds, steps_per_call, n_calls):
 
 
 def main():
+    if os.environ.get("FYROX_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from fyrox_tpu.models import build_flagship
 
     # Defaults are the BASELINE.json flagship config: 1k-body pile (the
@@ -90,4 +93,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FYROX_BENCH_CHILD"):
+        main()
+    else:
+        # Parent-side guard: probe the axon tunnel in a killable subprocess
+        # (it HANGS uninterruptibly when down), run the bench as a child
+        # under a hard timeout, and on ultimate failure print one honest
+        # JSON skip line so the driver artifact always parses.
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from fyrox_tpu.platform import run_benchmark_guarded
+        run_benchmark_guarded(os.path.abspath(__file__),
+                              metric="env_steps_per_sec_per_chip",
+                              unit="env·steps/s/chip")

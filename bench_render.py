@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("FYROX_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
     from fyrox_tpu.render import (RenderConfig, build_render_template,
@@ -80,4 +83,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FYROX_BENCH_CHILD"):
+        main()
+    else:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from fyrox_tpu.platform import run_benchmark_guarded
+        run_benchmark_guarded(os.path.abspath(__file__),
+                              metric="deferred+CSM frames/s/chip",
+                              unit="frames/s/chip")

@@ -10,6 +10,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pick a safe platform BEFORE any backend init: the axon TPU tunnel hangs
+# uninterruptibly when down (see fyrox_tpu/platform.py).
+from fyrox_tpu.platform import platform_guard  # noqa: E402
+
+platform_guard()
+
 import numpy as np
 
 from fyrox_tpu.io import load_scene
