@@ -52,6 +52,10 @@ class EngineState(NamedTuple):
     physics: Optional[phys_mod.PhysicsState] = None
     animation: Optional[AnimState] = None
     particles: Optional[NamedTuple] = None
+    # batched mixer state (sound/scene.py) when the scene has Sound nodes;
+    # playheads advance per rendered block (Engine.render_audio), not per
+    # engine tick — mirroring the reference's audio-thread cadence
+    audio: Optional[NamedTuple] = None
 
 
 @dataclass
@@ -106,8 +110,40 @@ class Engine:
         if self.particles is not None:
             from fyrox_tpu.scene.particles import init_particles
             parts = init_particles(self.particles, num_worlds)
+        audio = None
+        at = self.audio_template()
+        if at is not None:
+            from fyrox_tpu.sound.scene import init_audio_state
+            audio = init_audio_state(at, num_worlds)
         return EngineState(scene=scene, physics=phys, animation=anim,
-                           particles=parts)
+                           particles=parts, audio=audio)
+
+    def audio_template(self):
+        """Packed Sound/Listener layout (sound/scene.AudioTemplate), cached;
+        None when the scene has no Sound nodes."""
+        if not hasattr(self, "_audio_template"):
+            from fyrox_tpu.sound.scene import build_audio_template
+            self._audio_template = build_audio_template(self.template)
+        return self._audio_template
+
+    def render_audio(self, state: EngineState, block_len: int = 513,
+                     distance_model=None):
+        """Mix one stereo audio block per world from the CURRENT scene
+        state — the batched equivalent of the reference's sound-context
+        render (fyrox-impl/src/scene/sound/mod.rs sync + fyrox-sound
+        SoundContext::render). Returns (block [W, block_len, 2], state
+        with advanced playheads). Jittable."""
+        at = self.audio_template()
+        if at is None or state.audio is None:
+            raise ValueError("scene has no Sound nodes (SceneBuilder"
+                             ".add_sound) — nothing to render")
+        from fyrox_tpu.sound.engine import DistanceModel
+        from fyrox_tpu.sound.scene import render_scene_audio
+        dm = DistanceModel.INVERSE if distance_model is None else distance_model
+        block, new_audio = render_scene_audio(
+            at, state.audio, state.scene.globals_, block_len=block_len,
+            distance_model=dm)
+        return block, state._replace(audio=new_audio)
 
     def step(self, state: EngineState, machine_params=None,
              dt: Optional[float] = None) -> EngineState:
@@ -178,7 +214,7 @@ class Engine:
             parts = step_particles(parts, self.particles, dt)
 
         return EngineState(scene=scene, physics=phys, animation=anim,
-                           particles=parts)
+                           particles=parts, audio=state.audio)
 
     def _bodies_at_root(self) -> bool:
         if getattr(self, "_bodies_at_root_cache", None) is None:

@@ -53,6 +53,11 @@ class SceneBuilder:
         self._meshes: list = []
         self._sprites: dict = dict(node=[], size=[], color=[])
         self._decals: dict = dict(node=[], color=[], strength=[])
+        self._sounds: dict = dict(node=[], buffer=[], gain=[], pitch=[],
+                                  looping=[], playing=[], radius=[],
+                                  max_distance=[], rolloff=[])
+        self._sound_buffers: list = []
+        self._listeners: dict = dict(node=[])
         self.extras: dict = {}
 
     # -- generic node ------------------------------------------------------
@@ -144,6 +149,40 @@ class SceneBuilder:
         d["strength"].append(float(strength))
         return idx
 
+    # -- sound source + listener (scene/sound/mod.rs, listener.rs) ----------
+    def add_sound(self, buffer, name="sound", parent=-1, gain=1.0,
+                  pitch=1.0, looping=True, playing=True, radius=1.0,
+                  max_distance=25.0, rolloff=1.0, **kw) -> int:
+        """Spatial sound source node (fyrox-impl/src/scene/sound/mod.rs):
+        its world position drives the mixer's source pose every rendered
+        block (Engine.render_audio). `buffer` is mono f32 samples (or an
+        int index into previously-added buffers)."""
+        idx = self.add_node(name, parent, NodeType.SOUND, **kw)
+        if not isinstance(buffer, (int, np.integer)):
+            self._sound_buffers.append(np.asarray(buffer, np.float32))
+            buffer = len(self._sound_buffers) - 1
+        self._nodes[idx].payload = len(self._sounds["node"])
+        s = self._sounds
+        s["node"].append(idx)
+        s["buffer"].append(int(buffer))
+        s["gain"].append(float(gain))
+        s["pitch"].append(float(pitch))
+        s["looping"].append(bool(looping))
+        s["playing"].append(bool(playing))
+        s["radius"].append(float(radius))
+        s["max_distance"].append(float(max_distance))
+        s["rolloff"].append(float(rolloff))
+        return idx
+
+    def add_listener(self, name="listener", parent=-1, **kw) -> int:
+        """Listener node (scene/sound/listener.rs): its global pose is the
+        mixer's ear position/orientation. First enabled listener wins,
+        like the reference's single active listener."""
+        idx = self.add_node(name, parent, NodeType.LISTENER, **kw)
+        self._nodes[idx].payload = len(self._listeners["node"])
+        self._listeners["node"].append(idx)
+        return idx
+
     def add_lod_group(self, levels):
         """Attach a LOD group (LodGroup, scene/base.rs:129): levels is a
         list of (begin, end, [node indices]) with begin/end the normalized
@@ -185,6 +224,9 @@ class SceneBuilder:
         cam_off = len(self._cameras["node"])
         light_off = len(self._lights["node"])
         mesh_off = len(self._meshes)
+        sound_off = len(self._sounds["node"])
+        listener_off = len(self._listeners["node"])
+        buf_off = len(self._sound_buffers)
         for rec in prefab._nodes:
             rec2 = copy.deepcopy(rec)
             rec2.name = name_prefix + rec2.name
@@ -198,6 +240,10 @@ class SceneBuilder:
                     rec2.payload += light_off
                 elif rec2.node_type == NodeType.MESH:
                     rec2.payload += mesh_off
+                elif rec2.node_type == NodeType.SOUND:
+                    rec2.payload += sound_off
+                elif rec2.node_type == NodeType.LISTENER:
+                    rec2.payload += listener_off
             self._nodes.append(rec2)
         for k in self._cameras:
             vals = list(prefab._cameras[k])
@@ -215,6 +261,16 @@ class SceneBuilder:
             if k == "node":
                 vals = [v + offset for v in vals]
             self._sprites[k].extend(vals)
+        for k in self._sounds:
+            vals = list(prefab._sounds[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            elif k == "buffer":
+                vals = [v + buf_off for v in vals]
+            self._sounds[k].extend(vals)
+        self._sound_buffers.extend(prefab._sound_buffers)
+        self._listeners["node"].extend(
+            v + offset for v in prefab._listeners["node"])
         return root
 
     # -- pack ----------------------------------------------------------------
@@ -265,6 +321,9 @@ class SceneBuilder:
             meshes=self._meshes,
             sprites={k: np.asarray(v) for k, v in self._sprites.items()},
             decals={k: np.asarray(v) for k, v in self._decals.items()},
+            sounds={k: np.asarray(v) for k, v in self._sounds.items()},
+            listeners={k: np.asarray(v) for k, v in self._listeners.items()},
+            sound_buffers=list(self._sound_buffers),
             extras=dict(self.extras),
         )
         return template

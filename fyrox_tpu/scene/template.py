@@ -97,6 +97,12 @@ class SceneTemplate:
     meshes: list = field(default_factory=list)        # list of MeshData
     sprites: dict = field(default_factory=dict)       # SoA dict of sprite params
     decals: dict = field(default_factory=dict)        # SoA dict of decal params
+    # sound sources + listeners (fyrox-impl/src/scene/sound/mod.rs,
+    # listener.rs): per-source static params; positions come from node
+    # globals each block (sound/scene.py glue)
+    sounds: dict = field(default_factory=dict)        # SoA dict of source params
+    listeners: dict = field(default_factory=dict)     # SoA dict (node)
+    sound_buffers: list = field(default_factory=list)  # list of mono f32 arrays
     # physics template (fyrox_tpu.physics), animation template, etc. are
     # attached by their subsystem builders:
     extras: dict = field(default_factory=dict)
