@@ -139,7 +139,12 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
         pt = pb.build(broadphase="slab", slab_window=sw,
                       slab_active=int(_os.environ.get("FYROX_SLAB_ACTIVE",
                                                       16)),
-                      slab_walk=int(_os.environ.get("FYROX_SLAB_WALK", 48)))
+                      slab_walk=int(_os.environ.get("FYROX_SLAB_WALK", 48)),
+                      # temporal broadphase reuse: rebuild candidates every
+                      # N steps from two-sided fattened AABBs (slab2.py);
+                      # N=4 measured safe on the settled 1k pile
+                      broadphase_period=int(_os.environ.get(
+                          "FYROX_SLAB_BP_PERIOD", 4)))
     else:
         if max_active_pairs is None:
             # dense (uncompacted) pair lists unlock the static-incidence

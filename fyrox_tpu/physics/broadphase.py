@@ -480,10 +480,15 @@ class SlabCandidates(NamedTuple):
     pid: jnp.ndarray       # i*C + j warmstart identity (-1 invalid)
 
 
-def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
-                    ) -> List[SlabCandidates]:
+def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
+                    return_demand=False) -> List[SlabCandidates]:
     """Hash-grid walk into the static slot layout; one SlabCandidates per
-    manifold class. amin/amax [W,C,3]."""
+    manifold class. amin/amax [W,C,3].
+
+    return_demand=True additionally returns a dict with the raw
+    walk-window demand (`walk_total` [W,Cg]) and per-class valid counts
+    (`class_valid` list of [W,Cg]) — overflow diagnosis for window
+    sizing (demand beyond s_walk / s_class drops candidates silently)."""
     from fyrox_tpu.physics.pallas_ops import count_lt, gather_rows
     col_body = np.asarray(col_body)
     dyn_col = np.asarray(dyn_col)
@@ -590,6 +595,7 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
                   & jnp.all((imin <= bmax) & (imax >= bmin), axis=-1))
 
     out = []
+    demand = {"walk_total": total, "class_valid": []}
     for c in range(3):
         s_c = sc.s_class[c]
         nslot_c = sc.nslot(c)
@@ -597,6 +603,7 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
             z2 = jnp.zeros((w, 0), jnp.int32)
             out.append(SlabCandidates(z2, z2, jnp.zeros((w, 0), bool),
                                       jnp.zeros((w, 0), bool), z2))
+            demand["class_valid"].append(jnp.zeros((w, cg), jnp.float32))
             continue
         mask_c = valid_w & (cls_w == c)
         vf = mask_c.astype(jnp.float32)
@@ -639,6 +646,9 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax
                         * sc.num_colliders + j_real, -1)
         out.append(SlabCandidates(j_real=j_real, body_j=body_j, valid=valid,
                                   swap=swap, pid=pid))
+        demand["class_valid"].append(n_valid)
+    if return_demand:
+        return out, demand
     return out
 
 

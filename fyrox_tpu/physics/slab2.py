@@ -301,8 +301,17 @@ def _collider_pose_planes(cx: _Ctx, pos_b, q_b, lv_b):
     return cpos, wq, lvc
 
 
-def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin):
-    """Fat swept AABB planes [W,C] x 6 (amin3, amax3)."""
+def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin,
+                 two_sided=False, extra=0.0):
+    """Fat swept AABB planes [W,C] x 6 (amin3, amax3).
+
+    two_sided=True is the broadphase temporal-reuse mode
+    (template.broadphase_period > 1): the cached candidate set must cover
+    motion in ANY direction until the next rebuild (impacts reverse
+    velocities), so the sweep inflates both sides; the sweep cap halves
+    to keep the total AABB extent within the ±1-cell column-walk
+    correctness bound. `extra` adds a velocity-drift bound (gravity over
+    the reuse horizon)."""
     sc = t.grid
     shp = jnp.asarray(cx.shape)[None]
     p = [jnp.asarray(cx.params[:, i])[None] for i in range(6)]
@@ -338,9 +347,14 @@ def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin):
     cap3 = jnp.asarray(sc.sweep_cap)[None]
     amin, amax = [], []
     for i in range(3):
-        swc = jnp.clip(v_sweep[i], -cap3, cap3)
-        amin.append(cpos[i] - he[i] + jnp.minimum(swc, 0.0))
-        amax.append(cpos[i] + he[i] + jnp.maximum(swc, 0.0))
+        if two_sided:
+            ext = jnp.clip(jnp.abs(v_sweep[i]) + extra, 0.0, cap3 * 0.5)
+            amin.append(cpos[i] - he[i] - ext)
+            amax.append(cpos[i] + he[i] + ext)
+        else:
+            swc = jnp.clip(v_sweep[i], -cap3, cap3)
+            amin.append(cpos[i] - he[i] + jnp.minimum(swc, 0.0))
+            amax.append(cpos[i] + he[i] + jnp.maximum(swc, 0.0))
     # halfspace: actual half-volume along the plane normal (crot col 1)
     is_hs = shp == sh.HALFSPACE
     n_hs = (crot9[1], crot9[4], crot9[7])
@@ -854,11 +868,41 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
     crot9 = q_to_rot9(cq)
     v_sweep = scale3(lv_c, dt)
     margin = t.allowed_linear_error + SPECULATIVE_MARGIN
-    amin, amax = _aabb_planes(cx, t, cpos, crot9, v_sweep, margin)
 
-    # ---- broadphase (existing hash-grid walk; [W,C,3] boundary) ----
-    cands = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
-                                   _stack(amin), _stack(amax))
+    # ---- broadphase (hash-grid walk; [W,C,3] boundary) ----
+    period = int(getattr(t, "broadphase_period", 1) or 1)
+    if period <= 1 or state.bp_cache is None:
+        amin, amax = _aabb_planes(cx, t, cpos, crot9, v_sweep, margin)
+        cands = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
+                                       _stack(amin), _stack(amax))
+        new_cache, new_age = state.bp_cache, state.bp_age
+    else:
+        # temporal reuse: rebuild every `period` steps with two-sided
+        # temporally-fattened AABBs (rapier incremental-SAP margin
+        # analog); in between, reuse the cached candidate windows. The
+        # fat set is a superset of the true overlap set for the whole
+        # reuse horizon (|v|·period·dt sweep + gravity drift bound), so
+        # reuse is exact as long as no candidate window overflows — the
+        # per-step narrowphase still gates contact activation exactly.
+        dtv = jnp.asarray(dt, dtype)
+        gmag = float(np.linalg.norm(np.asarray(t.gravity, np.float64)))
+        extra = 0.5 * gmag * (period * dtv) ** 2
+
+        def _rebuild(_):
+            aminf, amaxf = _aabb_planes(
+                cx, t, cpos, crot9, scale3(lv_c, dtv * period), margin,
+                two_sided=True, extra=extra)
+            cs = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
+                                        _stack(aminf), _stack(amaxf))
+            return tuple(tuple(c) for c in cs)
+
+        def _reuse(_):
+            return state.bp_cache
+
+        rebuild_now = (state.bp_age[0] % period) == 0
+        new_cache = jax.lax.cond(rebuild_now, _rebuild, _reuse, None)
+        cands = [bp_mod.SlabCandidates(*c) for c in new_cache]
+        new_age = (state.bp_age + 1) % period
 
     # ---- narrowphase + active-point compaction ----
     attrs_f, attrs_i = _narrowphase_windows(cx, t, cands, cpos, cq, crot9,
@@ -889,7 +933,8 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
                         force=jnp.zeros_like(state.force),
                         torque=jnp.zeros_like(state.torque),
                         warm_n=warm_n, warm_t1=warm_t1, warm_t2=warm_t2,
-                        warm_pair=warm_pair)
+                        warm_pair=warm_pair,
+                        bp_cache=new_cache, bp_age=new_age)
 
 
 def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
@@ -1255,6 +1300,45 @@ def _kernel_params(t, dt):
 # --------------------------------------------------------------------------
 # diagnostics (ADVICE: slab overflow visibility)
 # --------------------------------------------------------------------------
+
+def bp_demand_stats(t, state, period=1, dt=1.0 / 60.0):
+    """Broadphase window demand of the CURRENT state at a given temporal
+    reuse period: raw walk-window candidates vs s_walk and per-class valid
+    candidates vs s_class (+big slots). Demand beyond the windows drops
+    candidates silently — run after settling to size `slab_window` /
+    `broadphase_period` together."""
+    from fyrox_tpu.physics.world import SPECULATIVE_MARGIN
+    cx = _ctx(t)
+    sc = t.grid
+    pos_b = _unstack3(state.position)
+    q_b = _unstack4(state.rotation)
+    lv_b = _unstack3(state.linvel)
+    cpos, cq, lv_c = _collider_pose_planes(cx, pos_b, q_b, lv_b)
+    crot9 = q_to_rot9(cq)
+    margin = t.allowed_linear_error + SPECULATIVE_MARGIN
+    if period > 1:
+        gmag = float(np.linalg.norm(np.asarray(t.gravity, np.float64)))
+        extra = 0.5 * gmag * (period * dt) ** 2
+        amin, amax = _aabb_planes(cx, t, cpos, crot9,
+                                  scale3(lv_c, dt * period), margin,
+                                  two_sided=True, extra=extra)
+    else:
+        amin, amax = _aabb_planes(cx, t, cpos, crot9, scale3(lv_c, dt),
+                                  margin)
+    _, demand = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
+                                       _stack(amin), _stack(amax),
+                                       return_demand=True)
+    walk = np.asarray(demand["walk_total"])
+    out = dict(max_walk=int(walk.max()), s_walk=int(sc.s_walk),
+               walk_dropped=int(np.maximum(walk - sc.s_walk, 0).sum()))
+    for cls in range(3):
+        nv = np.asarray(demand["class_valid"][cls])
+        cap = sc.s_class[cls]
+        out[f"class{cls}"] = dict(
+            max_valid=int(nv.max()), cap=int(cap),
+            dropped=int(np.maximum(nv - cap, 0).sum()) if cap else 0)
+    return out
+
 
 def overflow_stats(t, state):
     """Active-point demand vs the s_active compaction window.

@@ -108,6 +108,12 @@ class PhysicsTemplate:
     warmstart_coefficient: float = 1.0   # physics/mod.rs:877
     mass_split_pow: float = 0.5          # solver.SolverParams.mass_split_pow
     gravity: tuple = (0.0, -9.81, 0.0)   # physics/mod.rs:1118
+    # broadphase temporal reuse (slab-v2 path only): rebuild the candidate
+    # windows every N steps from two-sided temporally-fattened AABBs and
+    # reuse them in between (rapier's incremental-SAP margin analog —
+    # candidates stay a superset of the true overlap set, so reuse is
+    # semantically exact while amortizing the rebuild cost N×).
+    broadphase_period: int = 1
 
     @property
     def num_bodies(self):
@@ -165,6 +171,12 @@ class PhysicsState(NamedTuple):
     warm_t1: Optional[jnp.ndarray] = None   # [W,K]
     warm_t2: Optional[jnp.ndarray] = None   # [W,K]
     warm_pair: Optional[jnp.ndarray] = None # [W,K//4] int32 pair id per slot
+    # broadphase temporal-reuse cache (template.broadphase_period > 1 on
+    # the slab-v2 path): per manifold class a (j_real, body_j, valid,
+    # swap, pid) tuple of [W,Kc] slot tensors, plus the step age that
+    # schedules rebuilds. None everywhere else.
+    bp_cache: Optional[tuple] = None
+    bp_age: Optional[jnp.ndarray] = None    # [W] int32
 
 
 class PhysicsBuilder:
@@ -513,6 +525,7 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
     w = num_worlds
     b = template.num_bodies
     z = jnp.zeros((w, b, 3), jnp.float32)
+    bp_fields = {}
     if template.grid is not None:
         from fyrox_tpu.physics.broadphase import CLASS_NPTS, SlabConfig
         if isinstance(template.grid, SlabConfig):
@@ -523,6 +536,22 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
                 # warmstart at Cg * s_active contact points)
                 kk = cap = (int(template.grid.grid_cols.size)
                             * int(template.grid.s_active))
+                period = int(getattr(template, "broadphase_period", 1) or 1)
+                if period > 1:
+                    # empty candidate cache; age 0 forces a rebuild on the
+                    # first step (slab2.step_slab2 temporal reuse)
+                    sc = template.grid
+                    cgn = int(sc.grid_cols.size)
+                    cache = []
+                    for cls in range(3):
+                        k = cgn * sc.nslot(cls)
+                        cache.append((jnp.zeros((w, k), jnp.int32),
+                                      jnp.zeros((w, k), jnp.int32),
+                                      jnp.zeros((w, k), bool),
+                                      jnp.zeros((w, k), bool),
+                                      jnp.full((w, k), -1, jnp.int32)))
+                    bp_fields = dict(bp_cache=tuple(cache),
+                                     bp_age=jnp.zeros((w,), jnp.int32))
             else:
                 cap = template.grid.n_slots
                 kk = template.grid.slot_points
@@ -544,6 +573,7 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
         warm_t1=jnp.zeros((w, kk), jnp.float32),
         warm_t2=jnp.zeros((w, kk), jnp.float32),
         warm_pair=jnp.full((w, cap), -1, jnp.int32),
+        **bp_fields,
     )
 
 
@@ -586,8 +616,12 @@ def step_physics(state: PhysicsState, t: PhysicsTemplate, dt) -> PhysicsState:
             from fyrox_tpu.physics import slab2
             if slab2.supports(t) and not os.environ.get("FYROX_SLAB_V1"):
                 return slab2.step_slab2(state, t, dt, accel, angvel, inv_mass)
-            return _step_physics_slab(state, t, dt, accel, angvel, inv_mass)
-        return _step_physics_grid(state, t, dt, accel, angvel, inv_mass)
+            st = _step_physics_slab(state, t, dt, accel, angvel, inv_mass)
+            # preserve pytree structure when a cached-broadphase state is
+            # routed through the v1 path (e.g. FYROX_SLAB_V1 mid-session)
+            return st._replace(bp_cache=state.bp_cache, bp_age=state.bp_age)
+        st = _step_physics_grid(state, t, dt, accel, angvel, inv_mass)
+        return st._replace(bp_cache=state.bp_cache, bp_age=state.bp_age)
 
     # ---- broadphase + narrowphase (once per step, rapier-style) ----
     contacts = None

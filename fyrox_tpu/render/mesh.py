@@ -27,6 +27,16 @@ class MeshData:
     # < 1 routes the mesh through the forward/transparent pass
     # (RenderPath::Forward, renderer/mod.rs:1066-1115)
     alpha: float = 1.0
+    # texture-mapped material inputs (gbuffer.rs:57 material texture sets):
+    # sampled at shade time in the deferred path via the scene texture
+    # array (render/pipeline.py). albedo_texture multiplies the albedo
+    # color; mr_texture's RG channels multiply metallic/roughness. A
+    # render.texture.Material may be attached instead — its
+    # diffuseTexture / metallicRoughnessTexture bindings (the .shader
+    # standard property names, render/shader.py) are picked up.
+    albedo_texture: object = None   # render.texture.Texture or [H,W,C]
+    mr_texture: object = None
+    material: object = None         # render.texture.Material
 
     @property
     def bbox(self):

@@ -400,4 +400,5 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
     z = jnp.where(mask, z, _BIG)
     return GBuffer(depth=z, albedo=out["albedo"], normal=out["normal"],
                    position=out["position"], material=out["material"],
-                   emission=out["emission"], mask=mask)
+                   emission=out["emission"], mask=mask,
+                   uvt=out.get("uvt"))

@@ -101,6 +101,14 @@ class RenderTemplate:
     decal_node: np.ndarray = None    # [D] int32
     decal_color: np.ndarray = None   # [D,3]
     decal_strength: np.ndarray = None  # [D]
+    # texture-mapped materials (gbuffer.rs:57 / bundle.rs:484-495): all
+    # scene textures packed into ONE array (normalized resolution); per-
+    # triangle layer ids ride the G-buffer's uvt channel and the deferred
+    # pass samples at shade time
+    uvs: np.ndarray = None           # [V,2]
+    tex_array: np.ndarray = None     # [NT,R,R,4] or None
+    tri_tex: np.ndarray = None       # [T] int32 albedo layer (-1 = none)
+    tri_mr: np.ndarray = None        # [T] int32 metallic-roughness layer
 
     @property
     def num_triangles(self):
@@ -111,24 +119,52 @@ def build_render_template(template: SceneTemplate,
                           camera_index: int = 0) -> RenderTemplate:
     """Pack all MESH payloads of a SceneTemplate + its lights/camera."""
     pos, nrm, tris, vnode, tnode, alb, mat, emi = [], [], [], [], [], [], [], []
-    tri_alpha = []
+    tri_alpha, uvs, tri_tex, tri_mr = [], [], [], []
+    textures: list = []         # registered scene textures (dedup by id)
+    tex_ids: dict = {}
     voff = 0
+
+    def _register(tex):
+        if tex is None:
+            return -1
+        key = id(tex)
+        if key not in tex_ids:
+            arr = tex.base if hasattr(tex, "base") else np.asarray(tex)
+            tex_ids[key] = len(textures)
+            textures.append(np.asarray(arr, np.float32))
+        return tex_ids[key]
+
+    def _mesh_tex(mesh, attr, mat_key):
+        t = getattr(mesh, attr, None)
+        m = getattr(mesh, "material", None)
+        if t is None and m is not None and getattr(m, "textures", None):
+            t = m.textures.get(mat_key)     # .shader standard names
+        return t
+
     for node_idx in range(template.num_nodes):
         if template.node_type[node_idx] != NodeType.MESH:
             continue
         mesh = template.meshes[template.payload[node_idx]]
         v = mesh.positions.shape[0]
+        nt = mesh.triangles.shape[0]
         pos.append(mesh.positions)
         nrm.append(mesh.normals)
         tris.append(mesh.triangles + voff)
         vnode.append(np.full(v, node_idx, np.int32))
-        tnode.append(np.full(mesh.triangles.shape[0], node_idx, np.int32))
+        tnode.append(np.full(nt, node_idx, np.int32))
         alb.append(np.tile(np.asarray(mesh.albedo, np.float32), (v, 1)))
         mat.append(np.tile(np.asarray([mesh.metallic, mesh.roughness],
                                       np.float32), (v, 1)))
         emi.append(np.tile(np.asarray(mesh.emission, np.float32), (v, 1)))
-        tri_alpha.append(np.full(mesh.triangles.shape[0],
-                                 getattr(mesh, "alpha", 1.0), np.float32))
+        tri_alpha.append(np.full(nt, getattr(mesh, "alpha", 1.0), np.float32))
+        muv = getattr(mesh, "uvs", None)
+        uvs.append(np.asarray(muv, np.float32) if muv is not None
+                   and len(np.shape(muv)) == 2 else np.zeros((v, 2), np.float32))
+        tri_tex.append(np.full(nt, _register(
+            _mesh_tex(mesh, "albedo_texture", "diffuseTexture")), np.int32))
+        tri_mr.append(np.full(nt, _register(
+            _mesh_tex(mesh, "mr_texture", "metallicRoughnessTexture")),
+            np.int32))
         voff += v
     n_sprites = len((template.sprites or {}).get("node", []))
     if not pos and not n_sprites:
@@ -143,6 +179,22 @@ def build_render_template(template: SceneTemplate,
         mat = [np.zeros((3, 2), np.float32)]
         emi = [np.zeros((3, 3), np.float32)]
         tri_alpha = [np.zeros(0, np.float32)]
+        uvs = [np.zeros((3, 2), np.float32)]
+        tri_tex = [np.zeros(0, np.int32)]
+        tri_mr = [np.zeros(0, np.int32)]
+
+    tex_array = None
+    if textures:
+        from fyrox_tpu.render.texture import resize_bilinear
+        r = min(max(max(t.shape[0], t.shape[1]) for t in textures), 512)
+        packed = []
+        for t in textures:
+            if t.ndim == 2:
+                t = np.repeat(t[..., None], 4, -1)
+            if t.shape[-1] == 3:
+                t = np.concatenate([t, np.ones_like(t[..., :1])], -1)
+            packed.append(resize_bilinear(t, r))
+        tex_array = np.stack(packed).astype(np.float32)
 
     sp = template.sprites if template.sprites else {}
     ns = len(sp.get("node", []))
@@ -180,6 +232,10 @@ def build_render_template(template: SceneTemplate,
                      else np.zeros(0, np.float32)),
         sprite_color=(np.stack(sp["color"]).astype(np.float32) if ns
                       else np.zeros((0, 3), np.float32)),
+        uvs=np.concatenate(uvs).astype(np.float32),
+        tex_array=tex_array,
+        tri_tex=np.concatenate(tri_tex) if tri_tex else None,
+        tri_mr=np.concatenate(tri_mr) if tri_mr else None,
         tr_tri=np.flatnonzero(np.concatenate(tri_alpha) < 0.999
                               ).astype(np.int32),
         tr_alpha=np.concatenate(tri_alpha)[
@@ -301,6 +357,19 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         material=jnp.asarray(rt.material)[tri],
         emission=jnp.asarray(rt.emission)[tri],
     )
+    textured = rt.tex_array is not None
+    if textured:
+        # (u, v, albedo_layer, mr_layer) per vertex: the layer ids are
+        # per-triangle constants, so barycentric interpolation returns
+        # them exactly; the deferred pass samples the texture array at
+        # shade time (gbuffer.rs:57 material texture sets)
+        uv_tri = jnp.asarray(rt.uvs)[tri]                       # [T,3,2]
+        tshape = uv_tri.shape[:2] + (1,)
+        tid_a = jnp.broadcast_to(
+            jnp.asarray(rt.tri_tex, jnp.float32)[:, None, None], tshape)
+        tid_m = jnp.broadcast_to(
+            jnp.asarray(rt.tri_mr, jnp.float32)[:, None, None], tshape)
+        attrs["uvt"] = jnp.concatenate([uv_tri, tid_a, tid_m], -1)
 
     # ---- sprites: camera-facing billboards (sprite.rs) ----
     n_sprites = rt.sprite_node.shape[0] if rt.sprite_node is not None else 0
@@ -329,6 +398,10 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
             # sprites are emissive so they read as unlit billboards
             emission=jnp.broadcast_to(col[:, None], sp_pos.shape),
         )
+        if textured:
+            sp_attrs["uvt"] = jnp.concatenate(
+                [jnp.zeros(sp_pos.shape[:2] + (2,), jnp.float32),
+                 jnp.full(sp_pos.shape[:2] + (2,), -1.0, jnp.float32)], -1)
         sp_valid = jnp.repeat(node_vis[jnp.asarray(rt.sprite_node)], 2)
         tri_clip = jnp.concatenate([tri_clip, sp_clip], 0)
         attrs = {k: jnp.concatenate([attrs[k], sp_attrs[k]], 0) for k in attrs}
@@ -345,6 +418,26 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
         gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
                                     config.width, tri_valid=tri_valid,
                                     chunk=config.chunk)
+
+    # ---- texture-mapped materials: sample the scene texture array at
+    # the interpolated uv + per-pixel layer id (gbuffer.rs:57 fill binds
+    # the full material texture set; bundle.rs:484-495 material blocks).
+    # Albedo maps multiply the vertex/material color; MR maps' RG multiply
+    # metallic/roughness ----
+    if textured and gbuf.uvt is not None:
+        from fyrox_tpu.render.texture import sample_array_bilinear
+        uv_px = gbuf.uvt[..., :2]
+        tid_a = jnp.round(gbuf.uvt[..., 2]).astype(jnp.int32)
+        tid_m = jnp.round(gbuf.uvt[..., 3]).astype(jnp.int32)
+        tex = jnp.asarray(rt.tex_array)
+        sa = sample_array_bilinear(tex, jnp.maximum(tid_a, 0), uv_px)
+        sm = sample_array_bilinear(tex, jnp.maximum(tid_m, 0), uv_px)
+        has_a = ((tid_a >= 0) & gbuf.mask)[..., None]
+        has_m = ((tid_m >= 0) & gbuf.mask)[..., None]
+        gbuf = gbuf._replace(
+            albedo=jnp.where(has_a, gbuf.albedo * sa[..., :3], gbuf.albedo),
+            material=jnp.where(has_m, gbuf.material * sm[..., :2],
+                               gbuf.material))
 
     # ---- decals (renderer/decal.rs): project color into the G-buffer
     # inside each decal node's unit-cube volume, before lighting ----

@@ -37,6 +37,10 @@ class GBuffer(NamedTuple):
     material: jnp.ndarray   # [..., H, W, 2] metallic, roughness
     emission: jnp.ndarray   # [..., H, W, 3]
     mask: jnp.ndarray       # [..., H, W] bool coverage
+    # interpolated (u, v, albedo_layer, mr_layer) when the scene binds
+    # material textures (pipeline samples the scene texture array at
+    # shade time); None in untextured scenes
+    uvt: object = None      # [..., H, W, 4] or None
 
 
 def transform_clip(positions, mvp):
@@ -239,4 +243,5 @@ def rasterize(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height, width,
         off += d
     return GBuffer(depth=zbuf, albedo=out["albedo"], normal=out["normal"],
                    position=out["position"], material=out["material"],
-                   emission=out["emission"], mask=mbuf)
+                   emission=out["emission"], mask=mbuf,
+                   uvt=out.get("uvt"))

@@ -14,7 +14,8 @@ from typing import Dict, List, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["Texture", "load_texture", "Material", "sample_bilinear"]
+__all__ = ["Texture", "load_texture", "Material", "sample_bilinear",
+           "sample_array_bilinear", "resize_bilinear"]
 
 
 @dataclass
@@ -81,6 +82,59 @@ def sample_bilinear(tex, uv):
     c10 = at(y0, x0 + 1)
     c01 = at(y0 + 1, x0)
     c11 = at(y0 + 1, x0 + 1)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def sample_array_bilinear(tex_array, tid, uv):
+    """Bilinear sample from a TEXTURE ARRAY: tex_array [NT,R,R,C], tid
+    [...] int32 layer, uv [...,2] in [0,1] (wrapping). Returns [...,C].
+
+    One flat gather over (layer, y, x) — the deferred pipeline's per-pixel
+    material fetch (gbuffer.rs:57 binds per-instance texture sets; here
+    every scene texture lives in one array and the layer id rides the
+    G-buffer)."""
+    tex_array = jnp.asarray(tex_array)
+    nt, r = tex_array.shape[0], tex_array.shape[1]
+    flat = tex_array.reshape(nt * r * r, tex_array.shape[-1])
+    u = jnp.mod(uv[..., 0], 1.0) * r - 0.5
+    v = jnp.mod(uv[..., 1], 1.0) * r - 0.5
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+
+    def at(y, x):
+        idx = (tid * r + jnp.mod(y, r)) * r + jnp.mod(x, r)
+        return flat[idx]
+
+    c00 = at(y0, x0)
+    c10 = at(y0, x0 + 1)
+    c01 = at(y0 + 1, x0)
+    c11 = at(y0 + 1, x0 + 1)
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+def resize_bilinear(img: np.ndarray, size: int) -> np.ndarray:
+    """Host-side bilinear resize of [H,W,C] to [size,size,C] (texture-array
+    packing normalizes all scene textures to one resolution)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    if h == size and w == size:
+        return img
+    ys = (np.arange(size) + 0.5) * h / size - 0.5
+    xs = (np.arange(size) + 0.5) * w / size - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    c00 = img[y0][:, x0]
+    c10 = img[y0][:, x1]
+    c01 = img[y1][:, x0]
+    c11 = img[y1][:, x1]
     return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
