@@ -107,6 +107,20 @@ class Widget:
     sel_anchor: int = -1
     wrap: str = "none"             # "none" | "letter" | "word"
     on_commit: Optional[Callable] = None   # fn(ui, handle) on Enter
+    # list view / dropdown list (list_view.rs, dropdown_list.rs)
+    items: List[str] = field(default_factory=list)
+    selected: int = -1
+    # popup / menu / dropdown open state (popup.rs, menu.rs)
+    open: bool = False
+    popup_pos: Tuple[float, float] = (0.0, 0.0)
+    # progress bar (progress_bar.rs): fraction in [0,1]
+    progress: float = 0.0
+    # range / slider (range.rs, scroll_bar.rs)
+    value: float = 0.0
+    min_value: float = 0.0
+    max_value: float = 1.0
+    # nine patch (nine_patch.rs): fixed-margin frame, stretching center
+    patch_border: float = 8.0
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -170,6 +184,10 @@ class UserInterface:
                 w.sel_anchor = -1
             elif self.focus is not None:
                 self.focus = None
+            if hit is not None and not self._in_open_overlay(hit):
+                # click-away: anything outside an open overlay chain
+                # closes menus/popups/dropdowns (popup.rs focus loss)
+                self.close_popups()
             if hit is not None:
                 w = self.nodes.borrow(hit)
                 msg = UiMessage(destination=hit,
@@ -186,8 +204,60 @@ class UserInterface:
                     head_h = w.font_size * 1.4
                     if y <= w.actual_rect.y + head_h:
                         w.expanded = not w.expanded
+                if w.kind == "menu_item":
+                    if w.children:
+                        was = w.open
+                        parent = self.nodes.try_borrow(w.parent)
+                        if parent is not None:
+                            for sib in parent.children:
+                                self.nodes.borrow(sib).open = False
+                        w.open = not was
+                        self.update_layout()
+                    else:
+                        self.send_message(UiMessage(
+                            destination=hit,
+                            data={"type": "menu_selected", "item": w.text},
+                            direction="from_widget"))
+                        self.close_popups()
+                if w.kind == "dropdown":
+                    w.open = not w.open
+                    lst = self._dropdown_list(hit)
+                    lw = self.nodes.borrow(lst)
+                    lw.items = list(w.items)
+                    lw.selected = w.selected
+                    self.update_layout()
+                if w.kind == "list":
+                    row_h = w.font_size * 1.4
+                    idx = int((y - w.actual_rect.y) // row_h)
+                    if 0 <= idx < len(w.items):
+                        w.selected = idx
+                        self.send_message(UiMessage(
+                            destination=hit,
+                            data={"type": "selection_changed",
+                                  "index": idx, "item": w.items[idx]},
+                            direction="from_widget"))
+                        parent = self.nodes.try_borrow(w.parent)
+                        if parent is not None and parent.kind == "dropdown":
+                            parent.selected = idx
+                            parent.open = False
+                            self.send_message(UiMessage(
+                                destination=w.parent,
+                                data={"type": "selection_changed",
+                                      "index": idx, "item": w.items[idx]},
+                                direction="from_widget"))
+                            self.update_layout()
+                if w.kind == "slider":
+                    t = (x - w.actual_rect.x) / max(w.actual_rect.w, 1e-9)
+                    t = min(max(t, 0.0), 1.0)
+                    w.value = w.min_value + t * (w.max_value - w.min_value)
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "value_changed", "value": w.value},
+                        direction="from_widget"))
                 if w.on_click is not None:
                     w.on_click(self, hit)
+            else:
+                self.close_popups()
         elif event.get("type") == "scroll":
             hit = self._hit_test(self.root, event["x"], event["y"])
             while hit is not None:
@@ -197,6 +267,51 @@ class UserInterface:
                                 max(w.scroll[1] - event.get("dy", 0.0), 0.0))
                     break
                 hit = w.parent if w.parent.is_some() else None
+
+    def _in_open_overlay(self, handle: Handle) -> bool:
+        """True when the widget is an overlay kind (menu_item/popup/
+        dropdown/list) or lives under one — clicks there must not
+        trigger click-away closing."""
+        h = handle
+        while h is not None and h.is_some():
+            w = self.nodes.try_borrow(h)
+            if w is None:
+                return False
+            if w.kind in ("menu", "menu_item", "popup", "dropdown", "list"):
+                return True
+            h = w.parent
+        return False
+
+    def close_popups(self):
+        """Close every open menu/popup/dropdown (click-away semantics,
+        popup.rs hide-on-focus-loss)."""
+        changed = False
+        for _h, w in self.nodes.iter():
+            if getattr(w, "kind", None) in ("menu_item", "popup",
+                                            "dropdown") and w.open:
+                w.open = False
+                changed = True
+        if changed:
+            self.update_layout()
+
+    def open_popup(self, handle: Handle, x: float, y: float):
+        """Show a popup widget at screen position (popup.rs Placement)."""
+        w = self.nodes.borrow(handle)
+        w.popup_pos = (float(x), float(y))
+        w.open = True
+        self.update_layout()
+
+    def _dropdown_list(self, handle: Handle) -> Handle:
+        """The dropdown's auto-managed child list (dropdown_list.rs keeps
+        an internal ListView)."""
+        w = self.nodes.borrow(handle)
+        for c in w.children:
+            if self.nodes.borrow(c).kind == "list":
+                return c
+        return self.add(Widget(kind="list", items=list(w.items),
+                               background=w.background,
+                               foreground=w.foreground,
+                               font_size=w.font_size), parent=handle)
 
     def _key_event(self, event: Dict):
         """Keyboard input routed to the focused TextBox (text_box.rs
@@ -298,6 +413,55 @@ class UserInterface:
             box = w.font_size
             content = (box + 6 + len(w.text) * w.font_size * 0.55,
                        max(box, w.font_size * 1.3))
+        elif w.kind == "menu":
+            # horizontal bar of menu_item children (menu.rs)
+            total = 0.0
+            for c in w.children:
+                cs = self.measure(c, inner)
+                total += cs[0]
+            content = (total, w.font_size * 1.6)
+        elif w.kind == "menu_item":
+            # own label only; the submenu overlays (popup), so children
+            # never contribute to the bar layout
+            for c in w.children:
+                self.measure(c, inner)
+            content = (len(w.text) * w.font_size * 0.55 + 16,
+                       w.font_size * 1.6)
+        elif w.kind == "popup":
+            # free-floating overlay at popup_pos (popup.rs); contents
+            # stacked vertically
+            ww = hh = 0.0
+            for c in w.children:
+                cs = self.measure(c, inner)
+                ww = max(ww, cs[0])
+                hh += cs[1]
+            content = (ww + 8, hh + 8) if w.open else (0.0, 0.0)
+        elif w.kind == "list":
+            row_h = w.font_size * 1.4
+            ww = max((len(s) * w.font_size * 0.55 + 12 for s in w.items),
+                     default=40.0)
+            content = (ww, row_h * max(len(w.items), 1))
+        elif w.kind == "dropdown":
+            ww = max((len(s) * w.font_size * 0.55 + 28 for s in w.items),
+                     default=60.0)
+            for c in w.children:
+                self.measure(c, inner)
+            content = (ww, w.font_size * 1.5)     # closed height only
+        elif w.kind == "progress":
+            content = (max(inner[0], 40.0) if not np.isfinite(w.width)
+                       else w.width, w.font_size * 0.9)
+        elif w.kind == "slider":
+            content = (max(inner[0], 60.0) if not np.isfinite(w.width)
+                       else w.width, w.font_size * 1.2)
+        elif w.kind == "ninepatch":
+            # fixed border margins, stretching center (nine_patch.rs)
+            body = (0.0, 0.0)
+            pb2 = 2 * w.patch_border
+            for c in w.children:
+                cs = self.measure(c, (max(inner[0] - pb2, 0.0),
+                                      max(inner[1] - pb2, 0.0)))
+                body = (max(body[0], cs[0]), max(body[1], cs[1]))
+            content = (body[0] + pb2, body[1] + pb2)
         elif w.kind == "tile":
             # dock tile (dock/mod.rs): splits measure children at the
             # ratio-divided size; content tiles fill with their children
@@ -393,6 +557,61 @@ class UserInterface:
                     offset += cw.desired_size[1]
                 else:
                     self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "menu":
+            offset = 0.0
+            for c in w.children:
+                cw = self.nodes.borrow(c)
+                self.arrange(c, Rect(rect.x + offset, rect.y,
+                                     cw.desired_size[0], rect.h))
+                offset += cw.desired_size[0]
+        elif w.kind == "menu_item":
+            # open submenu becomes a vertical popup below this item
+            if w.open:
+                ww = max((self.nodes.borrow(c).desired_size[0]
+                          for c in w.children), default=0.0)
+                oy = rect.y + rect.h
+                for c in w.children:
+                    cw = self.nodes.borrow(c)
+                    self.arrange(c, Rect(rect.x, oy, ww,
+                                         cw.desired_size[1]))
+                    oy += cw.desired_size[1]
+            else:
+                for c in w.children:
+                    self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "popup":
+            if w.open:
+                px, py = w.popup_pos
+                w.actual_rect = Rect(px, py, w.desired_size[0],
+                                     w.desired_size[1])
+                oy = py + 4
+                for c in w.children:
+                    cw = self.nodes.borrow(c)
+                    self.arrange(c, Rect(px + 4, oy,
+                                         w.desired_size[0] - 8,
+                                         cw.desired_size[1]))
+                    oy += cw.desired_size[1]
+            else:
+                w.actual_rect = Rect(rect.x, rect.y, 0.0, 0.0)
+                for c in w.children:
+                    self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "dropdown":
+            # the open row list overlays below the closed box
+            oy = rect.y + rect.h
+            for c in w.children:
+                cw = self.nodes.borrow(c)
+                if w.open:
+                    self.arrange(c, Rect(rect.x, oy, rect.w,
+                                         cw.desired_size[1]))
+                    oy += cw.desired_size[1]
+                else:
+                    self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "ninepatch":
+            pb = w.patch_border
+            inner_r = Rect(rect.x + pb, rect.y + pb,
+                           max(rect.w - 2 * pb, 0.0),
+                           max(rect.h - 2 * pb, 0.0))
+            for c in w.children:
+                self.arrange(c, inner_r)
         elif (w.kind == "tile" and w.split in ("horizontal", "vertical")
               and len(w.children) == 2):
             sp = w.splitter_px * 0.5
@@ -535,6 +754,80 @@ class UserInterface:
         if w.kind == "curve_editor":
             from fyrox_tpu.ui import curve_editor as ce
             cmds.extend(ce.draw_commands(w))
+        if w.kind == "menu":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+        if w.kind == "menu_item":
+            cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
+                                    text=w.text))
+            if w.open and w.children:
+                # popup backdrop behind the open submenu
+                ys = [self.nodes.borrow(c).actual_rect for c in w.children]
+                x0 = min(r.x for r in ys)
+                y0 = min(r.y for r in ys)
+                x1 = max(r.x + r.w for r in ys)
+                y1 = max(r.y + r.h for r in ys)
+                cmds.append(DrawCommand("rect", Rect(x0 - 2, y0 - 2,
+                                                     x1 - x0 + 4,
+                                                     y1 - y0 + 4),
+                                        w.background))
+        if w.kind == "popup":
+            if not w.open:
+                return
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+        if w.kind == "list":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            row_h = w.font_size * 1.4
+            for i, item in enumerate(w.items):
+                r = Rect(w.actual_rect.x, w.actual_rect.y + i * row_h,
+                         w.actual_rect.w, row_h)
+                if r.y >= w.actual_rect.y + w.actual_rect.h:
+                    break
+                if i == w.selected:
+                    cmds.append(DrawCommand("rect", r,
+                                            (0.2, 0.35, 0.6, 1.0)))
+                cmds.append(DrawCommand("text", r, w.foreground, text=item))
+        if w.kind == "dropdown":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+            label = (w.items[w.selected]
+                     if 0 <= w.selected < len(w.items) else "")
+            cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
+                                    text=f"{label} v"))
+        if w.kind == "progress":
+            cmds.append(DrawCommand("rect", w.actual_rect,
+                                    (0.1, 0.1, 0.1, 1.0)))
+            p = min(max(float(w.progress), 0.0), 1.0)
+            fill = Rect(w.actual_rect.x, w.actual_rect.y,
+                        w.actual_rect.w * p, w.actual_rect.h)
+            cmds.append(DrawCommand("rect", fill, w.foreground))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+        if w.kind == "slider":
+            track = Rect(w.actual_rect.x,
+                         w.actual_rect.y + w.actual_rect.h * 0.4,
+                         w.actual_rect.w, w.actual_rect.h * 0.2)
+            cmds.append(DrawCommand("rect", track, (0.15, 0.15, 0.15, 1.0)))
+            span = max(w.max_value - w.min_value, 1e-9)
+            t = min(max((w.value - w.min_value) / span, 0.0), 1.0)
+            hx = w.actual_rect.x + t * max(w.actual_rect.w - 8, 0.0)
+            cmds.append(DrawCommand("rect",
+                                    Rect(hx, w.actual_rect.y, 8.0,
+                                         w.actual_rect.h), w.foreground))
+        if w.kind == "ninepatch":
+            pb = w.patch_border
+            r = w.actual_rect
+            # center + fixed-margin frame ring (nine_patch.rs: corners keep
+            # their size, edges stretch along one axis only)
+            cmds.append(DrawCommand("rect", Rect(r.x + pb, r.y + pb,
+                                                 max(r.w - 2 * pb, 0),
+                                                 max(r.h - 2 * pb, 0)),
+                                    w.background))
+            for fr in (Rect(r.x, r.y, r.w, pb),               # top edge
+                       Rect(r.x, r.y + r.h - pb, r.w, pb),    # bottom
+                       Rect(r.x, r.y + pb, pb, max(r.h - 2 * pb, 0)),
+                       Rect(r.x + r.w - pb, r.y + pb, pb,
+                            max(r.h - 2 * pb, 0))):
+                cmds.append(DrawCommand("rect", fr, w.foreground))
         if w.kind == "tree" and not w.expanded:
             return                    # collapsed subtree draws nothing
         for c in w.children:
