@@ -19,10 +19,42 @@ import os
 import time
 
 
+def _measure_sharded(engine, n_worlds, steps_per_call, n_calls, devices):
+    """Multi-chip path: shard the world axis over the device mesh
+    (parallel/mesh.py shard_map rollout; psum metrics are the only
+    collective). Returns per-CHIP env·steps/s."""
+    import time as _time
+
+    import jax
+    from fyrox_tpu.parallel import (make_sharded_rollout, shard_state,
+                                    world_mesh)
+
+    nd = len(devices)
+    n_worlds = max(n_worlds // nd, 1) * nd
+    mesh = world_mesh(devices)
+    state = engine.init_state(num_worlds=n_worlds)
+    state = shard_state(state, mesh)
+    roll = make_sharded_rollout(engine, mesh, num_steps=steps_per_call)
+    state, m = roll(state)
+    float(m["total_worlds"])                       # hard sync
+    t0 = _time.perf_counter()
+    for _ in range(n_calls):
+        state, m = roll(state)
+    float(m["mean_body_speed"])                    # hard sync
+    elapsed = _time.perf_counter() - t0
+    return n_worlds * steps_per_call * n_calls / elapsed / nd
+
+
 def _measure(engine, skin, n_worlds, steps_per_call, n_calls):
     import jax
     import jax.numpy as jnp
     from fyrox_tpu.animation import skinning
+
+    devices = jax.devices()
+    if len(devices) > 1:
+        # sharded headline when real multi-chip hardware shows up
+        return _measure_sharded(engine, n_worlds, steps_per_call, n_calls,
+                                devices)
 
     state = engine.init_state(num_worlds=n_worlds)
     params = jnp.zeros((n_worlds, 1), bool)
@@ -83,13 +115,18 @@ def main():
     else:
         value = _measure(engine, skin, n_worlds, steps_per_call, n_calls)
 
-    print(json.dumps({
+    import jax as _jax
+    nd = len(_jax.devices())
+    out = {
         "metric": f"env_steps_per_sec_per_chip (W={n_worlds}, {n_bones} bones/"
                   f"{n_verts} verts skinned, {n_bodies}-body pile)",
         "value": round(value, 1),
         "unit": "env·steps/s/chip",
         "vs_baseline": round(value / baseline_per_chip, 4),
-    }))
+    }
+    if nd > 1:
+        out["n_devices"] = nd       # sharded rollout (parallel/mesh.py)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

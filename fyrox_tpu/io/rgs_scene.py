@@ -34,6 +34,10 @@ _TYPE_UUIDS = {
     "12639b99-e1cf-46a8-a34a-c3cc5db8b22e": NodeType.POINT_LIGHT,
     "23658785-7ceb-4d25-8baa-5200cc2db7b0": NodeType.SPOT_LIGHT,
     "8b210ffc-f1fa-4b8b-b4a5-afc10a9a9d9e": NodeType.DIRECTIONAL_LIGHT,
+    # scene/sound/mod.rs:78 Sound, listener.rs:62 Listener (node kind is
+    # preserved through load; source buffers re-bind via SceneBuilder)
+    "28621735-8cd1-4fad-8faf-ecd24bf8aa99": NodeType.SOUND,
+    "2c7dabc1-5666-4256-b020-01532701e4c6": NodeType.LISTENER,
 }
 
 

@@ -134,17 +134,22 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
         # directed-partner demand of the settled 1k pile
         # (FYROX_SLAB_* env overrides for tuning sweeps).
         import os as _os
+        period = int(_os.environ.get("FYROX_SLAB_BP_PERIOD", 4))
+        # temporal reuse fattens candidate AABBs (rotation-invariant
+        # bounds + |v|·period·dt two-sided sweep): measured class-0 demand
+        # on the settled pile rises 11 → 14, so the default windows grow
+        # with the reuse period (slab2.bp_demand_stats to re-measure)
+        default_sw = "16,8,12" if period > 1 else "12,8,10"
         sw = tuple(int(x) for x in _os.environ.get(
-            "FYROX_SLAB_WINDOW", "12,8,10").split(","))
+            "FYROX_SLAB_WINDOW", default_sw).split(","))
         pt = pb.build(broadphase="slab", slab_window=sw,
                       slab_active=int(_os.environ.get("FYROX_SLAB_ACTIVE",
                                                       16)),
-                      slab_walk=int(_os.environ.get("FYROX_SLAB_WALK", 48)),
+                      slab_walk=int(_os.environ.get(
+                          "FYROX_SLAB_WALK", "64" if period > 1 else "48")),
                       # temporal broadphase reuse: rebuild candidates every
-                      # N steps from two-sided fattened AABBs (slab2.py);
-                      # N=4 measured safe on the settled 1k pile
-                      broadphase_period=int(_os.environ.get(
-                          "FYROX_SLAB_BP_PERIOD", 4)))
+                      # N steps from two-sided fattened AABBs (slab2.py)
+                      broadphase_period=period)
     else:
         if max_active_pairs is None:
             # dense (uncompacted) pair lists unlock the static-incidence

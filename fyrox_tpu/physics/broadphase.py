@@ -415,8 +415,14 @@ def build_slab_config(col_shape, col_params, col_body, body_type,
             bound[i] = p[0]
         elif t == sh.CUBOID:
             bound[i] = float(np.linalg.norm(p[:3]))
-        elif t in (sh.CAPSULE, sh.CYLINDER, sh.CONE):
-            bound[i] = p[0] + p[1]
+        elif t == sh.CAPSULE:
+            # conservative rot_box AABB norm (slab2._aabb_planes uses
+            # extents (r, hh+r, r); a rotated capsule's conservative AABB
+            # can exceed the geometric hh+r bound — cell sizing and the
+            # temporal-reuse fattening must both cover it)
+            bound[i] = float(np.linalg.norm([p[1], p[0] + p[1], p[1]]))
+        elif t in (sh.CYLINDER, sh.CONE):
+            bound[i] = float(np.linalg.norm([p[1], p[0], p[1]]))
         elif t == sh.CONVEX:
             bound[i] = p[0]          # hull radius bound set at build
         else:
@@ -481,14 +487,21 @@ class SlabCandidates(NamedTuple):
 
 
 def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
-                    return_demand=False) -> List[SlabCandidates]:
+                    return_demand=False, amin_tight=None, amax_tight=None
+                    ) -> List[SlabCandidates]:
     """Hash-grid walk into the static slot layout; one SlabCandidates per
     manifold class. amin/amax [W,C,3].
 
+    amin_tight/amax_tight (broadphase temporal reuse): the CURRENT-step
+    tight AABBs alongside the period-fattened ones. Stage-2 compaction
+    then packs tight-overlapping pairs FIRST, so a transiently
+    overflowing window drops only speculative fat-only pairs (picked up
+    ≤ period-1 steps later at the next rebuild), never a live contact.
+
     return_demand=True additionally returns a dict with the raw
-    walk-window demand (`walk_total` [W,Cg]) and per-class valid counts
-    (`class_valid` list of [W,Cg]) — overflow diagnosis for window
-    sizing (demand beyond s_walk / s_class drops candidates silently)."""
+    walk-window demand (`walk_total` [W,Cg]), per-class valid counts
+    (`class_valid` list of [W,Cg]) and — in two-tier mode — per-class
+    tight counts (`class_tight`): overflow diagnosis for window sizing."""
     from fyrox_tpu.physics.pallas_ops import count_lt, gather_rows
     col_body = np.asarray(col_body)
     dyn_col = np.asarray(dyn_col)
@@ -536,17 +549,24 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     pos = jnp.clip(pos, 0, max(cg - 1, 0))
 
     # per-grid-collider attribute rows (grid order):
-    # [j_real, kind, body, dyn, aabb(6)] — values all exact in f32
+    # [j_real, kind, body, dyn, aabb(6) (+tight aabb(6))] — exact in f32
+    two_tier = amin_tight is not None
     attr_static = jnp.broadcast_to(jnp.asarray(
         np.stack([sc.grid_cols.astype(np.float32),
                   sc.kinds[sc.grid_cols].astype(np.float32),
                   col_body[sc.grid_cols].astype(np.float32),
                   dyn_col[sc.grid_cols].astype(np.float32)], axis=1))[None],
         (w, cg, 4))
-    attrs = jnp.concatenate([attr_static, gaabb], axis=-1)       # [W,Cg,10]
-    sortedA = gather_rows(attrs, order)                          # [W,Cg,10]
+    attr_parts = [attr_static, gaabb]
+    if two_tier:
+        taabb6 = jnp.concatenate([amin_tight, amax_tight], axis=-1)
+        gtaabb = jnp.einsum("gc,wcd->wgd", inc, taabb6)          # [W,Cg,6]
+        attr_parts.append(gtaabb)
+    attrs = jnp.concatenate(attr_parts, axis=-1)                 # [W,Cg,10|16]
+    na = attrs.shape[-1]
+    sortedA = gather_rows(attrs, order)
     slotA = gather_rows(sortedA, pos.reshape(w, -1)
-                        ).reshape(w, cg, s_walk, 10)             # [W,Cg,Sw,10]
+                        ).reshape(w, cg, s_walk, na)             # [W,Cg,Sw,na]
 
     jr_w = slotA[..., 0].astype(jnp.int32)
     kind_w = slotA[..., 1].astype(jnp.int32)
@@ -564,6 +584,14 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
                & (body_w != i_body_g)
                & (i_dyn_g | dyn_w)
                & jnp.all((imin <= jmax_w) & (imax >= jmin_w), axis=-1))
+    if two_tier:
+        jtmin_w, jtmax_w = slotA[..., 10:13], slotA[..., 13:16]
+        itmin = gtaabb[..., None, :3]
+        itmax = gtaabb[..., None, 3:]
+        tight_w = valid_w & jnp.all((itmin <= jtmax_w)
+                                    & (itmax >= jtmin_w), axis=-1)
+    else:
+        tight_w = valid_w
 
     # manifold class of every walked slot: cls_tab row per scanning
     # collider is STATIC; select the column by the partner's kind
@@ -595,7 +623,7 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
                   & jnp.all((imin <= bmax) & (imax >= bmin), axis=-1))
 
     out = []
-    demand = {"walk_total": total, "class_valid": []}
+    demand = {"walk_total": total, "class_valid": [], "class_tight": []}
     for c in range(3):
         s_c = sc.s_class[c]
         nslot_c = sc.nslot(c)
@@ -604,10 +632,23 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
             out.append(SlabCandidates(z2, z2, jnp.zeros((w, 0), bool),
                                       jnp.zeros((w, 0), bool), z2))
             demand["class_valid"].append(jnp.zeros((w, cg), jnp.float32))
+            demand["class_tight"].append(jnp.zeros((w, cg), jnp.float32))
             continue
         mask_c = valid_w & (cls_w == c)
         vf = mask_c.astype(jnp.float32)
-        lpos = (jnp.cumsum(vf, axis=2) - vf).astype(jnp.int32)   # exclusive
+        if two_tier:
+            # tight-overlap pairs pack first: transient fat-margin
+            # overflow then drops only speculative future pairs
+            tf = (tight_w & (cls_w == c)).astype(jnp.float32)
+            sf = vf - tf
+            lpos_t = jnp.cumsum(tf, axis=2) - tf
+            n_t = jnp.sum(tf, axis=2, keepdims=True)
+            lpos_s = n_t + jnp.cumsum(sf, axis=2) - sf
+            lpos = jnp.where(tf > 0.5, lpos_t, lpos_s).astype(jnp.int32)
+            demand["class_tight"].append(jnp.sum(tf, axis=2))
+        else:
+            lpos = (jnp.cumsum(vf, axis=2) - vf).astype(jnp.int32)
+            demand["class_tight"].append(jnp.sum(vf, axis=2))
         k_ar = jnp.arange(s_c, dtype=jnp.int32)
         oh = ((lpos[..., None] == k_ar) & mask_c[..., None]
               ).astype(jnp.float32)                              # [W,Cg,Sw,Sc]

@@ -579,7 +579,8 @@ CLASS_COMBOS_CONVEX = {
 
 def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
                             type_b, params_b, pos_b, rot_b, pred,
-                            hull_a=None, hull_b=None):
+                            hull_a=None, hull_b=None,
+                            include_primitives=True):
     """Manifolds for canonically-ordered pairs KNOWN to be in one
     manifold-size class: runs only that class's kernels (the grid
     broadphase compacts candidates per class, so e.g. box-box clipping
@@ -588,7 +589,9 @@ def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
 
     hull_a/hull_b: optional (verts, vmask, normals, nmask) slot-aligned
     hull arrays for CONVEX pairs (slab runtime path). When absent, convex
-    combos are skipped."""
+    combos are skipped. include_primitives=False runs ONLY the convex
+    combos (the slab-v2 plane path handles primitives in plane form and
+    calls back here just for the hull kernels)."""
     npts = {0: 1, 1: 2, 2: 4}[cls]
     is_capsuleish_a = (type_a == sh.CAPSULE) | (type_a == sh.CYLINDER) | (type_a == sh.CONE)
     is_capsuleish_b = (type_b == sh.CAPSULE) | (type_b == sh.CYLINDER) | (type_b == sh.CONE)
@@ -605,10 +608,11 @@ def generate_contacts_class(cls, type_a, params_a, pos_a, rot_a,
                         jnp.where(c1, m_true.depth, m_false.depth),
                         jnp.where(c1, m_true.active, m_false.active))
 
-    for (ka, kb) in CLASS_COMBOS[cls]:
-        kern = KIND_KERNELS[(ka, kb)]
-        m = kern(params_a, pos_a, rot_a, params_b, pos_b, rot_b, pred)
-        out = sel((eff_a == ka) & (eff_b == kb), m, out)
+    if include_primitives:
+        for (ka, kb) in CLASS_COMBOS[cls]:
+            kern = KIND_KERNELS[(ka, kb)]
+            m = kern(params_a, pos_a, rot_a, params_b, pos_b, rot_b, pred)
+            out = sel((eff_a == ka) & (eff_b == kb), m, out)
     if hull_b is not None:
         from fyrox_tpu.physics import convex as cx
         vb, vmb, nb_, nmb = hull_b

@@ -53,12 +53,16 @@ DYNAMIC = 0
 
 def supports(t) -> bool:
     """v2 handles the primitive shape set (ball/cuboid/capsule + cylinder/
-    cone capsule proxies/halfspace) plus heightfield/trimesh scenery as
-    broadphase-big partners. Convex hulls still fall back to the v1 slab
-    path until their plane kernels land."""
+    cone capsule proxies/halfspace), heightfield/trimesh scenery as
+    broadphase-big partners, and convex hulls (slot-aligned hull tables
+    through the dense SAT kernels — see _convex_window_parts). The one
+    remaining exclusion is convex TOGETHER WITH scenery: the big-partner
+    sample path has no hull sampling (use broadphase='dense' there)."""
     if not isinstance(t.grid, bp_mod.SlabConfig):
         return False
-    if np.any(np.asarray(t.col_shape) == sh.CONVEX):
+    shp = np.asarray(t.col_shape)
+    if (np.any(shp == sh.CONVEX)
+            and np.any((shp == sh.HEIGHTFIELD) | (shp == sh.TRIMESH))):
         return False
     return True
 
@@ -138,6 +142,49 @@ class _Ctx:
                     col=cidx, kind=k, big=big_index[cidx],
                     tris=np.asarray(t.tm_tris[tm], np.float32),
                     tmask=np.asarray(t.tm_mask[tm], bool)))
+        # runtime convex-hull tables (scenes with CONVEX colliders only):
+        # dense per-collider padded hulls flattened to [C,256] so the
+        # j-side fetch is ONE extra MXU gather per class (same packing as
+        # world._step_physics_slab)
+        self.hull_flat = None
+        self.has_convex = bool(np.any(np.asarray(t.col_shape) == sh.CONVEX))
+        if t.hulls is not None and self.has_convex:
+            from fyrox_tpu.physics.convex import (MAX_HULL_FACES,
+                                                  MAX_HULL_VERTS)
+            hv = np.zeros((c, MAX_HULL_VERTS, 3), np.float32)
+            hvm = np.zeros((c, MAX_HULL_VERTS), np.float32)
+            hn = np.zeros((c, MAX_HULL_FACES, 3), np.float32)
+            hn[..., 1] = 1.0
+            hnm = np.zeros((c, MAX_HULL_FACES), np.float32)
+            has = np.asarray(t.col_hull) >= 0
+            hi = np.maximum(np.asarray(t.col_hull), 0)
+            hv[has] = t.hulls.verts[hi[has]]
+            hvm[has] = t.hulls.vmask[hi[has]]
+            hn[has] = t.hulls.normals[hi[has]]
+            hnm[has] = t.hulls.nmask[hi[has]]
+            self.hull_flat = np.concatenate(
+                [hv.reshape(c, -1), hvm, hn.reshape(c, -1), hnm], -1)
+        # rotation-invariant collider radius bound (broadphase temporal
+        # reuse fattening must stay a superset while bodies ROTATE during
+        # the reuse window, so tight rotated extents are not usable there)
+        br = np.full(c, np.inf)
+        p = np.asarray(t.col_params, np.float64)
+        shp = np.asarray(t.col_shape)
+        br = np.where(shp == sh.BALL, p[:, 0], br)
+        br = np.where(shp == sh.CUBOID,
+                      np.linalg.norm(p[:, :3], axis=1), br)
+        # conservative rot_box norms, matching build_slab_config's cell
+        # sizing (a rotated capsule/cylinder's conservative AABB exceeds
+        # its geometric bound)
+        br = np.where(shp == sh.CAPSULE,
+                      np.sqrt(2 * p[:, 1] ** 2 + (p[:, 0] + p[:, 1]) ** 2),
+                      br)
+        br = np.where((shp == sh.CYLINDER) | (shp == sh.CONE),
+                      np.sqrt(p[:, 0] ** 2 + 2 * p[:, 1] ** 2), br)
+        br = np.where(shp == sh.HEIGHTFIELD, p[:, 2], br)
+        br = np.where(shp == sh.TRIMESH, p[:, 0], br)
+        br = np.where(shp == sh.CONVEX, p[:, 0], br)   # hull radius bound
+        self.bound_radius = br.astype(np.float32)
         self.has_com = bool(np.any(np.asarray(t.com_local)))
         # body-plane statics
         self.inv_mass = np.asarray(t.inv_mass)
@@ -332,9 +379,11 @@ def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin,
     is_cap = shp == sh.CAPSULE
     is_cyl = (shp == sh.CYLINDER) | (shp == sh.CONE)
     # scenery: rotation-invariant sphere bounds (HEIGHTFIELD p[2], TRIMESH
-    # p[0] — builder conventions, see shapes.shape_aabb_half_extents)
+    # p[0] — builder conventions, see shapes.shape_aabb_half_extents);
+    # CONVEX uses its hull radius bound (p[0], set at build)
     is_hf = shp == sh.HEIGHTFIELD
     is_tm = shp == sh.TRIMESH
+    is_cx = shp == sh.CONVEX
     he = []
     for i in range(3):
         h = jnp.where(is_ball, ball[i],
@@ -342,9 +391,16 @@ def _aabb_planes(cx: _Ctx, t, cpos, crot9, v_sweep, margin,
             jnp.where(is_cap, cap[i],
             jnp.where(is_cyl, cyl[i],
             jnp.where(is_hf, p[2],
-            jnp.where(is_tm, p[0], huge))))))
+            jnp.where(is_tm, p[0],
+            jnp.where(is_cx, p[0], huge)))))))
         he.append(h + margin)
     cap3 = jnp.asarray(sc.sweep_cap)[None]
+    if two_sided:
+        # rotation-invariant bound: bodies rotate during the reuse window,
+        # so the cached superset cannot rely on the rebuild-time extents
+        br = jnp.asarray(np.where(np.isfinite(cx.bound_radius),
+                                  cx.bound_radius, sh._HUGE))[None] + margin
+        he = [br, br, br]
     amin, amax = [], []
     for i in range(3):
         if two_sided:
@@ -486,6 +542,69 @@ def _narrowphase_windows(cx: _Ctx, t, cands, cpos, cq, crot9, v_sweep,
             parts_f["own"].append(rsh(splat(float(npts), m.depth[p_i])))
             parts_i["body_j"].append(rsh(cand.body_j))
             parts_i["pid"].append(rsh(cand.pid * 4 + p_i))
+
+        # ---- convex combos on the same candidate windows (collider.rs:511
+        # ConvexPolyhedron): slot-aligned hull tables through the dense SAT
+        # kernels (narrowphase.generate_contacts_class convex section);
+        # appended as EXTRA window parts — primitive-pair slots come out
+        # inactive there and compaction drops them ----
+        if cx.hull_flat is not None:
+            from fyrox_tpu.physics import narrowphase as np_mod
+            if np_mod.CLASS_COMBOS_CONVEX.get(cls):
+                from fyrox_tpu.physics.pallas_ops import gather_rows
+                hull_flat = cx.hull_flat
+                from fyrox_tpu.physics.convex import (MAX_HULL_FACES,
+                                                      MAX_HULL_VERTS)
+                nv3 = MAX_HULL_VERTS * 3
+                jh = gather_rows(jnp.broadcast_to(
+                    jnp.asarray(hull_flat)[None],
+                    (w, c, hull_flat.shape[1])), cand.j_real)
+                ih = jnp.broadcast_to(
+                    jnp.asarray(hull_flat[i_static])[None], jh.shape)
+
+                def unpack(hf_):
+                    v = hf_[..., :nv3].reshape(
+                        hf_.shape[:-1] + (MAX_HULL_VERTS, 3))
+                    vm = hf_[..., nv3:nv3 + MAX_HULL_VERTS] > 0.5
+                    n9 = hf_[..., nv3 + MAX_HULL_VERTS:
+                             nv3 + MAX_HULL_VERTS + MAX_HULL_FACES * 3]
+                    n_ = n9.reshape(hf_.shape[:-1] + (MAX_HULL_FACES, 3))
+                    nm = hf_[..., nv3 + MAX_HULL_VERTS
+                             + MAX_HULL_FACES * 3:] > 0.5
+                    return v, vm, n_, nm
+
+                sw3h = sw[..., None]
+                hull_a = unpack(jnp.where(sw3h, jh, ih))
+                hull_b = unpack(jnp.where(sw3h, ih, jh))
+                kp = sw.shape[1]
+                mcx = np_mod.generate_contacts_class(
+                    cls, eff_a, jnp.stack(p6_a, -1),
+                    jnp.stack(pos_a, -1),
+                    jnp.stack(rot_a, -1).reshape(w, kp, 3, 3),
+                    eff_b, jnp.stack(p6_b, -1),
+                    jnp.stack(pos_b, -1),
+                    jnp.stack(rot_b, -1).reshape(w, kp, 3, 3),
+                    pred=pred, hull_a=hull_a, hull_b=hull_b,
+                    include_primitives=False)
+                for p_i in range(npts):
+                    parts_f["nx"].append(rsh(mcx.normal[..., 0]))
+                    parts_f["ny"].append(rsh(mcx.normal[..., 1]))
+                    parts_f["nz"].append(rsh(mcx.normal[..., 2]))
+                    parts_f["px"].append(rsh(mcx.points[..., p_i, 0]))
+                    parts_f["py"].append(rsh(mcx.points[..., p_i, 1]))
+                    parts_f["pz"].append(rsh(mcx.points[..., p_i, 2]))
+                    parts_f["depth"].append(rsh(mcx.depth[..., p_i]))
+                    parts_f["act"].append(rsh(
+                        (mcx.active[..., p_i] & valid).astype(dtype)))
+                    parts_f["fric"].append(rsh(jnp.broadcast_to(
+                        fric_p, valid.shape)))
+                    parts_f["rest"].append(rsh(rest_p))
+                    parts_f["sigma"].append(rsh(jnp.broadcast_to(
+                        sigma, valid.shape)))
+                    parts_f["own"].append(rsh(splat(float(npts),
+                                                    mcx.depth[..., p_i])))
+                    parts_i["body_j"].append(rsh(cand.body_j))
+                    parts_i["pid"].append(rsh(cand.pid * 4 + p_i))
 
     if cx.scenery:
         _scenery_parts(cx, t, cands, ig_all, cpos, cq, margin, dtype,
@@ -892,8 +1011,14 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
             aminf, amaxf = _aabb_planes(
                 cx, t, cpos, crot9, scale3(lv_c, dtv * period), margin,
                 two_sided=True, extra=extra)
-            cs = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
-                                        _stack(aminf), _stack(amaxf))
+            # tight CURRENT-step AABBs ride along: stage-2 compaction
+            # packs tight-overlapping pairs first, so transient
+            # fat-margin overflow never drops a live contact
+            amint, amaxt = _aabb_planes(cx, t, cpos, crot9, v_sweep,
+                                        margin)
+            cs = bp_mod.slab_candidates(
+                sc, cx.col_body, cx.dyn_col, _stack(aminf), _stack(amaxf),
+                amin_tight=_stack(amint), amax_tight=_stack(amaxt))
             return tuple(tuple(c) for c in cs)
 
         def _reuse(_):
@@ -1316,27 +1441,34 @@ def bp_demand_stats(t, state, period=1, dt=1.0 / 60.0):
     cpos, cq, lv_c = _collider_pose_planes(cx, pos_b, q_b, lv_b)
     crot9 = q_to_rot9(cq)
     margin = t.allowed_linear_error + SPECULATIVE_MARGIN
+    kw = {}
     if period > 1:
         gmag = float(np.linalg.norm(np.asarray(t.gravity, np.float64)))
         extra = 0.5 * gmag * (period * dt) ** 2
         amin, amax = _aabb_planes(cx, t, cpos, crot9,
                                   scale3(lv_c, dt * period), margin,
                                   two_sided=True, extra=extra)
+        amint, amaxt = _aabb_planes(cx, t, cpos, crot9, scale3(lv_c, dt),
+                                    margin)
+        kw = dict(amin_tight=_stack(amint), amax_tight=_stack(amaxt))
     else:
         amin, amax = _aabb_planes(cx, t, cpos, crot9, scale3(lv_c, dt),
                                   margin)
     _, demand = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
                                        _stack(amin), _stack(amax),
-                                       return_demand=True)
+                                       return_demand=True, **kw)
     walk = np.asarray(demand["walk_total"])
     out = dict(max_walk=int(walk.max()), s_walk=int(sc.s_walk),
                walk_dropped=int(np.maximum(walk - sc.s_walk, 0).sum()))
     for cls in range(3):
         nv = np.asarray(demand["class_valid"][cls])
+        nt = np.asarray(demand["class_tight"][cls])
         cap = sc.s_class[cls]
         out[f"class{cls}"] = dict(
             max_valid=int(nv.max()), cap=int(cap),
-            dropped=int(np.maximum(nv - cap, 0).sum()) if cap else 0)
+            dropped=int(np.maximum(nv - cap, 0).sum()) if cap else 0,
+            max_tight=int(nt.max()),
+            tight_dropped=int(np.maximum(nt - cap, 0).sum()) if cap else 0)
     return out
 
 

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["build_hzb", "occlusion_visible"]
+__all__ = ["build_hzb", "hzb_atlas", "occlusion_visible"]
 
 _FAR = 1.0e9
 
@@ -45,25 +45,20 @@ def build_hzb(depth, levels=None):
     return pyr
 
 
-def _sample_level(level, u, v):
-    """4-texel conservative max around (u,v) in texel coords."""
-    h, w = level.shape
-    ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
-    vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
-    out = None
-    for du in (0, 1):
-        for dv in (0, 1):
-            uu = jnp.clip(ui + du, 0, w - 1)
-            vv = jnp.clip(vi + dv, 0, h - 1)
-            # tiny table lookup via one-hot reductions would be overkill
-            # here: N nodes x small pyramid — a take is fine host-side but
-            # slow on TPU; levels are small so use one-hot on rows+cols
-            ohr = (jnp.arange(h) == vv[..., None]).astype(level.dtype)
-            row = jnp.sum(level[None] * ohr[..., None], axis=-2)   # [N,W]
-            ohc = (jnp.arange(w) == uu[..., None]).astype(level.dtype)
-            val = jnp.sum(row * ohc, axis=-1)
-            out = val if out is None else jnp.maximum(out, val)
-    return out
+def hzb_atlas(pyr):
+    """Concatenate a mip pyramid into ONE flat array + static metadata.
+
+    Returns (flat [sum(h_k*w_k)], offsets [L], widths [L], heights [L]).
+    The per-node test then runs a single flat gather per texel instead of
+    the round-2/3 per-level one-hot row+column matmuls (which cost
+    O(N·H·W) per level — enabling occlusion could cost more than it
+    saved; same flat-gather trick as the raster attribute pass)."""
+    flat = jnp.concatenate([p.reshape(-1) for p in pyr])
+    hs = np.asarray([p.shape[0] for p in pyr], np.int32)
+    ws = np.asarray([p.shape[1] for p in pyr], np.int32)
+    offsets = np.concatenate([[0], np.cumsum(hs.astype(np.int64)
+                                             * ws)[:-1]]).astype(np.int32)
+    return flat, offsets, ws, hs
 
 
 def occlusion_visible(wmin, wmax, vp, hzb, width, height, eps=1e-3):
@@ -94,10 +89,21 @@ def occlusion_visible(wmin, wmax, vp, hzb, width, height, eps=1e-3):
     span = jnp.maximum(u1 - u0, v1 - v0)
     lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
                    0, len(hzb) - 1)
-    occ = jnp.full(zmin.shape, -_FAR)
-    for li, level in enumerate(hzb):
-        s = float(1 << li)
-        val = _sample_level(level, u0 / s, v0 / s)
-        occ = jnp.where(lvl == li, val, occ)
+    # one flat gather per texel over the concatenated mip atlas — no
+    # per-level loop, no one-hot row/column matmuls
+    flat, offsets, ws, hs = hzb_atlas(hzb)
+    off = jnp.asarray(offsets)[lvl]
+    wl = jnp.asarray(ws)[lvl]
+    hl = jnp.asarray(hs)[lvl]
+    s = jnp.exp2(lvl.astype(jnp.float32))
+    ui = (u0 / s).astype(jnp.int32)
+    vi = (v0 / s).astype(jnp.int32)
+    occ = None
+    for du in (0, 1):
+        for dv in (0, 1):
+            uu = jnp.clip(ui + du, 0, wl - 1)
+            vv = jnp.clip(vi + dv, 0, hl - 1)
+            val = flat[off + vv * wl + uu]
+            occ = val if occ is None else jnp.maximum(occ, val)
     hidden = (zmin - eps > occ) & ~crosses_near
     return ~hidden

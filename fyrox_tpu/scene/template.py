@@ -26,8 +26,11 @@ __all__ = ["NodeType", "SceneTemplate"]
 
 
 class NodeType(enum.IntEnum):
-    """Scene node kinds — the 25 `NodeTrait` impls of the reference
-    (fyrox-impl/src/scene/node/mod.rs) plus 2D twins, as payload tags."""
+    """Scene node kinds — payload tags mirroring the reference's
+    `NodeTrait` impls (fyrox-impl/src/scene/node/mod.rs) plus 2D twins.
+    A tag here means builder/payload routing exists; per-kind runtime
+    behavior lives in its subsystem (render/, physics/, sound/scene.py,
+    scene/particles.py, ...) — see PARITY.md for the behavior matrix."""
     PIVOT = 0
     CAMERA = 1
     MESH = 2

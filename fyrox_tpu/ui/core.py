@@ -25,6 +25,12 @@ __all__ = ["Widget", "UserInterface", "UiMessage", "Rect", "DrawCommand"]
 INF = float("inf")
 
 
+def _hsv_to_rgb(h, s, v):
+    import colorsys
+    return colorsys.hsv_to_rgb(h % 1.0, min(max(s, 0.0), 1.0),
+                               min(max(v, 0.0), 1.0))
+
+
 @dataclass
 class Rect:
     x: float = 0.0
@@ -121,6 +127,17 @@ class Widget:
     max_value: float = 1.0
     # nine patch (nine_patch.rs): fixed-margin frame, stretching center
     patch_border: float = 8.0
+    # tab control (tab_control.rs): active tab index; children are pages
+    active_tab: int = 0
+    tab_headers: List[str] = field(default_factory=list)
+    # expander (expander.rs): header + collapsible content (uses
+    # `expanded` + `text` shared with tree)
+    # color picker / color field (color.rs): current RGBA
+    color_value: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 1.0)
+    # file browser (file_browsers/): current directory + listing state
+    path: str = ""
+    # style key (style/mod.rs StyledProperty): resolved at add() time
+    style: str = ""
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -135,10 +152,25 @@ class UserInterface:
         self.screen_size = screen_size
         self._queue: List[UiMessage] = []
         self.focus: Optional[Handle] = None    # keyboard focus (text input)
+        # style table (fyrox-ui style/mod.rs): named property bundles
+        # resolved at add() time; register with define_style()
+        self.styles: Dict[str, Dict] = {}
+
+    def define_style(self, name: str, **props):
+        """Register a named style bundle (style/mod.rs Style resources).
+        Widgets created with Widget(style=name) get these fields applied
+        unless explicitly overridden before add()."""
+        self.styles[name] = dict(props)
 
     # -- tree ---------------------------------------------------------------
     def add(self, widget: Widget, parent: Optional[Handle] = None) -> Handle:
         parent = parent or self.root
+        if widget.style and widget.style in self.styles:
+            defaults = Widget()
+            for k, v in self.styles[widget.style].items():
+                # only fill fields the caller left at their defaults
+                if getattr(widget, k) == getattr(defaults, k):
+                    setattr(widget, k, v)
         h = self.nodes.spawn(widget)
         widget.parent = parent
         self.nodes.borrow(parent).children.append(h)
@@ -246,6 +278,23 @@ class UserInterface:
                                       "index": idx, "item": w.items[idx]},
                                 direction="from_widget"))
                             self.update_layout()
+                        elif (parent is not None
+                              and parent.kind == "filebrowser"):
+                            import os as _os
+                            item = w.items[idx]
+                            if item == "..":
+                                self.browse(w.parent, _os.path.dirname(
+                                    parent.path) or parent.path)
+                            elif item.endswith("/"):
+                                self.browse(w.parent, _os.path.join(
+                                    parent.path, item[:-1]))
+                            else:
+                                self.send_message(UiMessage(
+                                    destination=w.parent,
+                                    data={"type": "file_selected",
+                                          "path": _os.path.join(
+                                              parent.path, item)},
+                                    direction="from_widget"))
                 if w.kind == "slider":
                     t = (x - w.actual_rect.x) / max(w.actual_rect.w, 1e-9)
                     t = min(max(t, 0.0), 1.0)
@@ -254,6 +303,44 @@ class UserInterface:
                         destination=hit,
                         data={"type": "value_changed", "value": w.value},
                         direction="from_widget"))
+                if w.kind == "tabs":
+                    head_h = w.font_size * 1.6
+                    if y <= w.actual_rect.y + head_h:
+                        cx_ = w.actual_rect.x
+                        for i, title in enumerate(w.tab_headers):
+                            tw_ = len(title) * w.font_size * 0.55 + 16
+                            if cx_ <= x < cx_ + tw_:
+                                if i != w.active_tab:
+                                    w.active_tab = i
+                                    self.send_message(UiMessage(
+                                        destination=hit,
+                                        data={"type": "tab_changed",
+                                              "index": i},
+                                        direction="from_widget"))
+                                    self.update_layout()
+                                break
+                            cx_ += tw_
+                if w.kind == "expander":
+                    if y <= w.actual_rect.y + w.font_size * 1.4:
+                        w.expanded = not w.expanded
+                        self.update_layout()
+                if w.kind == "colorpicker":
+                    r = w.actual_rect
+                    strip_w = max(r.w - 34.0, 10.0)
+                    if x <= r.x + strip_w:
+                        import colorsys
+                        h0, s0, v0 = colorsys.rgb_to_hsv(*w.color_value[:3])
+                        t = min(max((x - r.x) / strip_w, 0.0), 1.0)
+                        if y <= r.y + 13.0:           # hue strip
+                            rgb = _hsv_to_rgb(t, 1.0, max(v0, 0.5))
+                        else:                          # value strip
+                            rgb = _hsv_to_rgb(h0, 1.0 if s0 == 0 else s0, t)
+                        w.color_value = (*rgb, w.color_value[3])
+                        self.send_message(UiMessage(
+                            destination=hit,
+                            data={"type": "color_changed",
+                                  "color": w.color_value},
+                            direction="from_widget"))
                 if w.on_click is not None:
                     w.on_click(self, hit)
             else:
@@ -300,6 +387,36 @@ class UserInterface:
         w.popup_pos = (float(x), float(y))
         w.open = True
         self.update_layout()
+
+    def browse(self, handle: Handle, path: str):
+        """Point a filebrowser widget at a directory (file_browsers/
+        FileBrowser::set_path): refreshes its managed listing ('..' +
+        dirs + files, sorted, dirs first with a trailing '/')."""
+        import os as _os
+        w = self.nodes.borrow(handle)
+        w.path = _os.path.abspath(path)
+        lst = self._browser_list(handle)
+        lw = self.nodes.borrow(lst)
+        try:
+            entries = sorted(_os.listdir(w.path))
+        except OSError:
+            entries = []
+        dirs = [e + "/" for e in entries
+                if _os.path.isdir(_os.path.join(w.path, e))]
+        files = [e for e in entries
+                 if not _os.path.isdir(_os.path.join(w.path, e))]
+        lw.items = [".."] + dirs + files
+        lw.selected = -1
+        self.update_layout()
+
+    def _browser_list(self, handle: Handle) -> Handle:
+        w = self.nodes.borrow(handle)
+        for c in w.children:
+            if self.nodes.borrow(c).kind == "list":
+                return c
+        return self.add(Widget(kind="list", background=w.background,
+                               foreground=w.foreground,
+                               font_size=w.font_size), parent=handle)
 
     def _dropdown_list(self, handle: Handle) -> Handle:
         """The dropdown's auto-managed child list (dropdown_list.rs keeps
@@ -462,6 +579,35 @@ class UserInterface:
                                       max(inner[1] - pb2, 0.0)))
                 body = (max(body[0], cs[0]), max(body[1], cs[1]))
             content = (body[0] + pb2, body[1] + pb2)
+        elif w.kind == "tabs":
+            # header strip + active page (tab_control.rs)
+            head_h = w.font_size * 1.6
+            body = (0.0, 0.0)
+            for c in w.children:
+                cs = self.measure(c, (inner[0],
+                                      max(inner[1] - head_h, 0.0)))
+                body = (max(body[0], cs[0]), max(body[1], cs[1]))
+            head_w = sum(len(t) * w.font_size * 0.55 + 16
+                         for t in w.tab_headers)
+            content = (max(body[0], head_w), body[1] + head_h)
+        elif w.kind == "expander":
+            head_h = w.font_size * 1.4
+            ww = len(w.text) * w.font_size * 0.55 + 16
+            hh = head_h
+            for c in w.children:
+                cs = self.measure(c, inner)
+                if w.expanded:
+                    ww = max(ww, cs[0])
+                    hh += cs[1]
+            content = (ww, hh)
+        elif w.kind == "colorpicker":
+            content = (max(inner[0], 120.0) if not np.isfinite(w.width)
+                       else w.width, 30.0 + w.font_size)
+        elif w.kind == "filebrowser":
+            for c in w.children:
+                self.measure(c, inner)
+            content = (max(inner[0], 160.0) if not np.isfinite(w.width)
+                       else w.width, inner[1])
         elif w.kind == "tile":
             # dock tile (dock/mod.rs): splits measure children at the
             # ratio-divided size; content tiles fill with their children
@@ -612,6 +758,29 @@ class UserInterface:
                            max(rect.h - 2 * pb, 0.0))
             for c in w.children:
                 self.arrange(c, inner_r)
+        elif w.kind == "tabs":
+            head_h = w.font_size * 1.6
+            body = Rect(rect.x, rect.y + head_h, rect.w,
+                        max(rect.h - head_h, 0.0))
+            for i, c in enumerate(w.children):
+                self.arrange(c, body if i == w.active_tab
+                             else Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "expander":
+            head_h = w.font_size * 1.4
+            oy = rect.y + head_h
+            for c in w.children:
+                cw = self.nodes.borrow(c)
+                if w.expanded:
+                    self.arrange(c, Rect(rect.x + 8, oy, rect.w - 8,
+                                         cw.desired_size[1]))
+                    oy += cw.desired_size[1]
+                else:
+                    self.arrange(c, Rect(rect.x, rect.y, 0.0, 0.0))
+        elif w.kind == "filebrowser":
+            for c in w.children:
+                self.arrange(c, Rect(rect.x, rect.y + w.font_size * 1.5,
+                                     rect.w,
+                                     max(rect.h - w.font_size * 1.5, 0.0)))
         elif (w.kind == "tile" and w.split in ("horizontal", "vertical")
               and len(w.children) == 2):
             sp = w.splitter_px * 0.5
@@ -828,6 +997,61 @@ class UserInterface:
                        Rect(r.x + r.w - pb, r.y + pb, pb,
                             max(r.h - 2 * pb, 0))):
                 cmds.append(DrawCommand("rect", fr, w.foreground))
+        if w.kind == "tabs":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            head_h = w.font_size * 1.6
+            x = w.actual_rect.x
+            for i, title in enumerate(w.tab_headers):
+                tw_ = len(title) * w.font_size * 0.55 + 16
+                r = Rect(x, w.actual_rect.y, tw_, head_h)
+                if i == w.active_tab:
+                    cmds.append(DrawCommand("rect", r,
+                                            (0.25, 0.3, 0.4, 1.0)))
+                cmds.append(DrawCommand("text", r, w.foreground, text=title))
+                x += tw_
+            # only the active page draws
+            for i, c in enumerate(w.children):
+                if i == w.active_tab:
+                    self._draw_node(c, cmds)
+            return
+        if w.kind == "expander":
+            head = Rect(w.actual_rect.x, w.actual_rect.y, w.actual_rect.w,
+                        w.font_size * 1.4)
+            marker = "-" if w.expanded else "+"
+            cmds.append(DrawCommand("text", head, w.foreground,
+                                    text=f"{marker} {w.text}"))
+            if not w.expanded:
+                return
+        if w.kind == "colorpicker":
+            r = w.actual_rect
+            # hue strip (top): quantized hue swatches; value strip below;
+            # current-color swatch on the right (color.rs picker parity
+            # scoped to draw-command primitives)
+            strip_w = max(r.w - 34.0, 10.0)
+            n = 16
+            for i in range(n):
+                col = _hsv_to_rgb(i / n, 1.0, 1.0)
+                cmds.append(DrawCommand("rect",
+                                        Rect(r.x + i * strip_w / n, r.y,
+                                             strip_w / n, 12.0),
+                                        (*col, 1.0)))
+            for i in range(n):
+                v = i / (n - 1)
+                cmds.append(DrawCommand("rect",
+                                        Rect(r.x + i * strip_w / n,
+                                             r.y + 14.0, strip_w / n, 12.0),
+                                        (v, v, v, 1.0)))
+            cmds.append(DrawCommand("rect",
+                                    Rect(r.x + strip_w + 4, r.y, 30.0, 26.0),
+                                    w.color_value))
+            cmds.append(DrawCommand("border",
+                                    Rect(r.x + strip_w + 4, r.y, 30.0, 26.0),
+                                    w.foreground))
+        if w.kind == "filebrowser":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            head = Rect(w.actual_rect.x, w.actual_rect.y, w.actual_rect.w,
+                        w.font_size * 1.5)
+            cmds.append(DrawCommand("text", head, w.foreground, text=w.path))
         if w.kind == "tree" and not w.expanded:
             return                    # collapsed subtree draws nothing
         for c in w.children:

@@ -26,7 +26,7 @@ def _pile_pt(n=96, seed=3, period=1):
     sb = SceneBuilder()
     pb, _ = build_pile_scene(sb, n_bodies=n, seed=seed)
     pt = pb.build(broadphase="slab", slab_window=(16, 10, 14),
-                  broadphase_period=period)
+                  slab_walk=64, broadphase_period=period)
     assert slab2.supports(pt)
     return pb, pt
 
@@ -87,11 +87,19 @@ class TestBroadphaseReuse:
         # cached candidates are real (some valid pairs survive settling)
         assert sum(int(np.asarray(c[2]).sum()) for c in st.bp_cache) > 0
 
-    def test_no_window_overflow_under_fat_margins(self):
+    def test_no_live_contact_drops_under_fat_margins(self):
+        """Two-tier stage-2 compaction: TIGHT (current-overlap) pairs must
+        always fit the windows — transient fat-margin overflow may drop
+        only speculative future pairs (healed at the next rebuild)."""
         pb, pt = _pile_pt(period=4)
-        st = _rollout(pb, pt, 60)
-        stats = slab2.bp_demand_stats(pt, st, period=4)
-        assert stats["walk_dropped"] == 0, stats
+        for steps in (60, 90):                   # mid-fall + settled
+            st = _rollout(pb, pt, steps)
+            stats = slab2.bp_demand_stats(pt, st, period=4)
+            assert stats["walk_dropped"] == 0, (steps, stats)
+            for cls in range(3):
+                assert stats[f"class{cls}"]["tight_dropped"] == 0, \
+                    (steps, stats)
+        # settled demand also fits entirely (speculative included)
         for cls in range(3):
             assert stats[f"class{cls}"]["dropped"] == 0, stats
 
