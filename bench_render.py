@@ -48,7 +48,11 @@ def main():
     st = graph.update_hierarchical_data(init_state(t, n_worlds), t)
     rt = build_render_template(t)
     cfg = RenderConfig(width=size, height=size, shadows=True,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas,
+                       cascade_tri_budget=float(os.environ.get(
+                           "FYROX_BENCH_RENDER_PRECULL", 0.0)),
+                       bin_mode=os.environ.get(
+                           "FYROX_BENCH_RENDER_BINMODE", "topk"))
 
     frame = jax.jit(lambda s: render_frame(s, t, rt, cfg)[0])
     color = jax.block_until_ready(frame(st))

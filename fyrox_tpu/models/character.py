@@ -109,7 +109,8 @@ def build_pile_scene(sb: SceneBuilder, n_bodies=64, seed=1, spread=4.0):
 
 
 def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
-                   max_active_pairs=None, seed=0, real_asset=None):
+                   max_active_pairs=None, seed=0, real_asset=None,
+                   with_audio=False):
     """Full flagship world: character + pile + camera. Returns
     (Engine, SkinTemplate).
 
@@ -124,8 +125,18 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
                                     seed=seed)
     sb, aset, mt, bones, (verts, idx4, w4) = build_character_scene(
         n_bones=n_bones, n_verts=n_verts, seed=seed)
-    pb, _ = build_pile_scene(sb, n_bodies=n_bodies, seed=seed + 1)
-    sb.add_camera("main_camera", position=(0, 3.0, -10.0))
+    pb, body_nodes = build_pile_scene(sb, n_bodies=n_bodies, seed=seed + 1)
+    cam = sb.add_camera("main_camera", position=(0, 3.0, -10.0))
+    if with_audio:
+        # optional audio block: footsteps hum on the character root, ears
+        # on the camera (scene/sound/mod.rs per-frame sync; render with
+        # Engine.render_audio alongside the rollout)
+        from fyrox_tpu.sound.engine import SAMPLE_RATE
+        t = np.arange(SAMPLE_RATE // 5) / SAMPLE_RATE
+        hum = (0.3 * np.sin(2 * np.pi * 160 * t)).astype(np.float32)
+        sb.add_listener("ears", parent=cam)
+        sb.add_sound(hum, name="character_hum", parent=bones[0],
+                     radius=1.0, max_distance=40.0)
     template = sb.build()
     if n_bodies >= 192:
         # slab broadphase (static per-collider per-class candidate

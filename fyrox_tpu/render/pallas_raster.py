@@ -146,13 +146,19 @@ def _tri_features(tri_clip, tri_valid, height, width, backface_cull=True):
     return feats, bbox, ok
 
 
-def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile):
-    """Top-K triangle ids per tile by bbox overlap.
+def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile,
+                   mode="topk"):
+    """First-K triangle ids per tile by bbox overlap.
 
     Returns (ids [nty,ntx,K] int32, valid [nty,ntx,K] bool, count
-    [nty,ntx] int32). Valid slots are contiguous-first (top_k on a
-    monotone score), so the kernel can run a dynamic-trip-count loop to
-    `count` instead of the static K."""
+    [nty,ntx] int32). Valid slots are contiguous-first, so the kernel can
+    run a dynamic-trip-count loop to `count` instead of the static K.
+
+    mode="topk": earliest-index winners via lax.top_k on a monotone
+    score. mode="cumsum": the physics-broadphase compaction trick —
+    per-tile cumsum over the overlap mask + a fused counting-rank
+    (pallas_ops.count_lt) finds the k-th set bit without sorting
+    (top_k lowers to a full sort network on TPU)."""
     nty = height // tile_h
     ntx = width // tile_w
     t = bbox.shape[0]
@@ -164,6 +170,21 @@ def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile):
           & (bbox[:, None, None, 1] < ty0[None] + tile_h)
           & (bbox[:, None, None, 3] >= ty0[None])
           & ok[:, None, None])
+    if mode == "cumsum":
+        from fyrox_tpu.physics.pallas_ops import count_lt
+        nt = nty * ntx
+        cs = jnp.cumsum(ov.reshape(t, nt).astype(jnp.int32), axis=0)
+        keys = cs.T                                        # [NT, T] ascending
+        targets = jnp.arange(1, k_per_tile + 1, dtype=jnp.int32)
+        pos = count_lt(keys, jnp.broadcast_to(targets[None],
+                                              (nt, k_per_tile)))
+        total = keys[:, -1]
+        valid = targets[None, :] <= total[:, None]
+        ids = jnp.where(valid, jnp.clip(pos, 0, t - 1), 0)
+        count = jnp.minimum(total, k_per_tile)
+        return (ids.reshape(nty, ntx, k_per_tile).astype(jnp.int32),
+                valid.reshape(nty, ntx, k_per_tile),
+                count.reshape(nty, ntx))
     # earliest-index K winners per tile (stable draw order not needed: depth
     # test resolves; we just need ANY K covering the tile — overflow drops
     # the highest indices)
@@ -317,7 +338,7 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
                      width, tri_valid=None, tile_h=8, tile_w=128,
                      k_per_tile=256, near_clip=True, interpret=False,
                      depth_only=False, backface_cull=True,
-                     mode="homogeneous"):
+                     mode="homogeneous", bin_mode="topk"):
     """Drop-in replacement for raster.rasterize (single image; vmap over
     worlds). Requires height % tile_h == 0 and width % tile_w == 0.
 
@@ -351,7 +372,8 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
                        constant_values=-_BIG)        # empty bbox: no overlap
         ok = jnp.pad(ok, (0, pad))
     tile_ids, _, tile_count = _bin_triangles(bbox, ok, height, width,
-                                             tile_h, tile_w, k_per_tile)
+                                             tile_h, tile_w, k_per_tile,
+                                             mode=bin_mode)
     if depth_only:
         return _visibility_pallas(
             feats, tile_ids, tile_count, height, width, tile_h, tile_w,

@@ -61,6 +61,13 @@ class RenderConfig(NamedTuple):
     # Pallas visibility mode: "homogeneous" (2DH, clip-free — default) or
     # "clipped" (exact Sutherland-Hodgman near clipping, 2x binned tris)
     raster_mode: str = "homogeneous"
+    # per-cascade triangle pre-cull (csm.rs caster culling): fraction of T
+    # kept per cascade after footprint compaction; 0 = off (see
+    # shadows.render_cascade_depths)
+    cascade_tri_budget: float = 0.0
+    # tile binning strategy: "topk" (lax.top_k) or "cumsum"
+    # (physics-broadphase counting-rank compaction — A/B on TPU)
+    bin_mode: str = "topk"
 
 
 @dataclass
@@ -345,7 +352,7 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 tri_clip, {}, os_, os_, tri_valid=pre_valid,
                 k_per_tile=config.k_per_tile, depth_only=True,
                 interpret=config.pallas_interpret,
-                mode=config.raster_mode)
+                mode=config.raster_mode, bin_mode=config.bin_mode)
         else:
             dummy3 = jnp.zeros(tri_clip.shape[:2] + (3,), jnp.float32)
             dummy2 = jnp.zeros(tri_clip.shape[:2] + (2,), jnp.float32)
@@ -429,7 +436,8 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                                 tri_valid=tri_valid,
                                 k_per_tile=config.k_per_tile,
                                 interpret=config.pallas_interpret,
-                                mode=config.raster_mode)
+                                mode=config.raster_mode,
+                                bin_mode=config.bin_mode)
     else:
         gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
                                     config.width, tri_valid=tri_valid,
@@ -503,7 +511,9 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 tri_pos, cascade_vps, config.csm.map_size,
                 tri_valid=tri_valid, chunk=config.chunk,
                 use_pallas=config.use_pallas, k_per_tile=config.k_per_tile,
-                pallas_interpret=config.pallas_interpret)
+                pallas_interpret=config.pallas_interpret,
+                tri_budget=config.cascade_tri_budget,
+                bin_mode=config.bin_mode)
         if config.shadows and config.spot_shadows:
             for si in np.nonzero(rt.light_kind == lighting_mod.SPOT)[0]:
                 si = int(si)

@@ -102,25 +102,59 @@ def _ortho_offcenter(l, r, b, t, zn, zf):
 
 def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
                           tri_valid=None, chunk=64, use_pallas=False,
-                          k_per_tile=512, pallas_interpret=False):
+                          k_per_tile=512, pallas_interpret=False,
+                          tri_budget=0.0, bin_mode="topk"):
     """Depth-only passes. world_tri_positions [T,3,3]; cascade_vps
-    [NUM_CASCADES,4,4] → depth maps [NUM_CASCADES, S, S] (NDC z)."""
-    dummy3 = jnp.zeros(world_tri_positions.shape[:2] + (3,), jnp.float32)
-    dummy2 = jnp.zeros(world_tri_positions.shape[:2] + (2,), jnp.float32)
-    attrs = dict(albedo=dummy3, normal=dummy3, position=dummy3,
-                 material=dummy2, emission=dummy3)
+    [NUM_CASCADES,4,4] → depth maps [NUM_CASCADES, S, S] (NDC z).
+
+    tri_budget > 0 enables per-cascade triangle PRE-CULL (csm.rs culls
+    casters per cascade volume): triangles whose ortho-NDC bbox misses
+    the cascade's [-1,1]² footprint compact away into a static
+    ceil(T*tri_budget) budget before feature prep/binning — each cascade
+    then pays feature+binning+top_k on the reduced set. In-volume
+    triangles beyond the budget drop earliest-index-last (shadow-darkness
+    loss only); size the budget from the scene's per-cascade occupancy."""
+    t_total = world_tri_positions.shape[0]
+    budget = 0
+    if tri_budget and t_total > 16:
+        budget = min(-(-int(t_total * tri_budget) // 8) * 8,   # chunk-aligned
+                     t_total)
 
     def one(vp):
         clip = raster_mod.transform_clip(world_tri_positions, vp[None])
+        valid = (jnp.ones(t_total, bool) if tri_valid is None
+                 else tri_valid)
+        if budget:
+            # ortho projection: w == 1, NDC == clip.xyz. In-footprint iff
+            # the triangle bbox intersects [-1,1]² (z covered by the
+            # fit's depth padding)
+            ndc = clip[..., :2]                              # [T,3,2]
+            inside = (jnp.all(jnp.min(ndc, axis=1) <= 1.0, -1)
+                      & jnp.all(jnp.max(ndc, axis=1) >= -1.0, -1)
+                      & valid)
+            score = jnp.where(inside,
+                              -jnp.arange(t_total, dtype=jnp.int32),
+                              jnp.int32(-2 ** 30))
+            topv, topi = jax.lax.top_k(score, budget)
+            clip_c = clip[topi]
+            valid_c = topv > -2 ** 29
+        else:
+            clip_c, valid_c = clip, valid
         if use_pallas:
             from fyrox_tpu.render.pallas_raster import rasterize_pallas
-            return rasterize_pallas(clip, {}, map_size, map_size,
-                                    tri_valid=tri_valid,
-                                    k_per_tile=k_per_tile,
+            return rasterize_pallas(clip_c, {}, map_size, map_size,
+                                    tri_valid=valid_c,
+                                    k_per_tile=min(k_per_tile,
+                                                   clip_c.shape[0]),
                                     interpret=pallas_interpret,
-                                    depth_only=True, backface_cull=False)
-        g = raster_mod.rasterize(clip, attrs, map_size, map_size,
-                                 tri_valid=tri_valid, chunk=chunk,
+                                    depth_only=True, backface_cull=False,
+                                    bin_mode=bin_mode)
+        d3 = jnp.zeros(clip_c.shape[:2] + (3,), jnp.float32)
+        d2 = jnp.zeros(clip_c.shape[:2] + (2,), jnp.float32)
+        attrs = dict(albedo=d3, normal=d3, position=d3, material=d2,
+                     emission=d3)
+        g = raster_mod.rasterize(clip_c, attrs, map_size, map_size,
+                                 tri_valid=valid_c, chunk=chunk,
                                  backface_cull=False)
         return g.depth
 

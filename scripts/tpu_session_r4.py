@@ -78,10 +78,17 @@ def main():
     run("bench_reuse_on", [py, "bench.py"])
     run("bench_reuse_off", [py, "bench.py"],
         {"FYROX_SLAB_BP_PERIOD": "1"})
+    # solver work scales with the s_active compaction window — A/B a
+    # tighter window (valid only if slab_demand_1k shows active demand
+    # fits; check that result before trusting this number)
+    run("bench_active10", [py, "bench.py"], {"FYROX_SLAB_ACTIVE": "10"})
+    run("bench_period8", [py, "bench.py"], {"FYROX_SLAB_BP_PERIOD": "8"})
     run("bench_scaling", [py, "bench.py"],
         {"FYROX_BENCH_SCALING": "1"}, timeout=3000)
     run("bench_render", [py, "bench_render.py"],
         {"FYROX_BENCH_ROUND": "04"})
+    run("bench_render_precull", [py, "bench_render.py"],
+        {"FYROX_BENCH_RENDER_PRECULL": "0.4"})
     run("render_occlusion_ablation", [py, "-c", _OCC_SNIPPET], timeout=1200)
     run("slab_demand_1k", [py, "-c", _DEMAND_SNIPPET], timeout=1800)
     print("session complete ->", OUT)

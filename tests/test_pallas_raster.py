@@ -90,3 +90,23 @@ class TestDepthOnly:
         clip, attrs = random_tris(rng, t=3)
         g = rasterize_pallas(clip, attrs, 32, 128, interpret=True)
         assert int(g.mask.sum()) > 0
+
+
+class TestBinModes:
+    def test_cumsum_binning_matches_topk(self):
+        """bin_mode='cumsum' (counting-rank compaction) selects the same
+        earliest-index triangle set per tile as lax.top_k — identical
+        G-buffers, including under bin overflow."""
+        h, w = 64, 128
+        clip, attrs = random_tris(np.random.default_rng(9), t=60)
+        for k in (16, 160):                      # overflow + headroom
+            ga = rasterize_pallas(clip, attrs, h, w, k_per_tile=k,
+                                  interpret=True, bin_mode="topk")
+            gb = rasterize_pallas(clip, attrs, h, w, k_per_tile=k,
+                                  interpret=True, bin_mode="cumsum")
+            np.testing.assert_array_equal(np.asarray(gb.mask),
+                                          np.asarray(ga.mask))
+            np.testing.assert_allclose(np.asarray(gb.depth),
+                                       np.asarray(ga.depth), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gb.albedo),
+                                       np.asarray(ga.albedo), atol=1e-6)

@@ -344,3 +344,57 @@ class TestSkybox:
         assert corner[2] > 0.9        # skybox blue
         center = color[16, 16]        # cube pixel
         assert center[2] < 0.9
+
+
+class TestCascadePreCull:
+    def test_budget_one_matches_no_budget(self):
+        """tri_budget=1.0 exercises the compaction path with zero drops:
+        cascade depth maps must match the un-culled ones exactly."""
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, make_plane, render_frame)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(20.0), name="ground")
+        for i in range(6):
+            sb.add_mesh(make_cube(1.0), position=(i * 2.0 - 5.0, 0.5, 0.0))
+        tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+        sb.add_light("directional", rotation=tilt)
+        sb.add_camera("cam", position=(0, 4.0, -8.0),
+                      rotation=(np.sin(np.pi / 10), 0, 0, np.cos(np.pi / 10)))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        base = RenderConfig(width=64, height=64, shadows=True)
+        cull = base._replace(cascade_tri_budget=1.0)
+        c0, _ = render_frame(st, t, rt, base)
+        c1, _ = render_frame(st, t, rt, cull)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+
+    def test_half_budget_keeps_in_footprint_casters(self):
+        """A scene whose casters cluster in one spot: halving the budget
+        must not change the shadows (off-footprint triangles compact
+        away first)."""
+        import numpy as np
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, make_plane, render_frame)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(200.0), name="ground")
+        sb.add_mesh(make_cube(1.0), position=(0.0, 0.5, 2.0), name="caster")
+        # far-away geometry outside every cascade footprint
+        for i in range(8):
+            sb.add_mesh(make_cube(1.0), position=(500.0 + i * 3, 0.5, 500.0))
+        tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+        sb.add_light("directional", rotation=tilt)
+        sb.add_camera("cam", position=(0, 3.0, -6.0),
+                      rotation=(np.sin(np.pi / 12), 0, 0, np.cos(np.pi / 12)))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        base = RenderConfig(width=64, height=64, shadows=True)
+        cull = base._replace(cascade_tri_budget=0.5)
+        c0, _ = render_frame(st, t, rt, base)
+        c1, _ = render_frame(st, t, rt, cull)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
