@@ -86,6 +86,10 @@ class RenderTemplate:
     fov_y: float = np.deg2rad(75.0)
     z_near: float = 0.025
     z_far: float = 2048.0
+    # Projection::Orthographic (camera.rs:196): vertical half-size drives
+    # an ortho projection instead of the perspective one
+    cam_ortho: bool = False
+    cam_vertical_size: float = 5.0
     # lights (static parts; positions/directions come from node globals)
     light_node: np.ndarray = None   # [L]
     light_kind: np.ndarray = None   # [L]
@@ -225,6 +229,9 @@ def build_render_template(template: SceneTemplate,
         fov_y=float(cams["fov"][camera_index]) if cam_node >= 0 else np.deg2rad(75.0),
         z_near=float(cams["z_near"][camera_index]) if cam_node >= 0 else 0.025,
         z_far=float(cams["z_far"][camera_index]) if cam_node >= 0 else 2048.0,
+        cam_ortho=bool(cams["ortho"][camera_index]) if cam_node >= 0 else False,
+        cam_vertical_size=(float(cams["vertical_size"][camera_index])
+                           if cam_node >= 0 else 5.0),
         light_node=np.asarray(li["node"], np.int32) if nl else np.zeros(0, np.int32),
         light_kind=np.asarray(li["kind"], np.int32) if nl else np.zeros(0, np.int32),
         light_color=(np.stack(li["color"]).astype(np.float32) if nl
@@ -285,8 +292,14 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
     aspect = config.width / config.height
     cam_g = globals_[rt.camera_node]
     view = camera_mod.view_matrix(cam_g)
-    proj = camera_mod.perspective(jnp.asarray(rt.fov_y), jnp.asarray(aspect),
-                                  jnp.asarray(rt.z_near), jnp.asarray(rt.z_far))
+    if rt.cam_ortho:
+        proj = camera_mod.orthographic(
+            jnp.asarray(rt.cam_vertical_size), jnp.asarray(aspect),
+            jnp.asarray(rt.z_near), jnp.asarray(rt.z_far))
+    else:
+        proj = camera_mod.perspective(
+            jnp.asarray(rt.fov_y), jnp.asarray(aspect),
+            jnp.asarray(rt.z_near), jnp.asarray(rt.z_far))
     vp = jnp.einsum("ij,jk->ik", proj, view, precision="highest")
 
     # instance transforms → world-space vertices/normals

@@ -12,7 +12,7 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["PostConfig", "tonemap_aces", "auto_exposure", "bloom", "fxaa",
-           "post_process"]
+           "color_grading", "identity_lut", "post_process"]
 
 
 class PostConfig(NamedTuple):
@@ -24,6 +24,46 @@ class PostConfig(NamedTuple):
     bloom_radius: int = 4
     use_fxaa: bool = True
     gamma: float = 2.2
+    # color grading LUT (camera.rs ColorGradingLut / renderer hdr map
+    # stage): [N,N,N,3] cube sampled trilinearly after tonemap+gamma
+    color_grading_lut: object = None
+    color_grading_amount: float = 1.0
+
+
+def identity_lut(n: int = 16) -> np.ndarray:
+    """[N,N,N,3] identity color cube (lut[r,g,b] = (r,g,b)/ (N-1))."""
+    ax = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    r, g, b = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.stack([r, g, b], -1)
+
+
+def color_grading(ldr, lut, amount=1.0):
+    """Trilinear 3D-LUT grade: ldr [...,3] in [0,1], lut [N,N,N,3].
+
+    The reference bakes the LUT from an image strip
+    (camera.rs ColorGradingLut::new) and applies it in the HDR mapper;
+    here any [N,N,N,3] cube works (identity_lut to start from)."""
+    lut = jnp.asarray(lut)
+    n = lut.shape[0]
+    flat = lut.reshape(-1, 3)
+    p = jnp.clip(ldr, 0.0, 1.0) * (n - 1)
+    i0 = jnp.floor(p).astype(jnp.int32)
+    i0 = jnp.minimum(i0, n - 2)
+    f = p - i0
+
+    def at(dr, dg, db):
+        idx = ((i0[..., 0] + dr) * n + (i0[..., 1] + dg)) * n \
+            + (i0[..., 2] + db)
+        return flat[idx]
+
+    c00 = at(0, 0, 0) * (1 - f[..., 2:3]) + at(0, 0, 1) * f[..., 2:3]
+    c01 = at(0, 1, 0) * (1 - f[..., 2:3]) + at(0, 1, 1) * f[..., 2:3]
+    c10 = at(1, 0, 0) * (1 - f[..., 2:3]) + at(1, 0, 1) * f[..., 2:3]
+    c11 = at(1, 1, 0) * (1 - f[..., 2:3]) + at(1, 1, 1) * f[..., 2:3]
+    c0 = c00 * (1 - f[..., 1:2]) + c01 * f[..., 1:2]
+    c1 = c10 * (1 - f[..., 1:2]) + c11 * f[..., 1:2]
+    graded = c0 * (1 - f[..., 0:1]) + c1 * f[..., 0:1]
+    return ldr + (graded - ldr) * amount
 
 
 def _luminance(c):
@@ -111,6 +151,9 @@ def post_process(color, config: PostConfig = PostConfig()):
                   config.bloom_radius)
     ldr = tonemap_aces(c)
     ldr = ldr ** (1.0 / config.gamma)
+    if config.color_grading_lut is not None:
+        ldr = color_grading(ldr, config.color_grading_lut,
+                            config.color_grading_amount)
     if config.use_fxaa:
         ldr = fxaa(ldr)
     return ldr

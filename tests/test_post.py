@@ -53,3 +53,39 @@ class TestBlendShapes:
         out = np.asarray(apply_blend_shapes(verts, deltas, weights))
         np.testing.assert_allclose(out[0, 0], [1, 0, 0], atol=1e-6)
         np.testing.assert_allclose(out[1, 0], [0.5, 1.0, 0], atol=1e-6)
+
+
+class TestColorGrading:
+    def test_identity_lut_is_noop(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.render.post import color_grading, identity_lut
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (8, 8, 3)).astype(np.float32))
+        out = color_grading(img, identity_lut(16))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-5)
+
+    def test_channel_swap_lut(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.render.post import color_grading, identity_lut
+        lut = identity_lut(8)[..., [2, 1, 0]]       # swap R and B
+        img = jnp.asarray([[[0.9, 0.2, 0.1]]], jnp.float32)
+        out = np.asarray(color_grading(img, lut))
+        np.testing.assert_allclose(out[0, 0], [0.1, 0.2, 0.9], atol=0.08)
+
+    def test_post_process_with_lut(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.render.post import (PostConfig, identity_lut,
+                                           post_process)
+        img = jnp.ones((2, 16, 16, 3), jnp.float32) * 0.5
+        warm = identity_lut(8).copy()
+        warm[..., 0] = np.clip(warm[..., 0] * 1.3, 0, 1)   # warmer reds
+        a = post_process(img, PostConfig(use_fxaa=False))
+        b = post_process(img, PostConfig(use_fxaa=False,
+                                         color_grading_lut=warm))
+        assert float(jnp.mean(b[..., 0])) > float(jnp.mean(a[..., 0]))
+        np.testing.assert_allclose(np.asarray(b[..., 1]),
+                                   np.asarray(a[..., 1]), atol=1e-5)

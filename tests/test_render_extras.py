@@ -398,3 +398,42 @@ class TestCascadePreCull:
         c0, _ = render_frame(st, t, rt, base)
         c1, _ = render_frame(st, t, rt, cull)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+
+
+class TestOrthoCamera:
+    def test_ortho_projection_used_and_undistorted(self):
+        """Projection::Orthographic (camera.rs:196): an ortho camera's
+        image has no perspective shrink — two same-size cubes at
+        different depths cover the same pixel count."""
+        import numpy as np
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, render_frame)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+
+        def scene(ortho):
+            sb = SceneBuilder()
+            sb.add_mesh(make_cube(1.0, emission=(1, 0, 0)),
+                        position=(-2.0, 0.0, 2.0))
+            sb.add_mesh(make_cube(1.0, emission=(0, 1, 0)),
+                        position=(2.0, 0.0, 14.0))
+            sb.add_camera("cam", position=(0, 0, -6.0), ortho=ortho,
+                          vertical_size=4.0)
+            t = sb.build()
+            st = graph.update_hierarchical_data(init_state(t, 1), t)
+            rt = build_render_template(t)
+            assert rt.cam_ortho == ortho
+            _, gbuf = render_frame(st, t, rt, RenderConfig(
+                width=64, height=64, shadows=False))
+            return np.asarray(gbuf.mask[0])
+
+        # screen x mirrors world x with this RH convention: the near cube
+        # (world x=-2) lands on the RIGHT half
+        m_persp = scene(False)
+        near_p = m_persp[:, 32:].sum()
+        far_p = m_persp[:, :32].sum()
+        assert near_p > 2.0 * far_p          # perspective shrinks the far cube
+        m_ortho = scene(True)
+        near_o = m_ortho[:, 32:].sum()
+        far_o = m_ortho[:, :32].sum()
+        assert near_o > 0 and far_o > 0
+        assert abs(int(near_o) - int(far_o)) <= 0.2 * near_o  # same size
