@@ -999,13 +999,33 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
         # temporal reuse: rebuild every `period` steps with two-sided
         # temporally-fattened AABBs (rapier incremental-SAP margin
         # analog); in between, reuse the cached candidate windows. The
-        # fat set is a superset of the true overlap set for the whole
-        # reuse horizon (|v|·period·dt sweep + gravity drift bound), so
-        # reuse is exact as long as no candidate window overflows — the
+        # fat set is a superset of the true overlap set while every
+        # body stays inside its coverage budget (|v₀|·period·dt sweep +
+        # gravity drift, CLAMPED by the cell-size sweep cap) — fast
+        # transients exceed the clamp, so a VELOCITY-ADAPTIVE check
+        # rebuilds early the moment any body's displacement + next-step
+        # sweep leaves its budget (SAP refit-on-movement analog). The
         # per-step narrowphase still gates contact activation exactly.
         dtv = jnp.asarray(dt, dtype)
         gmag = float(np.linalg.norm(np.asarray(t.gravity, np.float64)))
-        extra = 0.5 * gmag * (period * dtv) ** 2
+        # discrete symplectic-Euler drift bound: sum_{i=1..p} i*g*dt^2 =
+        # 0.5*g*T^2*(1+1/p); +1/p more as slack for the last step's sweep
+        extra = 0.5 * gmag * (period * dtv) ** 2 * (1.0 + 2.0 / period)
+        # static per-body clamp: min sweep cap over the body's grid
+        # colliders (half, for the two-sided extent bound), less offset
+        # swing room for off-center colliders
+        if getattr(cx, "_body_cov_cap", None) is None:
+            capb = np.full(cx.b, np.inf, np.float32)
+            offb = np.zeros(cx.b, np.float32)
+            gcols = set(int(x) for x in sc.grid_cols)
+            for ci in range(cx.c):
+                bi = int(cx.col_body[ci])
+                if ci in gcols:
+                    capb[bi] = min(capb[bi], 0.5 * float(sc.sweep_cap[ci]))
+                    offb[bi] = max(offb[bi],
+                                   float(np.linalg.norm(cx.col_pos[ci])))
+            cx._body_cov_cap = np.maximum(capb - 2.0 * offb, 0.0)
+        capb = jnp.asarray(cx._body_cov_cap)[None, :, None]     # [1,B,1]
 
         def _rebuild(_):
             aminf, amaxf = _aabb_planes(
@@ -1019,15 +1039,26 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
             cs = bp_mod.slab_candidates(
                 sc, cx.col_body, cx.dyn_col, _stack(aminf), _stack(amaxf),
                 amin_tight=_stack(amint), amax_tight=_stack(amaxt))
-            return tuple(tuple(c) for c in cs)
+            cov = jnp.minimum(jnp.abs(state.linvel) * (dtv * period)
+                              + extra, capb)
+            return (tuple(tuple(c) for c in cs), state.position, cov)
 
         def _reuse(_):
             return state.bp_cache
 
-        rebuild_now = (state.bp_age[0] % period) == 0
+        cands_c, pos0, cov0 = state.bp_cache
+        # adaptive coverage check: displacement since rebuild + this
+        # step's sweep must stay inside the cached per-axis budget
+        need = (jnp.abs(state.position - pos0)
+                + jnp.abs(state.linvel) * dtv)
+        covered = jnp.all(need <= cov0 + 1e-5)
+        rebuild_now = ((state.bp_age[0] % period) == 0) | ~covered
         new_cache = jax.lax.cond(rebuild_now, _rebuild, _reuse, None)
-        cands = [bp_mod.SlabCandidates(*c) for c in new_cache]
-        new_age = (state.bp_age + 1) % period
+        cands = [bp_mod.SlabCandidates(*c) for c in new_cache[0]]
+        # an adaptive rebuild restarts the cadence (full period of reuse)
+        new_age = jnp.where(rebuild_now,
+                            jnp.ones_like(state.bp_age),
+                            (state.bp_age + 1) % period)
 
     # ---- narrowphase + active-point compaction ----
     attrs_f, attrs_i = _narrowphase_windows(cx, t, cands, cpos, cq, crot9,

@@ -538,8 +538,10 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
                             * int(template.grid.s_active))
                 period = int(getattr(template, "broadphase_period", 1) or 1)
                 if period > 1:
-                    # empty candidate cache; age 0 forces a rebuild on the
-                    # first step (slab2.step_slab2 temporal reuse)
+                    # empty candidate cache; age 0 + zero coverage force a
+                    # rebuild on the first step (slab2 temporal reuse).
+                    # Cache = (per-class slot tuples, rebuild positions,
+                    # per-body coverage budgets)
                     sc = template.grid
                     cgn = int(sc.grid_cols.size)
                     cache = []
@@ -550,8 +552,12 @@ def init_physics_state(builder_or_pose, template: PhysicsTemplate,
                                       jnp.zeros((w, k), bool),
                                       jnp.zeros((w, k), bool),
                                       jnp.full((w, k), -1, jnp.int32)))
-                    bp_fields = dict(bp_cache=tuple(cache),
-                                     bp_age=jnp.zeros((w,), jnp.int32))
+                    nb = template.num_bodies
+                    bp_fields = dict(
+                        bp_cache=(tuple(cache),
+                                  jnp.zeros((w, nb, 3), jnp.float32),
+                                  jnp.zeros((w, nb, 3), jnp.float32)),
+                        bp_age=jnp.zeros((w,), jnp.int32))
             else:
                 cap = template.grid.n_slots
                 kk = template.grid.slot_points
