@@ -1036,11 +1036,24 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
             # fat-margin overflow never drops a live contact
             amint, amaxt = _aabb_planes(cx, t, cpos, crot9, v_sweep,
                                         margin)
-            cs = bp_mod.slab_candidates(
+            cs, demand = bp_mod.slab_candidates(
                 sc, cx.col_body, cx.dyn_col, _stack(aminf), _stack(amaxf),
-                amin_tight=_stack(amint), amax_tight=_stack(amaxt))
+                amin_tight=_stack(amint), amax_tight=_stack(amaxt),
+                return_demand=True)
             cov = jnp.minimum(jnp.abs(state.linvel) * (dtv * period)
                               + extra, capb)
+            # speculative window overflow means the cached superset is
+            # incomplete — zero the budget so the NEXT step rebuilds too
+            # (per-step rebuilds until demand fits the windows again)
+            overflow = jnp.zeros((), bool)
+            for cls_i in range(3):
+                cap_i = sc.s_class[cls_i]
+                if cap_i:
+                    overflow = overflow | jnp.any(
+                        demand["class_valid"][cls_i] > cap_i)
+            overflow = overflow | jnp.any(
+                demand["walk_total"] > sc.s_walk)
+            cov = jnp.where(overflow, 0.0, cov)
             return (tuple(tuple(c) for c in cs), state.position, cov)
 
         def _reuse(_):

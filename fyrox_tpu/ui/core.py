@@ -138,6 +138,11 @@ class Widget:
     path: str = ""
     # style key (style/mod.rs StyledProperty): resolved at add() time
     style: str = ""
+    # numeric up-down (numeric.rs): value/min/max shared with slider
+    step: float = 1.0
+    # free-floating position for windows/popouts on a canvas
+    # (window.rs desired_position); None = parent-arranged
+    float_pos: Optional[Tuple[float, float]] = None
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -303,6 +308,17 @@ class UserInterface:
                         destination=hit,
                         data={"type": "value_changed", "value": w.value},
                         direction="from_widget"))
+                if w.kind == "numeric":
+                    r = w.actual_rect
+                    if x >= r.x + r.w - 14:
+                        delta = w.step if y < r.y + r.h / 2 else -w.step
+                        w.value = min(max(w.value + delta, w.min_value),
+                                      w.max_value)
+                        self.send_message(UiMessage(
+                            destination=hit,
+                            data={"type": "value_changed",
+                                  "value": w.value},
+                            direction="from_widget"))
                 if w.kind == "tabs":
                     head_h = w.font_size * 1.6
                     if y <= w.actual_rect.y + head_h:
@@ -345,6 +361,22 @@ class UserInterface:
                     w.on_click(self, hit)
             else:
                 self.close_popups()
+        elif event.get("type") == "drag":
+            # window title-bar dragging (window.rs): move free-floating
+            # windows by (dx, dy); the hit must land on the title bar
+            x, y = event["x"], event["y"]
+            hit = self._hit_test(self.root, x, y)
+            while hit is not None and hit.is_some():
+                w = self.nodes.borrow(hit)
+                if w.kind == "window":
+                    if y <= w.actual_rect.y + w.title_height:
+                        base = (w.float_pos if w.float_pos is not None
+                                else (w.actual_rect.x, w.actual_rect.y))
+                        w.float_pos = (base[0] + event.get("dx", 0.0),
+                                       base[1] + event.get("dy", 0.0))
+                        self.update_layout()
+                    break
+                hit = w.parent if w.parent.is_some() else None
         elif event.get("type") == "scroll":
             hit = self._hit_test(self.root, event["x"], event["y"])
             while hit is not None:
@@ -380,6 +412,41 @@ class UserInterface:
                 changed = True
         if changed:
             self.update_layout()
+
+    def show_message_box(self, title: str, text: str, buttons=("OK",),
+                         x: float = None, y: float = None) -> Handle:
+        """Modal message box (messagebox.rs): a floating window with text
+        and buttons. Clicking a button emits a `message_box_result`
+        message (destination = the box) with the button's label and
+        removes the box."""
+        sw, sh = self.screen_size
+        win = self.add(Widget(kind="window", title=title,
+                              background=(0.16, 0.16, 0.2, 1.0)))
+        stack = self.add(Widget(kind="stack", orientation="vertical"), win)
+        self.add(Widget(kind="text", text=text,
+                        margin=(8, 8, 8, 4)), stack)
+        row = self.add(Widget(kind="stack", orientation="horizontal",
+                              margin=(8, 4, 8, 8)), stack)
+
+        def make_cb(label):
+            def cb(ui, _h):
+                ui.send_message(UiMessage(
+                    destination=win,
+                    data={"type": "message_box_result", "button": label},
+                    direction="from_widget"))
+                ui.remove(win)
+            return cb
+
+        for label in buttons:
+            self.add(Widget(kind="button", text=label, margin=(4, 0, 4, 0),
+                            on_click=make_cb(label)), row)
+        self.update_layout()
+        w = self.nodes.borrow(win)
+        bw, bh = w.desired_size
+        w.float_pos = (x if x is not None else (sw - bw) * 0.5,
+                       y if y is not None else (sh - bh) * 0.4)
+        self.update_layout()
+        return win
 
     def open_popup(self, handle: Handle, x: float, y: float):
         """Show a popup widget at screen position (popup.rs Placement)."""
@@ -603,6 +670,9 @@ class UserInterface:
         elif w.kind == "colorpicker":
             content = (max(inner[0], 120.0) if not np.isfinite(w.width)
                        else w.width, 30.0 + w.font_size)
+        elif w.kind == "numeric":
+            content = (max(len(f"{w.value:g}") * w.font_size * 0.55 + 26,
+                           60.0), w.font_size * 1.4)
         elif w.kind == "filebrowser":
             for c in w.children:
                 self.measure(c, inner)
@@ -657,6 +727,11 @@ class UserInterface:
             w.actual_rect = Rect(final.x, final.y, 0, 0)
             return
         ml, mt, mr, mb = w.margin
+        if w.float_pos is not None:
+            # free-floating widget (window.rs desired_position): anchor at
+            # its own position with its desired size, ignoring the slot
+            final = Rect(w.float_pos[0], w.float_pos[1],
+                         w.desired_size[0], w.desired_size[1])
         rect = Rect(final.x + ml, final.y + mt,
                     max(final.w - ml - mr, 0.0), max(final.h - mt - mb, 0.0))
         if np.isfinite(w.width):
@@ -889,6 +964,21 @@ class UserInterface:
         if w.kind in ("text", "button") and w.text:
             cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
                                     text=w.text))
+        if w.kind == "numeric":
+            r = w.actual_rect
+            cmds.append(DrawCommand("rect", r, w.background))
+            cmds.append(DrawCommand("border", r, w.foreground))
+            body = Rect(r.x, r.y, max(r.w - 14, 0), r.h)
+            cmds.append(DrawCommand("text", body, w.foreground,
+                                    text=f"{w.value:g}"))
+            # up/down spinners on the right (numeric.rs)
+            cmds.append(DrawCommand("text",
+                                    Rect(r.x + r.w - 12, r.y, 12, r.h / 2),
+                                    w.foreground, text="+"))
+            cmds.append(DrawCommand("text",
+                                    Rect(r.x + r.w - 12, r.y + r.h / 2, 12,
+                                         r.h / 2),
+                                    w.foreground, text="-"))
         if w.kind == "textbox":
             from fyrox_tpu.ui.text import FormattedText, _sel_range
             cmds.append(DrawCommand("rect", w.actual_rect,

@@ -127,3 +127,63 @@ class TestStyles:
         assert ui.nodes.borrow(a).font_size == 18.0
         assert ui.nodes.borrow(b).font_size == 10.0
         assert ui.nodes.borrow(b).background == (0.5, 0.0, 0.0, 1.0)
+
+
+class TestNumericUpDown:
+    def test_spinners_and_clamp(self):
+        ui = UserInterface((200, 100))
+        nu = ui.add(Widget(kind="numeric", width=80, value=5.0,
+                           min_value=0.0, max_value=6.0, step=1.0))
+        ui.update_layout()
+        r = ui.nodes.borrow(nu).actual_rect
+        _click(ui, r.x + r.w - 6, r.y + 2)            # up
+        assert ui.nodes.borrow(nu).value == 6.0
+        _click(ui, r.x + r.w - 6, r.y + 2)            # clamped at max
+        assert ui.nodes.borrow(nu).value == 6.0
+        _click(ui, r.x + r.w - 6, r.y + r.h - 2)      # down
+        assert ui.nodes.borrow(nu).value == 5.0
+        msgs = [m for m in _drain(ui) if m.data.get("type") == "value_changed"]
+        assert len(msgs) == 3
+
+
+class TestMessageBox:
+    def test_result_message_and_removal(self):
+        ui = UserInterface((400, 300))
+        box = ui.show_message_box("CONFIRM", "DELETE FILE", ("YES", "NO"))
+        w = ui.nodes.borrow(box)
+        assert w.float_pos is not None and w.actual_rect.w > 0
+        # click the NO button
+        btns = []
+        def walk(h):
+            ww = ui.nodes.borrow(h)
+            if ww.kind == "button":
+                btns.append((h, ww))
+            for c in ww.children:
+                walk(c)
+        walk(box)
+        assert [b.text for _h, b in btns] == ["YES", "NO"]
+        r = btns[1][1].actual_rect
+        _click(ui, r.x + 2, r.y + 2)
+        msgs = [m for m in _drain(ui)
+                if m.data.get("type") == "message_box_result"]
+        assert msgs and msgs[0].data["button"] == "NO"
+        assert ui.nodes.try_borrow(box) is None       # removed
+
+
+class TestWindowDrag:
+    def test_title_bar_drag_moves_window(self):
+        ui = UserInterface((400, 300))
+        win = ui.add(Widget(kind="window", title="TOOLS", width=120,
+                            height=80, float_pos=(50.0, 40.0)))
+        ui.update_layout()
+        r0 = ui.nodes.borrow(win).actual_rect
+        assert (r0.x, r0.y) == (50.0, 40.0)
+        ui.process_os_event({"type": "drag", "x": r0.x + 10, "y": r0.y + 5,
+                             "dx": 30.0, "dy": 15.0})
+        r1 = ui.nodes.borrow(win).actual_rect
+        assert (r1.x, r1.y) == (80.0, 55.0)
+        # dragging the BODY (below the title bar) does not move it
+        ui.process_os_event({"type": "drag", "x": r1.x + 10,
+                             "y": r1.y + 50, "dx": 30.0, "dy": 15.0})
+        r2 = ui.nodes.borrow(win).actual_rect
+        assert (r2.x, r2.y) == (80.0, 55.0)
