@@ -53,11 +53,13 @@ class UiMessage:
 
 @dataclass
 class DrawCommand:
-    kind: str                      # 'rect', 'text', 'border'
+    kind: str                      # 'rect', 'text', 'border', 'image', 'line'
     bounds: Rect = field(default_factory=Rect)
     color: Tuple[float, float, float, float] = (1, 1, 1, 1)
     text: str = ""
     thickness: float = 1.0
+    texture: Optional[object] = None   # image widgets (image.rs)
+    points: Optional[list] = None      # polyline (vector_image.rs)
 
 
 @dataclass
@@ -143,6 +145,13 @@ class Widget:
     # free-floating position for windows/popouts on a canvas
     # (window.rs desired_position); None = parent-arranged
     float_pos: Optional[Tuple[float, float]] = None
+    # image (image.rs): texture payload blitted by the renderer
+    texture: Optional[object] = None
+    # vector image (vector_image.rs): primitive list, coords in local
+    # units — [("line", x0, y0, x1, y1), ("rect", x, y, w, h), ...]
+    primitives: List[tuple] = field(default_factory=list)
+    # range editor (range.rs): second value (start = `value`, end = value2)
+    value2: float = 1.0
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -206,7 +215,9 @@ class UserInterface:
         if event.get("type") == "click":
             x, y = event["x"], event["y"]
             hit = self._hit_test(self.root, x, y)
-            if hit is not None and self.nodes.borrow(hit).kind == "textbox":
+            if (hit is not None
+                    and self.nodes.borrow(hit).kind in ("textbox",
+                                                        "searchbar")):
                 w = self.nodes.borrow(hit)
                 if self.focus != hit:
                     self.focus = hit
@@ -302,6 +313,41 @@ class UserInterface:
                                     direction="from_widget"))
                 if w.kind == "slider":
                     t = (x - w.actual_rect.x) / max(w.actual_rect.w, 1e-9)
+                    t = min(max(t, 0.0), 1.0)
+                    w.value = w.min_value + t * (w.max_value - w.min_value)
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "value_changed", "value": w.value},
+                        direction="from_widget"))
+                if w.kind == "toggle":
+                    # toggle button (toggle.rs): flips pressed state
+                    w.checked = not w.checked
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "toggled", "value": w.checked},
+                        direction="from_widget"))
+                if w.kind == "range":
+                    # move the NEAREST handle to the click (range.rs)
+                    t = (x - w.actual_rect.x) / max(w.actual_rect.w, 1e-9)
+                    t = min(max(t, 0.0), 1.0)
+                    v = w.min_value + t * (w.max_value - w.min_value)
+                    if abs(v - w.value) <= abs(v - w.value2):
+                        w.value = min(v, w.value2)
+                    else:
+                        w.value2 = max(v, w.value)
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "range_changed",
+                              "start": w.value, "end": w.value2},
+                        direction="from_widget"))
+                if w.kind == "scrollbar":
+                    # value from click position along the orientation
+                    # (scroll_bar.rs thumb jump)
+                    r = w.actual_rect
+                    if w.orientation == "vertical":
+                        t = (y - r.y) / max(r.h, 1e-9)
+                    else:
+                        t = (x - r.x) / max(r.w, 1e-9)
                     t = min(max(t, 0.0), 1.0)
                     w.value = w.min_value + t * (w.max_value - w.min_value)
                     self.send_message(UiMessage(
@@ -503,7 +549,7 @@ class UserInterface:
         if self.focus is None:
             return
         w = self.nodes.try_borrow(self.focus)
-        if w is None or w.kind != "textbox":
+        if w is None or w.kind not in ("textbox", "searchbar"):
             return
         from fyrox_tpu.ui.text import apply_key
         key = event.get("key", "Char")
@@ -521,6 +567,12 @@ class UserInterface:
                 direction="from_widget"))
             if ev == "committed" and w.on_commit is not None:
                 w.on_commit(self, self.focus)
+            if ev == "changed" and w.kind == "searchbar":
+                # searchbar.rs SearchBarMessage::Text — the filter query
+                self.send_message(UiMessage(
+                    destination=self.focus,
+                    data={"type": "search_text_changed", "text": w.text},
+                    direction="from_widget"))
 
     def _hit_test(self, h: Handle, x, y) -> Optional[Handle]:
         w = self.nodes.borrow(h)
@@ -694,6 +746,46 @@ class UserInterface:
                 for c in w.children:
                     self.measure(c, inner)
             content = inner
+        elif w.kind == "wrap":
+            # wrap panel (wrap_panel.rs): flow children along the
+            # orientation axis, wrapping into new lines at the constraint
+            content = self._measure_wrap(w, inner)
+        elif w.kind == "screen":
+            # screen.rs: always the full screen, children fit inside
+            for c in w.children:
+                self.measure(c, self.screen_size)
+            content = self.screen_size
+        elif w.kind == "image":
+            if w.texture is not None and hasattr(w.texture, "shape"):
+                th_, tw_ = w.texture.shape[0], w.texture.shape[1]
+            else:
+                th_ = tw_ = 32.0
+            content = (float(tw_), float(th_))
+        elif w.kind == "vector_image":
+            xs = [0.0]
+            ys = [0.0]
+            for prim in w.primitives:
+                if prim[0] == "line":
+                    xs += [prim[1], prim[3]]
+                    ys += [prim[2], prim[4]]
+                elif prim[0] == "rect":
+                    xs += [prim[1], prim[1] + prim[3]]
+                    ys += [prim[2], prim[2] + prim[4]]
+            content = (max(xs), max(ys))
+        elif w.kind == "range":
+            content = (max(inner[0], 80.0) if not np.isfinite(w.width)
+                       else w.width, w.font_size * 1.2)
+        elif w.kind == "toggle":
+            content = (len(w.text) * w.font_size * 0.55 + 16,
+                       w.font_size * 1.3 + 6)
+        elif w.kind == "scrollbar":
+            if w.orientation == "vertical":
+                content = (14.0, max(inner[1], 40.0))
+            else:
+                content = (max(inner[0], 40.0), 14.0)
+        elif w.kind == "searchbar":
+            content = (max(inner[0], 120.0) if not np.isfinite(w.width)
+                       else w.width, w.font_size * 1.4 + 4)
         elif w.kind == "text":
             content = (len(w.text) * w.font_size * 0.55 if w.text else 0.0,
                        w.font_size * 1.3)
@@ -856,6 +948,13 @@ class UserInterface:
                 self.arrange(c, Rect(rect.x, rect.y + w.font_size * 1.5,
                                      rect.w,
                                      max(rect.h - w.font_size * 1.5, 0.0)))
+        elif w.kind == "wrap":
+            self._arrange_wrap(w, rect)
+        elif w.kind == "screen":
+            sw, sh = self.screen_size
+            w.actual_rect = Rect(0.0, 0.0, sw, sh)
+            for c in w.children:
+                self.arrange(c, w.actual_rect)
         elif (w.kind == "tile" and w.split in ("horizontal", "vertical")
               and len(w.children) == 2):
             sp = w.splitter_px * 0.5
@@ -876,6 +975,58 @@ class UserInterface:
         else:
             for c in w.children:
                 self.arrange(c, rect)
+
+    # -- wrap panel helpers (wrap_panel.rs) -----------------------------------
+    def _wrap_lines(self, w, limit):
+        """Group children into flow lines under the main-axis limit."""
+        lines, cur, used = [], [], 0.0
+        main = 0 if w.orientation == "horizontal" else 1
+        for c in w.children:
+            cs = self.nodes.borrow(c).desired_size
+            if cur and used + cs[main] > limit:
+                lines.append(cur)
+                cur, used = [], 0.0
+            cur.append(c)
+            used += cs[main]
+        if cur:
+            lines.append(cur)
+        return lines
+
+    def _measure_wrap(self, w, inner):
+        for c in w.children:
+            self.measure(c, inner)
+        main = 0 if w.orientation == "horizontal" else 1
+        cross = 1 - main
+        limit = inner[main]
+        total_cross = 0.0
+        widest = 0.0
+        for line in self._wrap_lines(w, limit):
+            sizes = [self.nodes.borrow(c).desired_size for c in line]
+            widest = max(widest, sum(s[main] for s in sizes))
+            total_cross += max((s[cross] for s in sizes), default=0.0)
+        return ((widest, total_cross) if main == 0
+                else (total_cross, widest))
+
+    def _arrange_wrap(self, w, rect):
+        main = 0 if w.orientation == "horizontal" else 1
+        cross = 1 - main
+        limit = rect.w if main == 0 else rect.h
+        off_cross = 0.0
+        for line in self._wrap_lines(w, limit):
+            sizes = [self.nodes.borrow(c).desired_size for c in line]
+            line_cross = max((s[cross] for s in sizes), default=0.0)
+            off_main = 0.0
+            for c, cs in zip(line, sizes):
+                if main == 0:
+                    self.arrange(c, Rect(rect.x + off_main,
+                                         rect.y + off_cross,
+                                         cs[0], line_cross))
+                else:
+                    self.arrange(c, Rect(rect.x + off_cross,
+                                         rect.y + off_main,
+                                         line_cross, cs[1]))
+                off_main += cs[main]
+            off_cross += line_cross
 
     # -- grid helpers (grid.rs measure/arrange) ------------------------------
     def _grid_defs(self, defs, n_needed):
@@ -1142,6 +1293,72 @@ class UserInterface:
             head = Rect(w.actual_rect.x, w.actual_rect.y, w.actual_rect.w,
                         w.font_size * 1.5)
             cmds.append(DrawCommand("text", head, w.foreground, text=w.path))
+        if w.kind == "image":
+            cmds.append(DrawCommand("image", w.actual_rect, w.background,
+                                    texture=w.texture))
+        if w.kind == "vector_image":
+            r = w.actual_rect
+            for prim in w.primitives:
+                if prim[0] == "line":
+                    cmds.append(DrawCommand(
+                        "line", r, w.foreground,
+                        points=[(r.x + prim[1], r.y + prim[2]),
+                                (r.x + prim[3], r.y + prim[4])]))
+                elif prim[0] == "rect":
+                    cmds.append(DrawCommand(
+                        "rect", Rect(r.x + prim[1], r.y + prim[2],
+                                     prim[3], prim[4]), w.foreground))
+        if w.kind == "toggle":
+            on_bg = (0.2, 0.45, 0.3, 1.0) if w.checked else w.background
+            cmds.append(DrawCommand("rect", w.actual_rect, on_bg))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+            if w.text:
+                cmds.append(DrawCommand("text", w.actual_rect, w.foreground,
+                                        text=w.text))
+        if w.kind == "range":
+            r = w.actual_rect
+            track = Rect(r.x, r.y + r.h * 0.4, r.w, r.h * 0.2)
+            cmds.append(DrawCommand("rect", track, (0.15, 0.15, 0.15, 1.0)))
+            span = max(w.max_value - w.min_value, 1e-9)
+            t0 = min(max((w.value - w.min_value) / span, 0.0), 1.0)
+            t1 = min(max((w.value2 - w.min_value) / span, 0.0), 1.0)
+            x0 = r.x + t0 * max(r.w - 8, 0.0)
+            x1 = r.x + t1 * max(r.w - 8, 0.0)
+            cmds.append(DrawCommand("rect",
+                                    Rect(x0, track.y, max(x1 - x0, 0.0),
+                                         track.h), (0.25, 0.4, 0.6, 1.0)))
+            for hx in (x0, x1):
+                cmds.append(DrawCommand("rect", Rect(hx, r.y, 8.0, r.h),
+                                        w.foreground))
+        if w.kind == "scrollbar":
+            r = w.actual_rect
+            cmds.append(DrawCommand("rect", r, (0.15, 0.15, 0.15, 1.0)))
+            span = max(w.max_value - w.min_value, 1e-9)
+            t = min(max((w.value - w.min_value) / span, 0.0), 1.0)
+            thumb = 18.0
+            if w.orientation == "vertical":
+                ty = r.y + t * max(r.h - thumb, 0.0)
+                cmds.append(DrawCommand("rect", Rect(r.x, ty, r.w, thumb),
+                                        w.foreground))
+            else:
+                tx = r.x + t * max(r.w - thumb, 0.0)
+                cmds.append(DrawCommand("rect", Rect(tx, r.y, thumb, r.h),
+                                        w.foreground))
+        if w.kind == "searchbar":
+            cmds.append(DrawCommand("rect", w.actual_rect,
+                                    (0.12, 0.12, 0.12, 1.0)))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
+            body = Rect(w.actual_rect.x + 3, w.actual_rect.y,
+                        max(w.actual_rect.w - 20, 0), w.actual_rect.h)
+            cmds.append(DrawCommand("text", body, w.foreground,
+                                    text=w.text or "search..."))
+            icon = Rect(w.actual_rect.x + w.actual_rect.w - 16,
+                        w.actual_rect.y, 16, w.actual_rect.h)
+            cmds.append(DrawCommand("text", icon, w.foreground, text="?"))
+        if w.kind == "decorator":
+            # decorator.rs: brush switches on the selected/checked state
+            bg = (0.25, 0.3, 0.45, 1.0) if w.checked else w.background
+            cmds.append(DrawCommand("rect", w.actual_rect, bg))
         if w.kind == "tree" and not w.expanded:
             return                    # collapsed subtree draws nothing
         for c in w.children:
