@@ -145,7 +145,12 @@ def build_flagship(n_bones=100, n_verts=50_000, n_bodies=64,
         # directed-partner demand of the settled 1k pile
         # (FYROX_SLAB_* env overrides for tuning sweeps).
         import os as _os
-        period = int(_os.environ.get("FYROX_SLAB_BP_PERIOD", 4))
+        # default period=1 (no temporal reuse): the r4 TPU A/B measured
+        # reuse at 2302 env·steps/s/chip vs 3040 without — the fattened
+        # windows inflate narrowphase/solver more than the amortized
+        # rebuild saves at this density, and overflow the compaction caps
+        # (scripts/TPU_SESSION_r4.json bench_reuse_on/off, slab_demand_1k)
+        period = int(_os.environ.get("FYROX_SLAB_BP_PERIOD", 1))
         # temporal reuse fattens candidate AABBs (rotation-invariant
         # bounds + |v|·period·dt two-sided sweep): measured class-0 demand
         # on the settled pile rises 11 → 14, so the default windows grow

@@ -28,6 +28,7 @@ joints take the XLA path (kernel scope: the flagship fast case).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -36,6 +37,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["solve_tgs_pallas", "supports_kernel"]
+
+# Gather-dot precision policy (A/B knob for the TPU session):
+#   default — whatever Mosaic lowers plain f32 dots to
+#   highest — explicit 6-pass exact f32
+#   split2  — 2 bf16 passes: one-hot side is EXACT in bf16, value side
+#             split v = bf16(v) + bf16(v - hi). Error ≤ 2^-16 rel (vs
+#             f32's 2^-24) — cheaper iff Mosaic's default is ≥3 passes.
+_GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "default")
 
 # contact plane indices (input stack). Constraint prep (tangents,
 # anchors, effective masses, mass-splitting counts, restitution targets)
@@ -111,6 +120,24 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     n_hi = bp // 128
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, cg), 0)
 
+    def _gather_dot(mat, oh_lo, dn=(((1,), (0,)), ((), ()))):
+        """f32 values × one-hot → f32 under the module's precision
+        policy. The one-hot side is exactly representable in bf16, so
+        split2 reconstructs the gathered value from two bf16 passes."""
+        if _GATHER_PREC == "split2":
+            m_hi = mat.astype(jnp.bfloat16)
+            m_lo = (mat - m_hi.astype(f32)).astype(jnp.bfloat16)
+            oh_b = oh_lo.astype(jnp.bfloat16)
+            return (jax.lax.dot_general(m_hi, oh_b, dn,
+                                        preferred_element_type=f32)
+                    + jax.lax.dot_general(m_lo, oh_b, dn,
+                                          preferred_element_type=f32))
+        prec = (jax.lax.Precision.HIGHEST if _GATHER_PREC == "highest"
+                else None)
+        return jax.lax.dot_general(mat, oh_lo, dn,
+                                   preferred_element_type=f32,
+                                   precision=prec)
+
     def gather6(planes):
         """planes: list of [Bp] body planes -> list of [S,Cg] partner
         values: one [A*n_hi, 128] @ [128, Cg] MXU dot per sublane row +
@@ -120,9 +147,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         rows = []
         for s_i in range(s):
             oh_lo = (iota_lo == lo[s_i][None, :]).astype(f32)   # [128,Cg]
-            tmp = jax.lax.dot_general(
-                mat, oh_lo, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                     # [A*hi,Cg]
+            tmp = _gather_dot(mat, oh_lo)                       # [A*hi,Cg]
             tmp3 = tmp.reshape(a, n_hi, cg)
             hrow = hi[s_i][None, :]
             acc = tmp3[:, 0, :] * (hrow == 0).astype(f32)
@@ -137,9 +162,8 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         [S, Cg]."""
         a = len(planes)
         mat = jnp.stack(planes)                                # [A, Bp]
-        percol = jax.lax.dot_general(
-            mat, self_b, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                        # [A, Cg]
+        percol = _gather_dot(mat, self_b,
+                             dn=(((1,), (1,)), ((), ())))      # [A, Cg]
         return [jnp.broadcast_to(percol[i][None], (s, cg)) for i in range(a)]
 
     def scatter6(vals):

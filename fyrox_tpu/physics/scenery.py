@@ -108,14 +108,28 @@ def points_heightfield(samples, radius, pos_h, rot_h, heights, size_x, size_z,
     x, y, z = local[..., 0], local[..., 1], local[..., 2]
     sx = size_x[..., None]
     sz = size_z[..., None]
-    gy = hf_sample(heights[..., None, :, :], sx, sz, x, z)
-    eps = jnp.minimum(sx, sz) * 0.01
-    gx0 = hf_sample(heights[..., None, :, :], sx, sz, x - eps, z)
-    gx1 = hf_sample(heights[..., None, :, :], sx, sz, x + eps, z)
-    gz0 = hf_sample(heights[..., None, :, :], sx, sz, x, z - eps)
-    gz1 = hf_sample(heights[..., None, :, :], sx, sz, x, z + eps)
-    n_l = jnp.stack([(gx0 - gx1) / (2 * eps), jnp.ones_like(gy),
-                     (gz0 - gz1) / (2 * eps)], -1)
+    # bilinear height + the cell's ANALYTIC gradient (the slab big-partner
+    # path uses the identical formulation, so the two paths agree exactly
+    # — central finite differences diverge from this wherever the stencil
+    # straddles a cell boundary)
+    rz_, rx_ = heights.shape[-2], heights.shape[-1]
+    u = jnp.clip((x / sx + 0.5) * (rx_ - 1), 0.0, rx_ - 1.0)
+    v = jnp.clip((z / sz + 0.5) * (rz_ - 1), 0.0, rz_ - 1.0)
+    i0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, rx_ - 2)
+    j0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, rz_ - 2)
+    fu = u - i0
+    fv = v - j0
+    flat = heights.reshape(heights.shape[:-2] + (rz_ * rx_,))
+    idx = j0 * rx_ + i0
+    h00 = jnp.take_along_axis(flat, idx, -1)
+    h10 = jnp.take_along_axis(flat, idx + 1, -1)
+    h01 = jnp.take_along_axis(flat, idx + rx_, -1)
+    h11 = jnp.take_along_axis(flat, idx + rx_ + 1, -1)
+    gy = ((h00 * (1 - fu) + h10 * fu) * (1 - fv)
+          + (h01 * (1 - fu) + h11 * fu) * fv)
+    dhdx = ((h10 - h00) * (1 - fv) + (h11 - h01) * fv) * (rx_ - 1) / sx
+    dhdz = ((h01 - h00) * (1 - fu) + (h11 - h10) * fu) * (rz_ - 1) / sz
+    n_l = jnp.stack([-dhdx, jnp.ones_like(gy), -dhdz], -1)
     n_l = n_l / jnp.maximum(jnp.linalg.norm(n_l, axis=-1, keepdims=True), 1e-8)
     plane_pt = jnp.stack([x, gy, z], -1)
     dist = jnp.sum((local - plane_pt) * n_l, -1)

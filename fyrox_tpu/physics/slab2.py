@@ -52,19 +52,14 @@ DYNAMIC = 0
 # --------------------------------------------------------------------------
 
 def supports(t) -> bool:
-    """v2 handles the primitive shape set (ball/cuboid/capsule + cylinder/
-    cone capsule proxies/halfspace), heightfield/trimesh scenery as
-    broadphase-big partners, and convex hulls (slot-aligned hull tables
-    through the dense SAT kernels — see _convex_window_parts). The one
-    remaining exclusion is convex TOGETHER WITH scenery: the big-partner
-    sample path has no hull sampling (use broadphase='dense' there)."""
-    if not isinstance(t.grid, bp_mod.SlabConfig):
-        return False
-    shp = np.asarray(t.col_shape)
-    if (np.any(shp == sh.CONVEX)
-            and np.any((shp == sh.HEIGHTFIELD) | (shp == sh.TRIMESH))):
-        return False
-    return True
+    """v2 handles the full collider vocabulary: the primitive set (ball/
+    cuboid/capsule + cylinder/cone capsule proxies/halfspace),
+    heightfield/trimesh scenery as broadphase-big partners, convex hulls
+    (slot-aligned hull tables through the dense SAT kernels — see
+    _convex_window_parts), and convex-vs-scenery (hull-vertex sampling in
+    the big-partner path, mirroring the dense scenery.sample_points_for
+    formulation). No shape-based rejections remain."""
+    return isinstance(t.grid, bp_mod.SlabConfig)
 
 
 class _Ctx:
@@ -147,6 +142,8 @@ class _Ctx:
         # j-side fetch is ONE extra MXU gather per class (same packing as
         # world._step_physics_slab)
         self.hull_flat = None
+        self.hull_verts = None          # [C,Vmax,3] padded (convex scenes)
+        self.hull_vmask = None          # [C,Vmax]
         self.has_convex = bool(np.any(np.asarray(t.col_shape) == sh.CONVEX))
         if t.hulls is not None and self.has_convex:
             from fyrox_tpu.physics.convex import (MAX_HULL_FACES,
@@ -164,6 +161,8 @@ class _Ctx:
             hnm[has] = t.hulls.nmask[hi[has]]
             self.hull_flat = np.concatenate(
                 [hv.reshape(c, -1), hvm, hn.reshape(c, -1), hnm], -1)
+            self.hull_verts = hv
+            self.hull_vmask = hvm
         # rotation-invariant collider radius bound (broadphase temporal
         # reuse fattening must stay a superset while bodies ROTATE during
         # the reuse window, so tight rotated extents are not usable there)
@@ -620,9 +619,11 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
     """Heightfield/trimesh big-partner contacts in plane form.
 
     Mirrors the dense point-sample formulation (physics/scenery.py):
-    sample the dynamic shape (ball center / capsule ends / box corners),
-    contact each sample against the scenery surface, keep the manifold
-    class's deepest samples with ONE shared normal from the deepest.
+    sample the dynamic shape (ball center / capsule ends / box corners /
+    convex hull vertices, padding parked at the origin like
+    sample_points_for), contact each sample against the scenery surface,
+    keep the manifold class's deepest samples with ONE shared normal
+    from the deepest.
     The heightfield normal uses the bilinear cell's analytic gradient
     (the dense path's finite differences converge to it); heights fetch
     is one MXU gather over 4 pre-shifted corner tables."""
@@ -646,13 +647,27 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
     radius = jnp.where(is_ball, p0, jnp.where(is_cap, p1, 0.0))
     ay = (rot_g[1], rot_g[4], rot_g[7])                   # local +Y world
 
+    # convex colliders sample their hull vertices (scenery.
+    # sample_points_for CONVEX branch); the sample count grows to the
+    # largest live hull, all extra slots masked off for primitives
+    hv_g = hm_g = None
+    n_s = 8
+    if cx.hull_verts is not None:
+        cx_in_grid = cx.shape[cx.grid_cols] == sh.CONVEX
+        if np.any(cx_in_grid):
+            hv_g = cx.hull_verts[cx.grid_cols]            # [Cg,Vmax,3]
+            hm_g = cx.hull_vmask[cx.grid_cols] > 0        # [Cg,Vmax]
+            hm_g = hm_g & cx_in_grid[:, None]
+            n_s = max(8, int(hm_g.sum(1).max()))
+
     corner_sel = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
                   for sz in (-1, 1)]
     samples, svalid = [], []
-    for s_i in range(8):
-        csx, csy, csz = corner_sel[s_i]
-        corner = add3(pos_g, rot9_apply(
-            rot_g, (csx * hx, csy * hy, csz * hz)))
+    for s_i in range(n_s):
+        if s_i < 8:
+            csx, csy, csz = corner_sel[s_i]
+            corner = add3(pos_g, rot9_apply(
+                rot_g, (csx * hx, csy * hy, csz * hz)))
         if s_i == 0:
             cap_pt = sub3(pos_g, scale3(ay, p0))
             pt = where3(is_box, corner,
@@ -662,9 +677,23 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
             cap_pt = add3(pos_g, scale3(ay, p0))
             pt = where3(is_box, corner, cap_pt)
             valid = is_box | is_cap
-        else:
+        elif s_i < 8:
             pt = corner
             valid = is_box
+        else:
+            pt = pos_g
+            valid = jnp.zeros((1, cg), bool)
+        if hv_g is not None:
+            # padding verts park at the shape origin and STAY valid —
+            # exactly scenery.sample_points_for's CONVEX branch, so the
+            # deepest-npts manifold selection matches the dense path
+            vloc = tuple(jnp.asarray(
+                np.where(hm_g[:, s_i], hv_g[:, s_i, i], 0.0))[None]
+                for i in range(3))
+            pt_cx = add3(pos_g, rot9_apply(rot_g, vloc))
+            vm = jnp.asarray(cx_in_grid)[None]
+            pt = where3(vm, pt_cx, pt)
+            valid = valid | vm
         samples.append(pt)
         svalid.append(jnp.broadcast_to(valid, (w, cg)))
 
@@ -683,7 +712,7 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
             rh = rz * rx
             tbl = [jnp.broadcast_to(jnp.asarray(scn["corners"][i])[None],
                                     (w, rh)) for i in range(4)]
-            for s_i in range(8):
+            for s_i in range(n_s):
                 loc = rot9_apply_t(rot_sc, sub3(samples[s_i], p_sc))
                 x, y, z = loc
                 u = jnp.clip((x / sx_ + 0.5) * (rx - 1), 0.0, rx - 1.0)
@@ -717,9 +746,9 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
             # represent penetration for zero-radius samples (box corners)
             rad_m = jnp.maximum(radius, 0.04)
             flat = [jnp.concatenate([s[i] for s in samples], axis=1)
-                    for i in range(3)]                    # [W, Cg*8]
+                    for i in range(3)]                    # [W, Cg*n_s]
             loc = rot9_apply_t(rot_sc, sub3(
-                tuple(flat), tuple(jnp.repeat(p, 8, axis=1)
+                tuple(flat), tuple(jnp.repeat(p, n_s, axis=1)
                                    if p.shape[1] == cg else p
                                    for p in p_sc)))
             big = jnp.full_like(loc[0], 1e9)
@@ -761,14 +790,14 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
             dir_l = where3(dlen > 1e-6,
                            scale3(dir_raw, 1.0 / jnp.maximum(dlen, 1e-9)),
                            scale3(nbest, side))
-            rad8 = jnp.concatenate([rad_m] * 8, axis=1) \
+            rad8 = jnp.concatenate([rad_m] * n_s, axis=1) \
                 if rad_m.shape[1] == cg else rad_m
             rad8 = jnp.broadcast_to(rad8, bd.shape)
             depth_f = rad8 - bd
             pw_f = add3(tuple(jnp.repeat(p, 1, axis=1) for p in p_sc),
                         rot9_apply(rot_sc, qbest))
             nw_f = rot9_apply(rot_sc, dir_l)
-            for s_i in range(8):
+            for s_i in range(n_s):
                 sl = slice(s_i * cg, (s_i + 1) * cg)
                 depth_s.append(depth_f[:, sl])
                 pw_s.append(tuple(p[:, sl] for p in pw_f))
@@ -801,9 +830,9 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
 
         # rank samples by gated depth (ties by slot order)
         ranks = []
-        for i_s in range(8):
+        for i_s in range(n_s):
             r = None
-            for j_s in range(8):
+            for j_s in range(n_s):
                 if j_s == i_s:
                     continue
                 gt = ((gated[j_s] > gated[i_s])
@@ -832,7 +861,7 @@ def _scenery_parts(cx: _Ctx, t, cands, ig_all, cpos, cq, margin, dtype,
             gate = (m_c & bvalid).astype(dtype)
             for p_i in range(npts):
                 px = py = pz = dsel = asel = None
-                for s_i in range(8):
+                for s_i in range(n_s):
                     m = (ranks[s_i] == p_i).astype(dtype)
                     if px is None:
                         px = pw_s[s_i][0] * m

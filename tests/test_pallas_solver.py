@@ -59,3 +59,39 @@ def test_kernel_matches_xla_path(monkeypatch):
     assert dp < 5e-4, dp
     assert dv < 5e-3, dv
     assert np.isfinite(got.position).all()
+
+
+@pytest.mark.slow
+def test_gather_precision_variants(monkeypatch):
+    """split2 (2 exact-one-hot bf16 passes) and highest match the
+    default-precision kernel on ONE cold step from a settled state
+    (oracle methodology — trajectory diffs would amplify split2's
+    2^-16 value rounding chaotically). Interpret mode evaluates the
+    split arithmetic itself."""
+    from fyrox_tpu.physics import pallas_solver as ps
+    pb, t = _scene()
+    s0 = wm.init_physics_state(pb, t, 2)
+    # settle on the fast XLA path
+    monkeypatch.setenv("FYROX_NO_PALLAS_SOLVER", "1")
+    step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+    for _ in range(30):
+        s0 = step(s0)
+    monkeypatch.delenv("FYROX_NO_PALLAS_SOLVER")
+    monkeypatch.setenv("FYROX_PALLAS_INTERPRET", "1")
+    cold = s0._replace(warm_n=jnp.zeros_like(s0.warm_n),
+                       warm_t1=jnp.zeros_like(s0.warm_t1),
+                       warm_t2=jnp.zeros_like(s0.warm_t2))
+
+    def run(prec):
+        monkeypatch.setattr(ps, "_GATHER_PREC", prec)
+        out = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))(cold)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    ref = run("default")
+    for prec, tol_p, tol_v in (("highest", 1e-6, 1e-5),
+                               ("split2", 5e-4, 2e-3)):
+        got = run(prec)
+        dp = np.abs(ref.position - got.position).max()
+        dv = np.abs(ref.linvel - got.linvel).max()
+        assert dp < tol_p, (prec, dp)
+        assert dv < tol_v, (prec, dv)
