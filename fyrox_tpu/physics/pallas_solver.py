@@ -42,8 +42,13 @@ __all__ = ["solve_tgs_pallas", "supports_kernel"]
 #   default — whatever Mosaic lowers plain f32 dots to
 #   highest — explicit 6-pass exact f32
 #   split2  — 2 bf16 passes: one-hot side is EXACT in bf16, value side
-#             split v = bf16(v) + bf16(v - hi). Error ≤ 2^-16 rel (vs
+#             split v = bf16(v) + bf16(v - hi). Error ≤ 2^-18 rel (vs
 #             f32's 2^-24) — cheaper iff Mosaic's default is ≥3 passes.
+#   split3  — 3 bf16 passes hi/mid/lo reconstructing all 24 mantissa
+#             bits (pallas_ops._gather_kernel trick): BIT-EXACT vs the
+#             6-pass f32 dot at half its MXU cost. The split passes ride
+#             ONE concatenated dot (free dim 3x) so fixed per-dot
+#             overheads don't triple.
 _GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "default")
 
 # contact plane indices (input stack). Constraint prep (tangents,
@@ -122,16 +127,29 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
     def _gather_dot(mat, oh_lo, dn=(((1,), (0,)), ((), ()))):
         """f32 values × one-hot → f32 under the module's precision
-        policy. The one-hot side is exactly representable in bf16, so
-        split2 reconstructs the gathered value from two bf16 passes."""
-        if _GATHER_PREC == "split2":
+        policy. The one-hot side is exactly representable in bf16;
+        split2/split3 split the value side into bf16 components whose
+        one-hot dots accumulate in f32 (split3 reconstructs all 24
+        mantissa bits — bit-exact, pallas_ops._gather_kernel trick).
+        The split components stack along the FREE dim of `mat` (axis 0
+        for both gather6's dn and selfcast's), so the splits ride one
+        dot and are summed from its output slices."""
+        if _GATHER_PREC in ("split2", "split3"):
             m_hi = mat.astype(jnp.bfloat16)
-            m_lo = (mat - m_hi.astype(f32)).astype(jnp.bfloat16)
+            rem = mat - m_hi.astype(f32)
+            parts = [m_hi, rem.astype(jnp.bfloat16)]
+            if _GATHER_PREC == "split3":
+                parts.append((rem - parts[1].astype(f32))
+                             .astype(jnp.bfloat16))
             oh_b = oh_lo.astype(jnp.bfloat16)
-            return (jax.lax.dot_general(m_hi, oh_b, dn,
-                                        preferred_element_type=f32)
-                    + jax.lax.dot_general(m_lo, oh_b, dn,
-                                          preferred_element_type=f32))
+            out = jax.lax.dot_general(jnp.concatenate(parts, axis=0),
+                                      oh_b, dn,
+                                      preferred_element_type=f32)
+            a0 = mat.shape[0]
+            acc = out[:a0]
+            for p_i in range(1, len(parts)):
+                acc = acc + out[p_i * a0:(p_i + 1) * a0]
+            return acc
         prec = (jax.lax.Precision.HIGHEST if _GATHER_PREC == "highest"
                 else None)
         return jax.lax.dot_general(mat, oh_lo, dn,
@@ -167,12 +185,17 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         return [jnp.broadcast_to(percol[i][None], (s, cg)) for i in range(a)]
 
     def scatter6(vals):
-        """6 × [S,Cg] self-half contributions → 6 × [Bp] body sums."""
+        """6 × [S,Cg] self-half contributions → 6 × [Bp] body sums.
+        split3 replaces the 6-pass HIGHEST dot with the bit-exact
+        3-component bf16 split (the one-hot side is exact either way)."""
         sums = jnp.stack([jnp.sum(v, axis=0) for v in vals])   # [6, Cg]
-        out = jax.lax.dot_general(
-            sums, self_b, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)               # [6, Bp]
+        if _GATHER_PREC == "split3":
+            out = _gather_dot(sums, self_b)                    # [6, Bp]
+        else:
+            out = jax.lax.dot_general(
+                sums, self_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)           # [6, Bp]
         return [out[i] for i in range(6)]
 
     def cross(a, b):
