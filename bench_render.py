@@ -47,10 +47,15 @@ def main():
     t = sb.build()
     st = graph.update_hierarchical_data(init_state(t, n_worlds), t)
     rt = build_render_template(t)
+    # pre-cull budgets: comma-separated per-cascade fractions or one
+    # scalar. Default sizes each cascade to this scene's measured
+    # occupancy (+headroom): c0 ~0%, c1 89%, c2 59% of T in-footprint.
+    raw = os.environ.get("FYROX_BENCH_RENDER_PRECULL", "0.05,1.0,0.75")
+    parts = [float(x) for x in raw.split(",")]
+    budget = tuple(parts) if len(parts) > 1 else parts[0]
     cfg = RenderConfig(width=size, height=size, shadows=True,
                        use_pallas=use_pallas,
-                       cascade_tri_budget=float(os.environ.get(
-                           "FYROX_BENCH_RENDER_PRECULL", 0.0)),
+                       cascade_tri_budget=budget,
                        bin_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_BINMODE", "topk"))
 

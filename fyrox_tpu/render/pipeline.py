@@ -62,9 +62,11 @@ class RenderConfig(NamedTuple):
     # "clipped" (exact Sutherland-Hodgman near clipping, 2x binned tris)
     raster_mode: str = "homogeneous"
     # per-cascade triangle pre-cull (csm.rs caster culling): fraction of T
-    # kept per cascade after footprint compaction; 0 = off (see
-    # shadows.render_cascade_depths)
-    cascade_tri_budget: float = 0.0
+    # kept per cascade after footprint compaction; 0 = off. A scalar
+    # shares one budget across vmapped cascades; a per-cascade tuple
+    # (e.g. (0.05, 1.0, 0.7)) sizes each cascade to its occupancy —
+    # lossless when sized honestly (see shadows.render_cascade_depths)
+    cascade_tri_budget: object = 0.0
     # tile binning strategy: "topk" (lax.top_k) or "cumsum"
     # (physics-broadphase counting-rank compaction — A/B on TPU)
     bin_mode: str = "topk"

@@ -112,15 +112,24 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
     the cascade's [-1,1]² footprint compact away into a static
     ceil(T*tri_budget) budget before feature prep/binning — each cascade
     then pays feature+binning+top_k on the reduced set. In-volume
-    triangles beyond the budget drop earliest-index-last (shadow-darkness
-    loss only); size the budget from the scene's per-cascade occupancy."""
-    t_total = world_tri_positions.shape[0]
-    budget = 0
-    if tri_budget and t_total > 16:
-        budget = min(-(-int(t_total * tri_budget) // 8) * 8,   # chunk-aligned
-                     t_total)
+    triangles beyond the budget drop SMALLEST-PROJECTED-AREA first
+    (minimal shadow-darkness loss); size budgets from the scene's
+    per-cascade occupancy.
 
-    def one(vp):
+    tri_budget may be a scalar (shared budget, cascades vmapped) or a
+    per-cascade sequence (e.g. (0.05, 1.0, 0.7)): near cascades usually
+    see a tiny slice of the scene, far cascades most of it, so honest
+    per-cascade budgets make the cull lossless where occupancy is known.
+    Entries >= 1 keep the full set for that cascade."""
+    t_total = world_tri_positions.shape[0]
+
+    def _budget_of(frac, skip_full=False):
+        if frac and t_total > 16 and not (skip_full and frac >= 1.0):
+            return min(-(-int(t_total * frac) // 8) * 8,   # chunk-aligned
+                       t_total)
+        return 0
+
+    def one(vp, budget):
         clip = raster_mod.transform_clip(world_tri_positions, vp[None])
         valid = (jnp.ones(t_total, bool) if tri_valid is None
                  else tri_valid)
@@ -132,12 +141,16 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
             inside = (jnp.all(jnp.min(ndc, axis=1) <= 1.0, -1)
                       & jnp.all(jnp.max(ndc, axis=1) >= -1.0, -1)
                       & valid)
-            score = jnp.where(inside,
-                              -jnp.arange(t_total, dtype=jnp.int32),
-                              jnp.int32(-2 ** 30))
+            # overflow priority: keep the largest projected areas (depth
+            # test makes order irrelevant, so any permutation of the
+            # kept set renders identically)
+            e1 = ndc[:, 1] - ndc[:, 0]
+            e2 = ndc[:, 2] - ndc[:, 0]
+            area = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+            score = jnp.where(inside, area, -1.0)
             topv, topi = jax.lax.top_k(score, budget)
             clip_c = clip[topi]
-            valid_c = topv > -2 ** 29
+            valid_c = topv >= 0.0
         else:
             clip_c, valid_c = clip, valid
         if use_pallas:
@@ -158,7 +171,15 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
                                  backface_cull=False)
         return g.depth
 
-    return jax.vmap(one)(cascade_vps)
+    n_casc = cascade_vps.shape[0]
+    if isinstance(tri_budget, (tuple, list)):
+        fracs = list(tri_budget) + [tri_budget[-1]] * max(
+            0, n_casc - len(tri_budget))
+        return jnp.stack([one(cascade_vps[ci],
+                              _budget_of(fracs[ci], skip_full=True))
+                          for ci in range(n_casc)])
+    budget = _budget_of(tri_budget)
+    return jax.vmap(lambda vp: one(vp, budget))(cascade_vps)
 
 
 def csm_visibility(world_pos, view, cascade_vps, depth_maps,

@@ -399,6 +399,32 @@ class TestCascadePreCull:
         c1, _ = render_frame(st, t, rt, cull)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
 
+    def test_per_cascade_tuple_budgets_lossless_when_sized(self):
+        """Per-cascade budgets sized >= each cascade's occupancy must
+        reproduce the un-culled frame exactly; entries >= 1 keep the
+        full set for that cascade (no top_k at all)."""
+        import numpy as np
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, make_plane, render_frame)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(200.0), name="ground")
+        sb.add_mesh(make_cube(1.0), position=(0.0, 0.5, 2.0), name="caster")
+        for i in range(8):
+            sb.add_mesh(make_cube(1.0), position=(500.0 + i * 3, 0.5, 500.0))
+        tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+        sb.add_light("directional", rotation=tilt)
+        sb.add_camera("cam", position=(0, 3.0, -6.0),
+                      rotation=(np.sin(np.pi / 12), 0, 0, np.cos(np.pi / 12)))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        base = RenderConfig(width=64, height=64, shadows=True)
+        cull = base._replace(cascade_tri_budget=(0.5, 1.0, 0.75))
+        c0, _ = render_frame(st, t, rt, base)
+        c1, _ = render_frame(st, t, rt, cull)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=1e-5)
+
 
 class TestOrthoCamera:
     def test_ortho_projection_used_and_undistorted(self):
