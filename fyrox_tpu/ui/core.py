@@ -23,6 +23,10 @@ from fyrox_tpu.core.pool import Handle, Pool
 __all__ = ["Widget", "UserInterface", "UiMessage", "Rect", "DrawCommand"]
 
 INF = float("inf")
+_SEL_ARROW_PX = 16.0          # selector.rs arrow hit zones
+# widget kinds reachable by Tab traversal (navigation.rs)
+_FOCUSABLE = ("textbox", "searchbar", "button", "check", "numeric",
+              "slider", "dropdown", "toggle", "selector", "list")
 
 
 def _hsv_to_rgb(h, s, v):
@@ -169,6 +173,10 @@ class UserInterface:
         # style table (fyrox-ui style/mod.rs): named property bundles
         # resolved at add() time; register with define_style()
         self.styles: Dict[str, Dict] = {}
+        # hotkey table (key.rs HotKey): (key, ctrl, shift, alt) -> callback
+        self.hotkeys: Dict[tuple, Callable] = {}
+        # running property animations (animation.rs)
+        self._anims: List[dict] = []
 
     def define_style(self, name: str, **props):
         """Register a named style bundle (style/mod.rs Style resources).
@@ -354,6 +362,19 @@ class UserInterface:
                         destination=hit,
                         data={"type": "value_changed", "value": w.value},
                         direction="from_widget"))
+                if w.kind == "selector":
+                    # selector.rs: arrow zones cycle through items
+                    r = w.actual_rect
+                    delta = (-1 if x <= r.x + _SEL_ARROW_PX else
+                             1 if x >= r.x + r.w - _SEL_ARROW_PX else 0)
+                    if delta and w.items:
+                        w.selected = (w.selected + delta) % len(w.items)
+                        self.send_message(UiMessage(
+                            destination=hit,
+                            data={"type": "selection_changed",
+                                  "index": w.selected,
+                                  "item": w.items[w.selected]},
+                            direction="from_widget"))
                 if w.kind == "numeric":
                     r = w.actual_rect
                     if x >= r.x + r.w - 14:
@@ -365,6 +386,13 @@ class UserInterface:
                             data={"type": "value_changed",
                                   "value": w.value},
                             direction="from_widget"))
+                        parent = self.nodes.try_borrow(w.parent)
+                        if parent is not None and parent.kind == "vec":
+                            self.send_message(UiMessage(
+                                destination=w.parent,
+                                data={"type": "vec_changed",
+                                      "value": self.vec_value(w.parent)},
+                                direction="from_widget"))
                 if w.kind == "tabs":
                     head_h = w.font_size * 1.6
                     if y <= w.actual_rect.y + head_h:
@@ -412,6 +440,23 @@ class UserInterface:
             # windows by (dx, dy); the hit must land on the title bar
             x, y = event["x"], event["y"]
             hit = self._hit_test(self.root, x, y)
+            if hit is not None:
+                tw = self.nodes.borrow(hit)
+                if tw.kind == "thumb":
+                    # thumb.rs: draggable grip — moves itself and emits
+                    # the delta for whoever owns it
+                    base = (tw.float_pos if tw.float_pos is not None
+                            else (tw.actual_rect.x, tw.actual_rect.y))
+                    tw.float_pos = (base[0] + event.get("dx", 0.0),
+                                    base[1] + event.get("dy", 0.0))
+                    self.send_message(UiMessage(
+                        destination=hit,
+                        data={"type": "drag_delta",
+                              "dx": event.get("dx", 0.0),
+                              "dy": event.get("dy", 0.0)},
+                        direction="from_widget"))
+                    self.update_layout()
+                    return
             while hit is not None and hit.is_some():
                 w = self.nodes.borrow(hit)
                 if w.kind == "window":
@@ -458,6 +503,72 @@ class UserInterface:
                 changed = True
         if changed:
             self.update_layout()
+
+    def bind_hotkey(self, key: str, callback: Callable, ctrl=False,
+                    shift=False, alt=False):
+        """Register a global hotkey (key.rs HotKey): callback(ui) fires on
+        a matching key event not consumed by a focused text field."""
+        self.hotkeys[(key, bool(ctrl), bool(shift), bool(alt))] = callback
+
+    def focus_next(self, backward=False):
+        """Move keyboard focus to the next/previous focusable widget in
+        tree order (navigation.rs KeyboardNavigationManager), cyclic."""
+        order: List[Handle] = []
+
+        def walk(h):
+            w = self.nodes.borrow(h)
+            if not w.visible:
+                return
+            if w.kind in _FOCUSABLE:
+                order.append(h)
+            for c in w.children:
+                walk(c)
+
+        walk(self.root)
+        if not order:
+            return
+        try:
+            i = order.index(self.focus)
+            i = (i - 1 if backward else i + 1) % len(order)
+        except ValueError:
+            i = len(order) - 1 if backward else 0
+        self.focus = order[i]
+        self.send_message(UiMessage(
+            destination=self.focus, data={"type": "focused"},
+            direction="from_widget"))
+
+    def add_vec_editor(self, values, parent=None, labels=None,
+                       step: float = 0.1) -> Handle:
+        """N-component vector field editor (fyrox-ui vec.rs VecEditor):
+        a row of labeled numeric up-downs; any component change emits a
+        `vec_changed` message on the editor with the full tuple."""
+        vec = self.add(Widget(kind="vec", orientation="horizontal"),
+                       parent)
+        labels = labels or ("x", "y", "z", "w")[:len(values)]
+        for lbl, v in zip(labels, values):
+            self.add(Widget(kind="text", text=lbl, margin=(4, 2, 2, 0)),
+                     vec)
+            self.add(Widget(kind="numeric", value=float(v), step=step,
+                            min_value=-1e18, max_value=1e18), vec)
+        return vec
+
+    def vec_value(self, handle: Handle) -> tuple:
+        """Current tuple of a vec editor's numeric components."""
+        w = self.nodes.borrow(handle)
+        return tuple(self.nodes.borrow(c).value for c in w.children
+                     if self.nodes.borrow(c).kind == "numeric")
+
+    def animate(self, handle: Handle, attr: str, to, duration: float,
+                easing: str = "linear"):
+        """Animate a numeric (or tuple) widget property over `duration`
+        seconds (fyrox-ui animation.rs): advanced by update(dt); emits
+        `anim_done` on completion. Easings: linear, smooth (smoothstep),
+        ease_in, ease_out."""
+        w = self.nodes.borrow(handle)
+        self._anims.append(dict(h=handle, attr=attr,
+                                frm=getattr(w, attr), to=to, t=0.0,
+                                dur=max(float(duration), 1e-6),
+                                easing=easing))
 
     def show_message_box(self, title: str, text: str, buttons=("OK",),
                          x: float = None, y: float = None) -> Handle:
@@ -544,18 +655,32 @@ class UserInterface:
                                font_size=w.font_size), parent=handle)
 
     def _key_event(self, event: Dict):
-        """Keyboard input routed to the focused TextBox (text_box.rs
-        on_key_down/char handling)."""
-        if self.focus is None:
+        """Keyboard input: Tab focus traversal (navigation.rs), then the
+        focused TextBox (text_box.rs on_key_down/char), then hotkeys
+        (key.rs HotKey) for anything not consumed."""
+        key = event.get("key", "Char")
+        if key == "Tab":
+            self.focus_next(backward=bool(event.get("shift")))
             return
-        w = self.nodes.try_borrow(self.focus)
-        if w is None or w.kind not in ("textbox", "searchbar"):
+        w = (self.nodes.try_borrow(self.focus)
+             if self.focus is not None else None)
+        if (w is None or w.kind not in ("textbox", "searchbar")
+                or event.get("ctrl")):
+            hk = (key, bool(event.get("ctrl")), bool(event.get("shift")),
+                  bool(event.get("alt")))
+            cb = self.hotkeys.get(hk)
+            if cb is not None:
+                cb(self)
+                self.send_message(UiMessage(
+                    destination=self.focus or self.root,
+                    data={"type": "hotkey", "key": key},
+                    direction="from_widget"))
             return
         from fyrox_tpu.ui.text import apply_key
-        key = event.get("key", "Char")
         char = event.get("char", "")
-        if key == "Char" and not char and len(event.get("key", "")) == 1:
-            key, char = "Char", event["key"]
+        if key != "Char" and not char and len(key) == 1:
+            # bare single-character key == typing that character
+            key, char = "Char", key
         text, caret, anchor, events = apply_key(
             w.text, w.caret, w.sel_anchor, key, char=char,
             shift=bool(event.get("shift")))
@@ -606,7 +731,7 @@ class UserInterface:
         inner = (fixed_w if fixed_w is not None else avail[0],
                  fixed_h if fixed_h is not None else avail[1])
 
-        if w.kind == "stack":
+        if w.kind in ("stack", "vec"):
             main = 0.0
             cross = 0.0
             for c in w.children:
@@ -786,6 +911,14 @@ class UserInterface:
         elif w.kind == "searchbar":
             content = (max(inner[0], 120.0) if not np.isfinite(w.width)
                        else w.width, w.font_size * 1.4 + 4)
+        elif w.kind == "selector":
+            # selector.rs: "< item >" cycler — widest item + arrow zones
+            iw = max((len(s) * w.font_size * 0.55 for s in w.items),
+                     default=40.0)
+            content = (iw + 2 * _SEL_ARROW_PX, w.font_size * 1.5)
+        elif w.kind == "thumb":
+            # thumb.rs: a draggable grip; fixed default size
+            content = (16.0, 16.0)
         elif w.kind == "text":
             content = (len(w.text) * w.font_size * 0.55 if w.text else 0.0,
                        w.font_size * 1.3)
@@ -832,7 +965,7 @@ class UserInterface:
             rect.h = min(rect.h, w.height)
         w.actual_rect = rect
 
-        if w.kind == "stack":
+        if w.kind in ("stack", "vec"):
             offset = 0.0
             for c in w.children:
                 cw = self.nodes.borrow(c)
@@ -1355,6 +1488,24 @@ class UserInterface:
             icon = Rect(w.actual_rect.x + w.actual_rect.w - 16,
                         w.actual_rect.y, 16, w.actual_rect.h)
             cmds.append(DrawCommand("text", icon, w.foreground, text="?"))
+        if w.kind == "selector":
+            r = w.actual_rect
+            cmds.append(DrawCommand("rect", r, w.background))
+            cmds.append(DrawCommand(
+                "text", Rect(r.x, r.y, _SEL_ARROW_PX, r.h), w.foreground,
+                text="<"))
+            item = (w.items[w.selected]
+                    if w.items and 0 <= w.selected < len(w.items) else "")
+            cmds.append(DrawCommand(
+                "text", Rect(r.x + _SEL_ARROW_PX, r.y,
+                             max(r.w - 2 * _SEL_ARROW_PX, 0.0), r.h),
+                w.foreground, text=item))
+            cmds.append(DrawCommand(
+                "text", Rect(r.x + r.w - _SEL_ARROW_PX, r.y,
+                             _SEL_ARROW_PX, r.h), w.foreground, text=">"))
+        if w.kind == "thumb":
+            cmds.append(DrawCommand("rect", w.actual_rect, w.background))
+            cmds.append(DrawCommand("border", w.actual_rect, w.foreground))
         if w.kind == "decorator":
             # decorator.rs: brush switches on the selected/checked state
             bg = (0.25, 0.3, 0.45, 1.0) if w.checked else w.background
@@ -1365,5 +1516,36 @@ class UserInterface:
             self._draw_node(c, cmds)
 
     def update(self, dt: float = 0.0):
-        """Engine post_update equivalent: relayout + message pump hooks."""
+        """Engine post_update equivalent: advance property animations
+        (animation.rs), then relayout + message pump hooks."""
+        done = []
+        for a in self._anims:
+            a["t"] = min(a["t"] + dt, a["dur"])
+            t = a["t"] / a["dur"]
+            e = a["easing"]
+            if e == "smooth":
+                t = t * t * (3.0 - 2.0 * t)
+            elif e == "ease_in":
+                t = t * t
+            elif e == "ease_out":
+                t = 1.0 - (1.0 - t) ** 2
+            w = self.nodes.try_borrow(a["h"])
+            if w is None:
+                done.append(a)
+                continue
+            frm, to = a["frm"], a["to"]
+            if isinstance(to, (tuple, list)):
+                val = tuple(f + (g - f) * t for f, g in zip(frm, to))
+            else:
+                val = frm + (to - frm) * t
+            setattr(w, a["attr"], val)
+            if a["t"] >= a["dur"]:
+                done.append(a)
+                self.send_message(UiMessage(
+                    destination=a["h"],
+                    data={"type": "anim_done", "attr": a["attr"]},
+                    direction="from_widget"))
+        for a in done:
+            if a in self._anims:
+                self._anims.remove(a)
         self.update_layout()
