@@ -58,8 +58,10 @@ class ResourceManager:
     def _register_builtin(self):
         from fyrox_tpu.io.rgs_scene import load_scene
         from fyrox_tpu.sound.engine import load_wav
+        from fyrox_tpu.sound.ogg import load_ogg
         self.register_loader(".rgs", load_scene)
         self.register_loader(".wav", load_wav)
+        self.register_loader(".ogg", load_ogg)
         try:
             from fyrox_tpu.io.gltf import load_gltf
             self.register_loader(".gltf", load_gltf)

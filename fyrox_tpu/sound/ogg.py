@@ -1,15 +1,12 @@
 """Ogg/Vorbis container support.
 
 The reference decodes Vorbis through symphonia's all-codecs feature
-(fyrox-sound/Cargo.toml:26). This image ships no Vorbis DSP (no
-pyogg/soundfile/ffmpeg, and a from-scratch MDCT+codebook decoder is a
-multi-kLoC project out of scope for this framework) — a documented
-limitation. What IS here: a complete Ogg page/packet demuxer and the
-Vorbis identification + comment header parsers, so `.ogg` assets are
-recognized, validated, and their stream parameters (channels, sample
-rate, tags) are available to the resource pipeline; `decode()` raises a
-clear UnsupportedCodec error telling users to ship WAV (sound/wav.py
-path) instead.
+(fyrox-sound/Cargo.toml:26). This module provides the Ogg page/packet
+demuxer (RFC 3533 framing) and the Vorbis identification + comment
+header parsers; `decode()` runs the full from-spec Vorbis I DSP in
+fyrox_tpu.sound.vorbis (floor1 + residue 0/1/2 + square-polar coupling
++ IMDCT) and returns float32 PCM. Streams this build cannot decode
+(floor-0/LSP legacy encodings) raise UnsupportedCodec.
 """
 from __future__ import annotations
 
@@ -130,10 +127,19 @@ def vorbis_info(data: bytes) -> VorbisInfo:
 
 
 def decode(data: bytes):
-    """Vorbis DSP decode — intentionally unsupported (documented gap)."""
-    info = vorbis_info(data)
-    raise UnsupportedCodec(
-        f"Vorbis decode ({info.channels}ch {info.sample_rate}Hz) is not "
-        "available in this build: no Vorbis DSP exists in the image and "
-        "the reference relies on symphonia (fyrox-sound/Cargo.toml:26). "
-        "Convert the asset to WAV (sound.load_wav) for playback.")
+    """Full Vorbis DSP decode → (pcm [channels, samples] float32, rate).
+
+    Raises UnsupportedCodec for floor-0 (legacy LSP) streams and
+    ValueError for malformed/truncated containers."""
+    vorbis_info(data)                  # validates the stream up front
+    from fyrox_tpu.sound.vorbis import decode_ogg_vorbis
+    return decode_ogg_vorbis(data)
+
+
+def load_ogg(path: str):
+    """Decode an .ogg file to mono float32 (resource-pipeline loader,
+    mixing to mono like sound/engine.load_wav)."""
+    import numpy as _np
+    with open(path, "rb") as f:
+        pcm, _rate = decode(f.read())
+    return pcm.mean(axis=0).astype(_np.float32)

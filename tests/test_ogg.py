@@ -59,8 +59,9 @@ class TestOgg:
         assert info.comments["TITLE"] == "Song"
         assert info.vendor == "test-vendor"
 
-    def test_decode_reports_documented_gap(self):
-        with pytest.raises(UnsupportedCodec, match="WAV"):
+    def test_decode_rejects_headers_only_stream(self):
+        # ident + comment but no setup header / audio packets
+        with pytest.raises(ValueError, match="truncated"):
             decode(_vorbis_stream())
 
     def test_non_vorbis_rejected(self):
