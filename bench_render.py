@@ -57,7 +57,9 @@ def main():
                        use_pallas=use_pallas,
                        cascade_tri_budget=budget,
                        bin_mode=os.environ.get(
-                           "FYROX_BENCH_RENDER_BINMODE", "topk"))
+                           "FYROX_BENCH_RENDER_BINMODE", "topk"),
+                       edge_mode=os.environ.get(
+                           "FYROX_BENCH_RENDER_EDGEMODE", "vpu"))
 
     frame = jax.jit(lambda s: render_frame(s, t, rt, cfg)[0])
     color = jax.block_until_ready(frame(st))

@@ -202,20 +202,29 @@ _CHUNK = 8  # triangles per vectorized kernel step
 
 def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
                    *, tile_h, tile_w, k_per_tile, depth_only,
-                   homogeneous=False):
+                   homogeneous=False, edge_mode="vpu"):
     """Tile visibility kernel, vectorized over _CHUNK triangles per step.
 
     The loop trip count is the tile's actual bin occupancy (scalar-
     prefetched `cnt_ref`), so sparse tiles cost ~nothing; the edge/z
     evaluation runs on [_CHUNK, tile_h, tile_w] blocks instead of one
     scalar-indexed triangle at a time (the round-2 kernel's bottleneck:
-    11 scalar VMEM loads + broadcasts per triangle)."""
+    11 scalar VMEM loads + broadcasts per triangle).
+
+    edge_mode="mxu" evaluates ALL the affine forms of a chunk as ONE
+    [F*_CHUNK, 3] @ [3, tile_px] HIGHEST-precision dot (the ROADMAP
+    MXU-edge-functions lever): the VPU's 2-mul-2-add broadcast chains
+    move to the otherwise-idle MXU. A/B knob — identical output."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
     py = (ti * tile_h + row_i).astype(jnp.float32) + 0.5
     px = (tj * tile_w + col_i).astype(jnp.float32) + 0.5
+    if edge_mode == "mxu":
+        pxf = px.reshape(1, tile_h * tile_w)
+        pyf = py.reshape(1, tile_h * tile_w)
+        pmat = jnp.concatenate([pxf, pyf, jnp.ones_like(pxf)], 0)  # [3,px]
 
     z_ref[:] = jnp.full((tile_h, tile_w), _BIG, jnp.float32)
     if not depth_only:
@@ -225,14 +234,28 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
 
     nv = cnt_ref[ti * (pl.num_programs(1)) + tj]
 
+    n_forms = 5 if homogeneous else 3
+
     def body(c, _):
         base = c * _CHUNK
         f = feat_ref[0, 0, pl.ds(base, _CHUNK), :]     # [C,_NFEAT]
 
-        def aff(i):
-            return (f[:, i][:, None, None] * px
-                    + f[:, i + 1][:, None, None] * py
-                    + f[:, i + 2][:, None, None])      # [C,th,tw]
+        if edge_mode == "mxu":
+            m = f[:, :3 * n_forms].reshape(_CHUNK, n_forms, 3)
+            m = jnp.moveaxis(m, 1, 0).reshape(n_forms * _CHUNK, 3)
+            ev = jax.lax.dot_general(
+                m, pmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            forms = ev.reshape(n_forms, _CHUNK, tile_h, tile_w)
+
+            def aff(i):
+                return forms[i // 3]
+        else:
+            def aff(i):
+                return (f[:, i][:, None, None] * px
+                        + f[:, i + 1][:, None, None] * py
+                        + f[:, i + 2][:, None, None])  # [C,th,tw]
 
         slot = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1), 0)
                 + base)
@@ -288,7 +311,8 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
 
 def _visibility_pallas(feats, tile_ids, tile_count, height, width,
                        tile_h, tile_w, k_per_tile, interpret=False,
-                       depth_only=False, homogeneous=False):
+                       depth_only=False, homogeneous=False,
+                       edge_mode="vpu"):
     """Run the tile kernel. Returns (z, local_idx, w0, w1) [H,W]
     (z only when depth_only)."""
     nty = height // tile_h
@@ -311,13 +335,13 @@ def _visibility_pallas(feats, tile_ids, tile_count, height, width,
     ]
     kernel = partial(_raster_kernel, tile_h=tile_h, tile_w=tile_w,
                      k_per_tile=k_per_tile, depth_only=depth_only,
-                     homogeneous=homogeneous)
+                     homogeneous=homogeneous, edge_mode=edge_mode)
     if depth_only:
         def kernel(cnt_ref, feat_ref, z_ref):
             _raster_kernel(cnt_ref, feat_ref, z_ref, None, None, None,
                            tile_h=tile_h, tile_w=tile_w,
                            k_per_tile=k_per_tile, depth_only=True,
-                           homogeneous=homogeneous)
+                           homogeneous=homogeneous, edge_mode=edge_mode)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -338,7 +362,8 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
                      width, tri_valid=None, tile_h=8, tile_w=128,
                      k_per_tile=256, near_clip=True, interpret=False,
                      depth_only=False, backface_cull=True,
-                     mode="homogeneous", bin_mode="topk"):
+                     mode="homogeneous", bin_mode="topk",
+                     edge_mode="vpu"):
     """Drop-in replacement for raster.rasterize (single image; vmap over
     worlds). Requires height % tile_h == 0 and width % tile_w == 0.
 
@@ -378,10 +403,11 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
         return _visibility_pallas(
             feats, tile_ids, tile_count, height, width, tile_h, tile_w,
             k_per_tile, interpret=interpret, depth_only=True,
-            homogeneous=homogeneous)
+            homogeneous=homogeneous, edge_mode=edge_mode)
     z, local_idx, w0, w1 = _visibility_pallas(
         feats, tile_ids, tile_count, height, width, tile_h, tile_w,
-        k_per_tile, interpret=interpret, homogeneous=homogeneous)
+        k_per_tile, interpret=interpret, homogeneous=homogeneous,
+        edge_mode=edge_mode)
 
     # local tile slot → global triangle id: ONE flat gather. (Building
     # tile_ids[py_tile, px_tile] first materializes an [H,W,K] grid —

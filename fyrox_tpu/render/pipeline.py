@@ -70,6 +70,9 @@ class RenderConfig(NamedTuple):
     # tile binning strategy: "topk" (lax.top_k) or "cumsum"
     # (physics-broadphase counting-rank compaction — A/B on TPU)
     bin_mode: str = "topk"
+    # edge-function evaluation in the tile kernel: "vpu" (broadcast
+    # chains) or "mxu" (one [F*chunk,3]@[3,px] dot per chunk — A/B)
+    edge_mode: str = "vpu"
 
 
 @dataclass
@@ -452,7 +455,8 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                                 k_per_tile=config.k_per_tile,
                                 interpret=config.pallas_interpret,
                                 mode=config.raster_mode,
-                                bin_mode=config.bin_mode)
+                                bin_mode=config.bin_mode,
+                                edge_mode=config.edge_mode)
     else:
         gbuf = raster_mod.rasterize(tri_clip, attrs, config.height,
                                     config.width, tri_valid=tri_valid,
@@ -528,7 +532,7 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
                 use_pallas=config.use_pallas, k_per_tile=config.k_per_tile,
                 pallas_interpret=config.pallas_interpret,
                 tri_budget=config.cascade_tri_budget,
-                bin_mode=config.bin_mode)
+                bin_mode=config.bin_mode, edge_mode=config.edge_mode)
         if config.shadows and config.spot_shadows:
             for si in np.nonzero(rt.light_kind == lighting_mod.SPOT)[0]:
                 si = int(si)

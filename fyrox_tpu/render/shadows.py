@@ -103,7 +103,8 @@ def _ortho_offcenter(l, r, b, t, zn, zf):
 def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
                           tri_valid=None, chunk=64, use_pallas=False,
                           k_per_tile=512, pallas_interpret=False,
-                          tri_budget=0.0, bin_mode="topk"):
+                          tri_budget=0.0, bin_mode="topk",
+                          edge_mode="vpu"):
     """Depth-only passes. world_tri_positions [T,3,3]; cascade_vps
     [NUM_CASCADES,4,4] → depth maps [NUM_CASCADES, S, S] (NDC z).
 
@@ -161,7 +162,8 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
                                                    clip_c.shape[0]),
                                     interpret=pallas_interpret,
                                     depth_only=True, backface_cull=False,
-                                    bin_mode=bin_mode)
+                                    bin_mode=bin_mode,
+                                    edge_mode=edge_mode)
         d3 = jnp.zeros(clip_c.shape[:2] + (3,), jnp.float32)
         d2 = jnp.zeros(clip_c.shape[:2] + (2,), jnp.float32)
         attrs = dict(albedo=d3, normal=d3, position=d3, material=d2,

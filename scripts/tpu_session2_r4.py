@@ -74,6 +74,9 @@ def main():
     run("bench_render",
         [sys.executable, os.path.join(ROOT, "bench_render.py")],
         env_extra={"FYROX_BENCH_ROUND": "04b"})
+    run("bench_render_w64",
+        [sys.executable, os.path.join(ROOT, "bench_render.py")],
+        env_extra={"FYROX_BENCH_RENDER_WORLDS": "64"})
     print("DONE")
 
 

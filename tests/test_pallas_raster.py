@@ -110,3 +110,28 @@ class TestBinModes:
                                        np.asarray(ga.depth), atol=1e-6)
             np.testing.assert_allclose(np.asarray(gb.albedo),
                                        np.asarray(ga.albedo), atol=1e-6)
+
+    def test_mxu_edge_mode_matches_vpu(self):
+        """edge_mode='mxu' ([F*chunk,3]@[3,px] HIGHEST dot) evaluates the
+        same affine forms as the VPU broadcast chains — identical
+        visibility and near-identical interpolants, in both homogeneous
+        and clipped modes and the depth-only path."""
+        h, w = 64, 128
+        clip, attrs = random_tris(np.random.default_rng(11), t=40)
+        for mode in ("homogeneous", "clipped"):
+            ga = rasterize_pallas(clip, attrs, h, w, interpret=True,
+                                  mode=mode, edge_mode="vpu")
+            gb = rasterize_pallas(clip, attrs, h, w, interpret=True,
+                                  mode=mode, edge_mode="mxu")
+            np.testing.assert_array_equal(np.asarray(gb.mask),
+                                          np.asarray(ga.mask))
+            np.testing.assert_allclose(np.asarray(gb.depth),
+                                       np.asarray(ga.depth), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(gb.albedo),
+                                       np.asarray(ga.albedo), atol=1e-5)
+        za = rasterize_pallas(clip, {}, h, w, interpret=True,
+                              depth_only=True, edge_mode="vpu")
+        zb = rasterize_pallas(clip, {}, h, w, interpret=True,
+                              depth_only=True, edge_mode="mxu")
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(za),
+                                   atol=1e-5)
