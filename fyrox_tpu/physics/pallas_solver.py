@@ -50,6 +50,19 @@ __all__ = ["solve_tgs_pallas", "supports_kernel"]
 #             ONE concatenated dot (free dim 3x) so fixed per-dot
 #             overheads don't triple.
 _GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "default")
+# partner-gather formulation (A/B knob):
+#   select  — one [A*n_hi,128]@[128,Cg] dot PER SUBLANE ROW, then an
+#             n_hi-way masked select on the reshaped output.
+#   premask — n_hi [A,128]@[128,Cg] dots per row with the slab mask
+#             folded into the one-hot (no output reshape/select).
+#   wide    — ONE [n_hi*A,128]@[128,S*Cg] dot per gather: the one-hot
+#             (which depends only on the FIXED lo indices) is built once
+#             per kernel over all S rows; slab-major mat rows keep the
+#             output slices sublane-contiguous (no relayout). Cuts the
+#             per-gather dot count from S to 1 — the winner if per-dot
+#             fixed overhead dominates (precision sweep showed 2-vs-6
+#             dot passes moves solver_ms <3%, so it does).
+_GATHER_MODE = os.environ.get("FYROX_SOLVER_GATHER_MODE", "select")
 
 # contact plane indices (input stack). Constraint prep (tangents,
 # anchors, effective masses, mass-splitting counts, restitution targets)
@@ -124,6 +137,14 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     # per-row dots.)
     n_hi = bp // 128
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, cg), 0)
+    if _GATHER_MODE == "wide":
+        # lo/hi are fixed for the whole solve: build the [128, S*Cg]
+        # one-hot and the n_hi slab masks ONCE
+        lo_flat = lo.reshape(1, s * cg)
+        hi_flat = hi.reshape(1, s * cg)
+        iota_wide = jax.lax.broadcasted_iota(jnp.int32, (128, s * cg), 0)
+        oh_wide = (iota_wide == lo_flat).astype(f32)
+        himask = [(hi_flat == s8).astype(f32) for s8 in range(n_hi)]
 
     def _gather_dot(mat, oh_lo, dn=(((1,), (0,)), ((), ()))):
         """f32 values × one-hot → f32 under the module's precision
@@ -158,11 +179,44 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
     def gather6(planes):
         """planes: list of [Bp] body planes -> list of [S,Cg] partner
-        values: one [A*n_hi, 128] @ [128, Cg] MXU dot per sublane row +
-        an n_hi-way masked select."""
+        values. Two formulations (FYROX_SOLVER_GATHER_MODE A/B):
+
+        select (default): one [A*n_hi, 128] @ [128, Cg] MXU dot per
+        sublane row + an n_hi-way masked select on the [A, n_hi, Cg]
+        output (costs a sublane-dim reshape + 2*n_hi VPU ops on the
+        output).
+
+        premask: fold the hi-slab select into the ONE-HOT side — per
+        slab, oh = onehot(lo) * (hi == s8), then accumulate n_hi
+        [A,128] @ [128,Cg] dots. Same MXU FLOPs, no output reshape or
+        select chain; the mask costs n_hi broadcast muls on [128, Cg]."""
         a = len(planes)
-        mat = jnp.stack(planes).reshape(a * n_hi, 128)
         rows = []
+        if _GATHER_MODE == "wide":
+            mat = jnp.stack([p[s8 * 128:(s8 + 1) * 128]
+                             for s8 in range(n_hi)
+                             for p in planes])               # [n_hi*A,128]
+            tmp = _gather_dot(mat, oh_wide)                  # [n_hi*A,S*Cg]
+            acc = tmp[0:a] * himask[0]
+            for s8 in range(1, n_hi):
+                acc = acc + tmp[s8 * a:(s8 + 1) * a] * himask[s8]
+            out = acc.reshape(a, s, cg)
+            return [out[i] for i in range(a)]
+        if _GATHER_MODE == "premask":
+            mats = [jnp.stack([p[s8 * 128:(s8 + 1) * 128] for p in planes])
+                    for s8 in range(n_hi)]                      # n_hi×[A,128]
+            for s_i in range(s):
+                oh_lo = (iota_lo == lo[s_i][None, :]).astype(f32)
+                hrow = hi[s_i][None, :]
+                acc = _gather_dot(mats[0],
+                                  oh_lo * (hrow == 0).astype(f32))
+                for s8 in range(1, n_hi):
+                    acc = acc + _gather_dot(
+                        mats[s8], oh_lo * (hrow == s8).astype(f32))
+                rows.append(acc)
+            out = jnp.stack(rows, axis=1)                       # [A,S,Cg]
+            return [out[i] for i in range(a)]
+        mat = jnp.stack(planes).reshape(a * n_hi, 128)
         for s_i in range(s):
             oh_lo = (iota_lo == lo[s_i][None, :]).astype(f32)   # [128,Cg]
             tmp = _gather_dot(mat, oh_lo)                       # [A*hi,Cg]

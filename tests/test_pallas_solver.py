@@ -99,3 +99,13 @@ def test_gather_precision_variants(monkeypatch):
         dv = np.abs(ref.linvel - got.linvel).max()
         assert dp < tol_p, (prec, dp)
         assert dv < tol_v, (prec, dv)
+
+    # alternate gather formulations: identical math, different dot shapes
+    for mode in ("premask", "wide"):
+        monkeypatch.setattr(ps, "_GATHER_MODE", mode)
+        got = run("default")
+        dp = np.abs(ref.position - got.position).max()
+        dv = np.abs(ref.linvel - got.linvel).max()
+        assert dp < 1e-6, (mode, dp)
+        assert dv < 1e-5, (mode, dv)
+    monkeypatch.setattr(ps, "_GATHER_MODE", "select")
