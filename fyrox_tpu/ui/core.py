@@ -156,6 +156,11 @@ class Widget:
     primitives: List[tuple] = field(default_factory=list)
     # range editor (range.rs): second value (start = `value`, end = value2)
     value2: float = 1.0
+    # log panel (fyrox-ui log.rs): (severity, message) ring; severity
+    # filter 0=info 1=warning 2=error
+    log_entries: List[tuple] = field(default_factory=list)
+    log_filter: int = 0
+    log_capacity: int = 256
     # layout outputs
     desired_size: Tuple[float, float] = (0.0, 0.0)
     actual_rect: Rect = field(default_factory=Rect)
@@ -177,6 +182,8 @@ class UserInterface:
         self.hotkeys: Dict[tuple, Callable] = {}
         # running property animations (animation.rs)
         self._anims: List[dict] = []
+        # composite-widget message taps (path editor etc): fn(ui, msg)
+        self._routes: List[Callable] = []
 
     def define_style(self, name: str, **props):
         """Register a named style bundle (style/mod.rs Style resources).
@@ -209,6 +216,8 @@ class UserInterface:
 
     # -- messages -----------------------------------------------------------
     def send_message(self, msg: UiMessage):
+        for r in list(self._routes):
+            r(self, msg)
         self._queue.append(msg)
 
     def poll_message(self) -> Optional[UiMessage]:
@@ -557,6 +566,105 @@ class UserInterface:
         w = self.nodes.borrow(handle)
         return tuple(self.nodes.borrow(c).value for c in w.children
                      if self.nodes.borrow(c).kind == "numeric")
+
+    def add_rect_editor(self, rect, parent=None) -> Handle:
+        """Rect field editor (fyrox-ui rect.rs RectEditor): an (x, y, w,
+        h) numeric row; edits emit `vec_changed` with the 4-tuple."""
+        return self.add_vec_editor(tuple(rect), parent=parent,
+                                   labels=("x", "y", "w", "h"))
+
+    def add_matrix_editor(self, matrix, parent=None) -> Handle:
+        """Matrix field editor (fyrox-ui matrix.rs): one vec row per
+        matrix row under a vertical stack; read back with
+        matrix_value()."""
+        box = self.add(Widget(kind="stack", orientation="vertical"),
+                       parent)
+        for row in matrix:
+            self.add_vec_editor(tuple(row), parent=box,
+                                labels=[""] * len(row))
+        return box
+
+    def matrix_value(self, handle: Handle) -> tuple:
+        w = self.nodes.borrow(handle)
+        return tuple(self.vec_value(c) for c in w.children
+                     if self.nodes.borrow(c).kind == "vec")
+
+    def add_path_editor(self, path: str, parent=None,
+                        browse_dir: str = ".") -> Handle:
+        """Path field editor (fyrox-ui path.rs PathEditor): a text box +
+        a '...' button opening a file-browser popup; committing the box
+        or picking a file emits `path_changed` on the editor."""
+        row = self.add(Widget(kind="stack", orientation="horizontal"),
+                       parent)
+
+        def commit(ui, h):
+            ui.send_message(UiMessage(
+                destination=row,
+                data={"type": "path_changed",
+                      "path": ui.nodes.borrow(h).text},
+                direction="from_widget"))
+
+        tb = self.add(Widget(kind="textbox", text=path, width=160.0,
+                             on_commit=commit), row)
+        popup = self.add(Widget(kind="popup"))
+        fb = self.add(Widget(kind="filebrowser", path=browse_dir), popup)
+
+        def on_browse(ui, _h):
+            ui.browse(fb, ui.nodes.borrow(fb).path or browse_dir)
+            r = ui.nodes.borrow(row).actual_rect
+            ui.open_popup(popup, r.x, r.y + r.h)
+
+        self.add(Widget(kind="button", text="...", on_click=on_browse),
+                 row)
+
+        editor = row
+
+        def pump_file_selected(ui, msg):
+            if (msg.destination == fb
+                    and msg.data.get("type") == "file_selected"):
+                ui.nodes.borrow(tb).text = msg.data["path"]
+                ui.nodes.borrow(popup).open = False
+                ui.send_message(UiMessage(
+                    destination=editor,
+                    data={"type": "path_changed",
+                          "path": msg.data["path"]},
+                    direction="from_widget"))
+
+        self._routes.append(pump_file_selected)
+        return row
+
+    def attach_dropdown_menu(self, button: Handle, items) -> Handle:
+        """Dropdown menu helper (fyrox-ui dropdown_menu.rs): clicking
+        the button opens a popup menu below it; picking an item emits
+        `menu_selected` on the BUTTON."""
+        popup = self.add(Widget(kind="popup"))
+        for it in items:
+            def pick(ui, _h, _it=it):
+                ui.send_message(UiMessage(
+                    destination=button,
+                    data={"type": "menu_selected", "item": _it},
+                    direction="from_widget"))
+                ui.close_popups()
+            self.add(Widget(kind="menu_item", text=it, on_click=pick),
+                     popup)
+        prev = self.nodes.borrow(button).on_click
+
+        def open_menu(ui, h):
+            if prev is not None:
+                prev(ui, h)
+            r = ui.nodes.borrow(h).actual_rect
+            ui.open_popup(popup, r.x, r.y + r.h)
+
+        self.nodes.borrow(button).on_click = open_menu
+        return popup
+
+    def log_push(self, handle: Handle, severity: int, message: str):
+        """Append to a log panel (log.rs Log::writeln): ring-buffered at
+        log_capacity, auto-scrolled to the tail."""
+        w = self.nodes.borrow(handle)
+        w.log_entries.append((int(severity), str(message)))
+        if len(w.log_entries) > w.log_capacity:
+            del w.log_entries[:len(w.log_entries) - w.log_capacity]
 
     def animate(self, handle: Handle, attr: str, to, duration: float,
                 easing: str = "linear"):
@@ -911,6 +1019,20 @@ class UserInterface:
         elif w.kind == "searchbar":
             content = (max(inner[0], 120.0) if not np.isfinite(w.width)
                        else w.width, w.font_size * 1.4 + 4)
+        elif w.kind == "bbcode":
+            from fyrox_tpu.ui.text import parse_bbcode
+            plain, _runs = parse_bbcode(w.text)
+            lines = plain.split("\n") or [""]
+            ww = max((len(l) for l in lines), default=0) \
+                * w.font_size * 0.55
+            content = (ww, len(lines) * w.font_size * 1.3)
+        elif w.kind == "log":
+            rows = [e for e in w.log_entries if e[0] >= w.log_filter]
+            ww = max((len(m) for _s, m in rows), default=20) \
+                * w.font_size * 0.55
+            content = (max(inner[0] if not np.isfinite(w.width) else 0.0,
+                           ww),
+                       max(len(rows), 1) * w.font_size * 1.3)
         elif w.kind == "selector":
             # selector.rs: "< item >" cycler — widest item + arrow zones
             iw = max((len(s) * w.font_size * 0.55 for s in w.items),
@@ -1488,6 +1610,55 @@ class UserInterface:
             icon = Rect(w.actual_rect.x + w.actual_rect.w - 16,
                         w.actual_rect.y, 16, w.actual_rect.h)
             cmds.append(DrawCommand("text", icon, w.foreground, text="?"))
+        if w.kind == "bbcode":
+            # bbcode.rs: styled runs drawn as colored text segments with
+            # the UI's monospace metrics
+            from fyrox_tpu.ui.text import parse_bbcode
+            plain, runs = parse_bbcode(w.text)
+            r = w.actual_rect
+            cw = w.font_size * 0.55
+            lh = w.font_size * 1.3
+            # char index -> (line, col)
+            line = col = 0
+            pos = []
+            for ch in plain:
+                pos.append((line, col))
+                if ch == "\n":
+                    line += 1
+                    col = 0
+                else:
+                    col += 1
+            for start, end, style in runs:
+                i = start
+                while i < end:
+                    ln, cl = pos[i]
+                    j = i
+                    while (j < end and pos[j][0] == ln
+                           and plain[j] != "\n"):
+                        j += 1
+                    seg = plain[i:j]
+                    if seg:
+                        fg = style.get("color", w.foreground)
+                        fs = style.get("size", w.font_size)
+                        cmds.append(DrawCommand(
+                            "text",
+                            Rect(r.x + cl * cw, r.y + ln * lh,
+                                 max(len(seg) * cw, 1.0), lh),
+                            fg, text=seg, thickness=2.0
+                            if style.get("bold") else 1.0))
+                    i = j + 1 if j < end and plain[j] == "\n" else j
+        if w.kind == "log":
+            # log.rs panel: severity-colored rows, newest at the bottom
+            r = w.actual_rect
+            lh = w.font_size * 1.3
+            sev_color = {0: w.foreground, 1: (1.0, 0.8, 0.2, 1.0),
+                         2: (1.0, 0.3, 0.3, 1.0)}
+            rows = [e for e in w.log_entries if e[0] >= w.log_filter]
+            max_rows = max(int(r.h // lh), 1)
+            for k, (sev, msg) in enumerate(rows[-max_rows:]):
+                cmds.append(DrawCommand(
+                    "text", Rect(r.x, r.y + k * lh, r.w, lh),
+                    sev_color.get(sev, w.foreground), text=msg))
         if w.kind == "selector":
             r = w.actual_rect
             cmds.append(DrawCommand("rect", r, w.background))

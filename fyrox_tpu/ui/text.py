@@ -15,7 +15,8 @@ import math
 from dataclasses import dataclass, field
 from typing import List, Tuple
 
-__all__ = ["CHAR_ASPECT", "LINE_FACTOR", "FormattedText", "apply_key"]
+__all__ = ["CHAR_ASPECT", "LINE_FACTOR", "FormattedText", "apply_key",
+           "parse_bbcode"]
 
 CHAR_ASPECT = 0.55
 LINE_FACTOR = 1.3
@@ -198,3 +199,100 @@ def apply_key(text: str, caret: int, anchor: int, key: str, char: str = "",
         anchor = -1
         events.append("changed")
     return text, caret, anchor, events
+
+
+# -- BBCode markup (fyrox-ui/src/bbcode.rs) ---------------------------------
+
+_NAMED_COLORS = {
+    "red": (1.0, 0.2, 0.2, 1.0), "green": (0.2, 1.0, 0.2, 1.0),
+    "blue": (0.3, 0.5, 1.0, 1.0), "white": (1.0, 1.0, 1.0, 1.0),
+    "black": (0.0, 0.0, 0.0, 1.0), "yellow": (1.0, 1.0, 0.2, 1.0),
+    "gray": (0.6, 0.6, 0.6, 1.0), "orange": (1.0, 0.6, 0.1, 1.0),
+}
+
+
+def _parse_color(v: str):
+    v = v.strip().lower()
+    if v.startswith("#"):
+        h = v[1:]
+        if len(h) == 3:
+            h = "".join(c * 2 for c in h)
+        if len(h) in (6, 8):
+            try:
+                r = int(h[0:2], 16) / 255.0
+                g = int(h[2:4], 16) / 255.0
+                b = int(h[4:6], 16) / 255.0
+                a = int(h[6:8], 16) / 255.0 if len(h) == 8 else 1.0
+                return (r, g, b, a)
+            except ValueError:
+                return None
+        return None
+    return _NAMED_COLORS.get(v)
+
+
+def parse_bbcode(markup: str):
+    """BBCode → (plain_text, runs). Each run is (start, end, style) with
+    style keys bold/italic/color/size (bbcode.rs tag set: [b] [i]
+    [color=...] [size=...]; unknown or unbalanced tags pass through as
+    literal text)."""
+    plain = []
+    runs = []
+    stack = []          # (tag, value)
+    i = 0
+    run_start = 0
+
+    def cur_style():
+        st = {}
+        for tag, val in stack:
+            if tag == "b":
+                st["bold"] = True
+            elif tag == "i":
+                st["italic"] = True
+            elif tag == "color":
+                st["color"] = val
+            elif tag == "size":
+                st["size"] = val
+        return st
+
+    def flush():
+        nonlocal run_start
+        end = len(plain)
+        if end > run_start:
+            runs.append((run_start, end, cur_style()))
+        run_start = end
+
+    while i < len(markup):
+        if markup[i] == "[":
+            j = markup.find("]", i + 1)
+            if j > i:
+                body = markup[i + 1:j]
+                closing = body.startswith("/")
+                name = (body[1:] if closing else body).split("=", 1)[0]                     .strip().lower()
+                value = (body.split("=", 1)[1].strip()
+                         if "=" in body else None)
+                if name in ("b", "i", "color", "size"):
+                    if closing:
+                        if stack and stack[-1][0] == name:
+                            flush()
+                            stack.pop()
+                            i = j + 1
+                            continue
+                    else:
+                        val = None
+                        if name == "color" and value is not None:
+                            val = _parse_color(value)
+                        elif name == "size" and value is not None:
+                            try:
+                                val = float(value)
+                            except ValueError:
+                                val = None
+                        if name in ("b", "i") or val is not None:
+                            flush()
+                            stack.append((name, val))
+                            i = j + 1
+                            continue
+            # not a recognized tag: literal '['
+        plain.append(markup[i])
+        i += 1
+    flush()
+    return "".join(plain), runs
