@@ -49,7 +49,10 @@ __all__ = ["solve_tgs_pallas", "supports_kernel"]
 #             6-pass f32 dot at half its MXU cost. The split passes ride
 #             ONE concatenated dot (free dim 3x) so fixed per-dot
 #             overheads don't triple.
-_GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "default")
+# default split3: bit-near-exact (1e-6 vs the f32 dots) at the same
+# 3-pass cost — measured fastest exact option (TPU_SESSION2_r4.json:
+# 4.84 vs default 4.96 vs highest 7.88 ms solver at W=32)
+_GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "split3")
 # partner-gather formulation (A/B knob):
 #   select  — one [A*n_hi,128]@[128,Cg] dot PER SUBLANE ROW, then an
 #             n_hi-way masked select on the reshaped output.
@@ -62,7 +65,9 @@ _GATHER_PREC = os.environ.get("FYROX_SOLVER_GATHER_PREC", "default")
 #             per-gather dot count from S to 1 — the winner if per-dot
 #             fixed overhead dominates (precision sweep showed 2-vs-6
 #             dot passes moves solver_ms <3%, so it does).
-_GATHER_MODE = os.environ.get("FYROX_SOLVER_GATHER_MODE", "select")
+# default wide: one dot per gather — measured 4.04 vs select 4.84 vs
+# premask 5.18 ms solver at W=32 (TPU_SESSION3_r4.json)
+_GATHER_MODE = os.environ.get("FYROX_SOLVER_GATHER_MODE", "wide")
 
 # contact plane indices (input stack). Constraint prep (tangents,
 # anchors, effective masses, mass-splitting counts, restitution targets)
@@ -132,9 +137,10 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     # two-level one-hot gather with the NATIVE (n_hi, 128) decomposition:
     # body = hi*128 + lo. Minor-dim splits must keep 128 lanes — Mosaic
     # rejects non-tile-aligned shape casts (e.g. 1024 -> 32x32).
-    # (A fully batched [A*hi,128]@[128,S*Cg] single-dot variant measured
-    # SLOWER — the wide-N dot + 4D reshape relayouts cost more than the
-    # per-row dots.)
+    # (An EARLIER a-major batched single-dot variant measured slower
+    # from 4D reshape relayouts; the "wide" mode below fixes that with
+    # slab-major rows + a shared precomputed one-hot and measures
+    # fastest — see _GATHER_MODE.)
     n_hi = bp // 128
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, cg), 0)
     if _GATHER_MODE == "wide":
