@@ -212,19 +212,33 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
     11 scalar VMEM loads + broadcasts per triangle).
 
     edge_mode="mxu" evaluates ALL the affine forms of a chunk as ONE
-    [F*_CHUNK, 3] @ [3, tile_px] HIGHEST-precision dot (the ROADMAP
-    MXU-edge-functions lever): the VPU's 2-mul-2-add broadcast chains
-    move to the otherwise-idle MXU. A/B knob — identical output."""
+    [_CHUNK, _NFEAT] @ [_NFEAT, F*tile_px] HIGHEST-precision dot (the
+    ROADMAP MXU-edge-functions lever): the feature rows stay unsliced
+    (Mosaic rejects non-tile-aligned lane splits/concats), the form
+    structure lives in a block-structured P built once per tile — rows
+    3f..3f+2 of block f hold (px, py, 1), everything else zero — and the
+    output slices at px-multiples are tile-aligned. Moves the VPU's
+    2-mul-2-add broadcast chains to the otherwise-idle MXU. A/B knob —
+    identical output."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 1)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h, tile_w), 2)
     py = (ti * tile_h + row_i).astype(jnp.float32) + 0.5
     px = (tj * tile_w + col_i).astype(jnp.float32) + 0.5
+    n_px = tile_h * tile_w
+    n_forms_p = 5 if homogeneous else 3
     if edge_mode == "mxu":
-        pxf = px.reshape(1, tile_h * tile_w)
-        pyf = py.reshape(1, tile_h * tile_w)
-        pmat = jnp.concatenate([pxf, pyf, jnp.ones_like(pxf)], 0)  # [3,px]
+        pxf = px.reshape(1, n_px)
+        pyf = py.reshape(1, n_px)
+        onef = jnp.ones_like(pxf)
+        zrow = jnp.zeros_like(pxf)
+        blocks = []
+        for frm in range(n_forms_p):
+            rows = ([zrow] * (3 * frm) + [pxf, pyf, onef]
+                    + [zrow] * (_NFEAT - 3 * frm - 3))
+            blocks.append(jnp.concatenate(rows, 0))     # [_NFEAT, n_px]
+        pmat = jnp.concatenate(blocks, 1)               # [_NFEAT, F*n_px]
 
     z_ref[:] = jnp.full((tile_h, tile_w), _BIG, jnp.float32)
     if not depth_only:
@@ -241,16 +255,15 @@ def _raster_kernel(cnt_ref, feat_ref, z_ref, idx_ref, w0_ref, w1_ref,
         f = feat_ref[0, 0, pl.ds(base, _CHUNK), :]     # [C,_NFEAT]
 
         if edge_mode == "mxu":
-            m = f[:, :3 * n_forms].reshape(_CHUNK, n_forms, 3)
-            m = jnp.moveaxis(m, 1, 0).reshape(n_forms * _CHUNK, 3)
             ev = jax.lax.dot_general(
-                m, pmat, (((1,), (0,)), ((), ())),
+                f, pmat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            forms = ev.reshape(n_forms, _CHUNK, tile_h, tile_w)
+                precision=jax.lax.Precision.HIGHEST)   # [C, F*n_px]
 
             def aff(i):
-                return forms[i // 3]
+                frm = i // 3
+                return ev[:, frm * n_px:(frm + 1) * n_px].reshape(
+                    _CHUNK, tile_h, tile_w)
         else:
             def aff(i):
                 return (f[:, i][:, None, None] * px
