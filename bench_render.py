@@ -57,7 +57,7 @@ def main():
                        use_pallas=use_pallas,
                        cascade_tri_budget=budget,
                        bin_mode=os.environ.get(
-                           "FYROX_BENCH_RENDER_BINMODE", "topk"),
+                           "FYROX_BENCH_RENDER_BINMODE", "cumsum"),
                        edge_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_EDGEMODE", "vpu"))
 

@@ -151,6 +151,22 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         iota_wide = jax.lax.broadcasted_iota(jnp.int32, (128, s * cg), 0)
         oh_wide = (iota_wide == lo_flat).astype(f32)
         himask = [(hi_flat == s8).astype(f32) for s8 in range(n_hi)]
+        # the SELF gather rides the same wide dot: recover each
+        # collider's body index from the static one-hot (iota reduce),
+        # build its lo one-hot + hi masks, and concatenate along N —
+        # one [n_hi*A,128] @ [128, S*Cg + Cg] dot serves partner AND
+        # self sides of every paired gather
+        colb = jnp.sum(self_b * jax.lax.broadcasted_iota(
+            jnp.int32, (cg, bp), 1).astype(f32),              # Mosaic iota
+            axis=1).astype(jnp.int32)                         # must be int
+
+        hi_self = colb // 128
+        lo_self = colb % 128
+        oh_cat = jnp.concatenate(
+            [oh_wide, (iota_lo == lo_self[None, :]).astype(f32)], axis=1)
+        mask_cat = [jnp.concatenate(
+            [himask[s8], (hi_self[None, :] == s8).astype(f32)], axis=1)
+            for s8 in range(n_hi)]
 
     def _gather_dot(mat, oh_lo, dn=(((1,), (0,)), ((), ()))):
         """f32 values × one-hot → f32 under the module's precision
@@ -244,6 +260,27 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
                              dn=(((1,), (1,)), ((), ())))      # [A, Cg]
         return [jnp.broadcast_to(percol[i][None], (s, cg)) for i in range(a)]
 
+    def gather_self(planes):
+        """Paired partner + self gather. In wide mode both ride ONE
+        [n_hi*A,128] @ [128, S*Cg+Cg] dot (the self one-hot/masks are
+        concatenated along N at setup); otherwise falls back to
+        gather6 + selfcast."""
+        if _GATHER_MODE != "wide":
+            return gather6(planes), selfcast(planes)
+        a = len(planes)
+        mat = jnp.stack([p[s8 * 128:(s8 + 1) * 128]
+                         for s8 in range(n_hi)
+                         for p in planes])                   # [n_hi*A,128]
+        tmp = _gather_dot(mat, oh_cat)                       # [n_hi*A, N']
+        acc = tmp[0:a] * mask_cat[0]
+        for s8 in range(1, n_hi):
+            acc = acc + tmp[s8 * a:(s8 + 1) * a] * mask_cat[s8]
+        part = acc[:, :s * cg].reshape(a, s, cg)
+        selfp = acc[:, s * cg:]                              # [A, Cg]
+        return ([part[i] for i in range(a)],
+                [jnp.broadcast_to(selfp[i][None], (s, cg))
+                 for i in range(a)])
+
     def scatter6(vals):
         """6 × [S,Cg] self-half contributions → 6 × [Bp] body sums.
         split3 replaces the 6-pass HIGHEST dot with the bit-exact
@@ -270,8 +307,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
         return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
 
     def rel_vel(lv, av):
-        jv = gather6(list(lv) + list(av))
-        iv = selfcast(list(lv) + list(av))
+        jv, iv = gather_self(list(lv) + list(av))
         lv_a = sel3(swapped, tuple(jv[0:3]), tuple(iv[0:3]))
         av_a = sel3(swapped, tuple(jv[3:6]), tuple(iv[3:6]))
         lv_b = sel3(swapped, tuple(iv[0:3]), tuple(jv[0:3]))
@@ -300,8 +336,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
     im_plane = bpl("im")
     body14 = [im_plane, count_b, bpl("px"), bpl("py"), bpl("pz")] + ii0
-    jg14 = gather6(body14)
-    ig14 = selfcast(body14)
+    jg14, ig14 = gather_self(body14)
     im_j, cnt_j = jg14[0], jg14[1]
     im_i, cnt_i = ig14[0], ig14[1]
     com_j = tuple(jg14[2:5])
@@ -464,8 +499,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
                             + qn[3] ** 2 + 1e-30)
         q = tuple(qc * inv for qc in qn)
         d6 = list(dpos) + list(dth)
-        jg = gather6(d6)
-        ig = selfcast(d6)
+        jg, ig = gather_self(d6)
         dp_a = sel3(swapped, tuple(jg[0:3]), tuple(ig[0:3]))
         dt_a = sel3(swapped, tuple(jg[3:6]), tuple(ig[3:6]))
         dp_b = sel3(swapped, tuple(ig[0:3]), tuple(jg[0:3]))

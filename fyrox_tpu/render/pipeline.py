@@ -67,9 +67,10 @@ class RenderConfig(NamedTuple):
     # (e.g. (0.05, 1.0, 0.7)) sizes each cascade to its occupancy —
     # lossless when sized honestly (see shadows.render_cascade_depths)
     cascade_tri_budget: object = 0.0
-    # tile binning strategy: "topk" (lax.top_k) or "cumsum"
-    # (physics-broadphase counting-rank compaction — A/B on TPU)
-    bin_mode: str = "topk"
+    # tile binning strategy: "cumsum" (physics-broadphase counting-rank
+    # compaction — measured 21.64 vs 22.19 ms/frame/world against
+    # "topk" on the render bench, TPU_SESSION4_r4.json) or "topk"
+    bin_mode: str = "cumsum"
     # edge-function evaluation in the tile kernel: "vpu" (broadcast
     # chains) or "mxu" (one [F*chunk,3]@[3,px] dot per chunk — A/B)
     edge_mode: str = "vpu"
