@@ -104,9 +104,10 @@ def main():
     accel = jnp.broadcast_to(grav[None, None], ps.position.shape)
     inv_mass = jnp.asarray(t.inv_mass)[None]
 
+    from fyrox_tpu.physics import pallas_solver as _ps
     res = {"worlds": w, "bodies": n_bodies,
-           "gather_prec": os.environ.get("FYROX_SOLVER_GATHER_PREC",
-                                         "default")}
+           "gather_prec": _ps._GATHER_PREC,
+           "gather_mode": _ps._GATHER_MODE}
 
     # ---- stage closures (everything per-stage-jitted) ----
     margin = t.allowed_linear_error + wm.SPECULATIVE_MARGIN
