@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["BLK", "pad_to", "pad_contacts", "plane_gather", "plane_scatter",
-           "gather_rows", "count_lt"]
+           "gather_rows", "count_lt", "rank_rows", "scatter_rows"]
 
 BLK = 1024        # contacts per kernel block
 
