@@ -56,6 +56,11 @@ def main():
     cfg = RenderConfig(width=size, height=size, shadows=True,
                        use_pallas=use_pallas,
                        cascade_tri_budget=budget,
+                       # per-tile bin capacity sized to this scene's
+                       # measured max occupancy (350-405 of the old 512
+                       # default, scripts/TPU_SESSION5_r4.json) + headroom
+                       k_per_tile=int(os.environ.get(
+                           "FYROX_BENCH_RENDER_KTILE", 424)),
                        bin_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_BINMODE", "cumsum"),
                        edge_mode=os.environ.get(

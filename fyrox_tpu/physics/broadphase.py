@@ -502,7 +502,9 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     walk-window demand (`walk_total` [W,Cg]), per-class valid counts
     (`class_valid` list of [W,Cg]) and — in two-tier mode — per-class
     tight counts (`class_tight`): overflow diagnosis for window sizing."""
-    from fyrox_tpu.physics.pallas_ops import count_lt, gather_rows
+    import os
+    from fyrox_tpu.physics.pallas_ops import (count_lt, gather_rows,
+                                              rank_rows, scatter_rows)
     col_body = np.asarray(col_body)
     dyn_col = np.asarray(dyn_col)
     w = amin.shape[0]
@@ -518,7 +520,15 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     zfine = sc.cell / _ZFINE
     qz = jnp.floor(gmin[..., 2] / zfine).astype(jnp.int32)
     key = _pack_xyz(qx, qy, qz)                                 # [W,Cg]
-    order = jnp.argsort(key, axis=1)
+    # counting-rank A/B mode: the sort-network argsort + one-hot gather
+    # into sorted order becomes one fused compare-reduce (rank = inverse
+    # permutation) + one exact one-hot permutation SCATTER. Measured
+    # end-to-end at W=128/1k bodies on v5e: 3093.8 vs 3184.9
+    # env·steps/s/chip (scripts/TPU_SESSION6_r4.json) — the [W,Cg,Cg]
+    # compare-reduce loses to XLA's sort at this size, so the default
+    # stays "sort"; flip with FYROX_BP_RANK=count to re-measure
+    rank_mode = os.environ.get("FYROX_BP_RANK", "sort") == "count"
+    order = None if rank_mode else jnp.argsort(key, axis=1)
 
     qz_lo = jnp.floor((gmin[..., 2] - sc.cell) / zfine).astype(jnp.int32)
     qz_hi = jnp.floor(gmax[..., 2] / zfine).astype(jnp.int32)
@@ -564,7 +574,10 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
         attr_parts.append(gtaabb)
     attrs = jnp.concatenate(attr_parts, axis=-1)                 # [W,Cg,10|16]
     na = attrs.shape[-1]
-    sortedA = gather_rows(attrs, order)
+    if rank_mode:
+        sortedA = scatter_rows(attrs, rank_rows(key), cg)
+    else:
+        sortedA = gather_rows(attrs, order)
     slotA = gather_rows(sortedA, pos.reshape(w, -1)
                         ).reshape(w, cg, s_walk, na)             # [W,Cg,Sw,na]
 

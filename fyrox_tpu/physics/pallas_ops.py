@@ -88,16 +88,61 @@ def _gather_kernel(planes_ref, idx_ref, out_ref, *, bp):
     out_ref[0] = out3[:a] + out3[a:2 * a] + out3[2 * a:]
 
 
+def _gather_kernel2(planes_ref, idx_ref, out_ref, *, bp):
+    """Two-level one-hot gather (idx = hi*128 + lo).
+
+    The flat kernel's [BP, BLK] one-hot costs BP*BLK VPU compares and 2MB
+    of VMEM per block at BP=1024. Decomposing the index into its native
+    (n_hi, 128) lane split (the pallas_solver partner-gather trick) builds
+    ONE [128, BLK] lane one-hot plus n_hi row masks: ~BP/128x fewer
+    compares and 8x less one-hot VMEM at identical MXU MAC count.
+    Bit-exact for f32 via the same hi/mid/lo bf16 3-split — each output
+    element sums exactly one triple, gated by exactly one hi mask."""
+    row = idx_ref[0]                                     # [1, BLK]
+    n_hi = bp // 128
+    lo_i = jax.lax.rem(row, 128)
+    hi_i = jax.lax.div(row, 128)
+    ohT = (jnp.broadcast_to(lo_i, (128, BLK))
+           == jax.lax.broadcasted_iota(jnp.int32, (128, BLK), 0)
+           ).astype(jnp.bfloat16)                        # [128, BLK]
+    p = planes_ref[0]                                    # [A, BP] f32
+    hi = p.astype(jnp.bfloat16)
+    rem = p - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    a = p.shape[0]
+    # g-major stacking: rows [3a*g : 3a*(g+1)] hold segment g's triple
+    split = jnp.concatenate(
+        [x[:, g * 128:(g + 1) * 128]
+         for g in range(n_hi) for x in (hi, mid, lo)], axis=0)
+    out3 = jax.lax.dot_general(
+        split, ohT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [3A*n_hi, BLK]
+    acc = jnp.zeros((a, BLK), jnp.float32)
+    for g in range(n_hi):
+        seg = out3[3 * a * g:3 * a * (g + 1)]
+        val = seg[:a] + seg[a:2 * a] + seg[2 * a:]
+        acc = acc + val * (hi_i == g).astype(jnp.float32)
+    out_ref[0] = acc
+
+
 def plane_gather(planes, idx):
-    """planes [W,A,BP], idx [W,1,KP] int32 (< BP) → [W,A,KP]."""
+    """planes [W,A,BP], idx [W,1,KP] int32 (< BP; >= BP reads zero) →
+    [W,A,KP]."""
+    import os
     w, a_cnt, bp = planes.shape
     kp = idx.shape[2]
     if not _is_tpu():
+        idxc = jnp.clip(idx, 0, bp - 1)
         out = jnp.take_along_axis(
-            planes, jnp.broadcast_to(idx, (w, a_cnt, kp)), axis=2)
-        return out
+            planes, jnp.broadcast_to(idxc, (w, a_cnt, kp)), axis=2)
+        return jnp.where(idx < bp, out, 0.0)
     assert kp % BLK == 0, "contact planes must be padded to 1024"
-    kern = functools.partial(_gather_kernel, bp=bp)
+    # two-level mode (default): needs the native (n_hi, 128) lane split
+    two = (bp % 128 == 0 and bp >= 256
+           and os.environ.get("FYROX_GATHER_MODE", "two") != "flat")
+    kern = functools.partial(_gather_kernel2 if two else _gather_kernel,
+                             bp=bp)
     return pl.pallas_call(
         kern,
         grid=(w, kp // BLK),
@@ -194,3 +239,45 @@ def count_lt(skey, q, strict=True):
     else:
         hit = skey[:, None, :] <= q[:, :, None]
     return jnp.sum(hit.astype(jnp.int32), axis=-1)
+
+
+def rank_rows(key):
+    """Stable ascending counting rank per row: rank[w,i] = the position
+    key[w,i] takes in a stable sort of key[w] — i.e. the INVERSE of
+    jnp.argsort(key), computed as one fused compare-reduce instead of a
+    TPU sort network (XLA's sort on [W,N] int32 rows measured ~3x the
+    cost of the compare-reduce at N=1024). rank is a bijection per row,
+    so `scatter_rows(attrs, rank, n)` permutes attrs into sorted order
+    exactly (no scatter collisions)."""
+    n = key.shape[1]
+    ii = jnp.arange(n, dtype=jnp.int32)
+    kj = key[:, None, :]
+    ki = key[:, :, None]
+    hit = (kj < ki) | ((kj == ki) & (ii[None, None, :] < ii[None, :, None]))
+    return jnp.sum(hit.astype(jnp.int32), axis=-1)
+
+
+def scatter_rows(x, idx, n_out):
+    """x [W,K,D] scatter-ADD into rows idx [W,K] → [W,n_out,D].
+
+    Out-of-range / negative indices drop. With a bijective idx (e.g. a
+    rank_rows permutation) this is an exact row permute: the one-hot MXU
+    scatter sums exactly one f32 value per output element, so HIGHEST
+    precision keeps it bit-exact."""
+    w, k, d = x.shape
+    if not _is_tpu():
+        keep = (idx >= 0)[..., None] & (idx < n_out)[..., None]
+        out = jnp.zeros((w, n_out, d), x.dtype)
+        return out.at[jnp.arange(w)[:, None],
+                      jnp.clip(idx, 0, n_out - 1)].add(
+            jnp.where(keep, x, 0.0))
+    bp = pad_to(n_out, 128)
+    kp = pad_to(k, BLK)
+    planes = jnp.swapaxes(x, 1, 2)                     # [W,D,K]
+    if kp > k:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((w, d, kp - k), x.dtype)], axis=2)
+    idx2 = pad_contacts(jnp.where((idx >= 0) & (idx < n_out), idx, bp),
+                        kp, fill=bp)[:, None]          # [W,1,KP]
+    out = plane_scatter(planes, idx2, bp)              # [W,D,BP]
+    return jnp.swapaxes(out, 1, 2)[:, :n_out]

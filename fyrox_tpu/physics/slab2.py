@@ -967,15 +967,45 @@ def _compact(cx: _Ctx, attrs_f, attrs_i, dtype):
 
     w, cg = act.shape[:2]
 
-    def cf(name):
-        v = attrs_f[name]
-        return jnp.sum(jnp.where(oh, v[..., None], 0.0), axis=2) \
-                  .reshape(w, cg * s)
+    import os as _os
+    # default "where": the einsum contraction A/B MEASURED 6.4 vs 1.9 ms
+    # at W=32 on v5e (tiny [S,Wd]x[Wd,A] batched matmuls at HIGHEST
+    # precision underutilize the MXU; the masked sums fuse well) — kept
+    # as an A/B mode for other scene shapes
+    if _os.environ.get("FYROX_COMPACT_MODE", "where") == "einsum":
+        # ONE batched contraction instead of 14 separate [W,Cg,Wd,S]
+        # masked-sum materializations: stack every attribute (ints ride
+        # as f32 — body_j < B and pid < 4*C^2 ≈ 4M both sit inside f32's
+        # exact 2^24 integer range) and contract the window axis once
+        names_f = ("nx", "ny", "nz", "px", "py", "pz", "depth", "fric",
+                   "rest", "sigma", "own")
+        stackA = jnp.stack(
+            [attrs_f[k] for k in names_f]
+            + [attrs_i["body_j"].astype(dtype), attrs_i["pid"].astype(dtype)],
+            axis=-1)                                         # [W,Cg,Wd,14]
+        # HIGHEST precision: every output sums exactly one value through
+        # the one-hot, and the 3-pass bf16 split reconstructs it exactly
+        # (default bf16 matmul would truncate pids/depths)
+        comp = jnp.einsum("wcds,wcda->wcsa", oh.astype(dtype), stackA,
+                          precision="highest")
+        cols = {k: comp[..., i].reshape(w, cg * s)
+                for i, k in enumerate(names_f + ("body_j", "pid"))}
 
-    def ci(name):
-        v = attrs_i[name]
-        return jnp.sum(jnp.where(oh, v[..., None], 0), axis=2) \
-                  .reshape(w, cg * s).astype(jnp.int32)
+        def cf(name):
+            return cols[name]
+
+        def ci(name):
+            return cols[name].astype(jnp.int32)
+    else:
+        def cf(name):
+            v = attrs_f[name]
+            return jnp.sum(jnp.where(oh, v[..., None], 0.0), axis=2) \
+                      .reshape(w, cg * s)
+
+        def ci(name):
+            v = attrs_i[name]
+            return jnp.sum(jnp.where(oh, v[..., None], 0), axis=2) \
+                      .reshape(w, cg * s).astype(jnp.int32)
 
     n_valid = jnp.sum(actf, axis=2)
     actc = (k_ar[None, None, :] < jnp.minimum(n_valid, float(s))[..., None]

@@ -164,3 +164,52 @@ def test_grid_pile_settles():
     # roll, and no vertical kinetic energy to speak of
     assert np.abs(v).max() < 3.0
     assert np.abs(v[..., 1]).max() < 0.5
+
+
+def test_rank_rows_inverts_argsort_and_scatter_permutes():
+    """rank_rows = stable inverse argsort; scatter_rows(rank) == the
+    sorted-order gather (the counting-rank slab broadphase path)."""
+    from fyrox_tpu.physics.pallas_ops import (gather_rows, rank_rows,
+                                              scatter_rows)
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.integers(0, 40, (5, 300)).astype(np.int32))
+    r = rank_rows(k)
+    order = jnp.argsort(k, axis=1)
+    assert np.array_equal(np.asarray(r), np.asarray(jnp.argsort(order, 1)))
+    x = jnp.asarray(rng.standard_normal((5, 300, 6)).astype(np.float32))
+    assert np.array_equal(np.asarray(scatter_rows(x, r, 300)),
+                          np.asarray(gather_rows(x, order)))
+
+
+def test_slab_rank_modes_identical():
+    """FYROX_BP_RANK=count (default) vs =sort produce identical slab
+    candidate windows on a settled pile."""
+    import os
+    from fyrox_tpu.models.character import build_pile_scene
+    from fyrox_tpu.scene import SceneBuilder
+    from fyrox_tpu.physics import slab2
+
+    sb = SceneBuilder()
+    pb, _ = build_pile_scene(sb, n_bodies=200, seed=5)
+    t = pb.build(broadphase="slab", slab_window=(12, 8, 10))
+    s = wm.init_physics_state(pb, t, 2)
+    step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+    for _ in range(30):
+        s = step(s)
+
+    def run(mode):
+        old = os.environ.get("FYROX_BP_RANK")
+        os.environ["FYROX_BP_RANK"] = mode
+        try:
+            # fresh jit so the env-dependent trace isn't cached
+            out = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))(s)
+        finally:
+            if old is None:
+                os.environ.pop("FYROX_BP_RANK", None)
+            else:
+                os.environ["FYROX_BP_RANK"] = old
+        return np.asarray(out.position), np.asarray(out.linvel)
+
+    p1, v1 = run("count")
+    p2, v2 = run("sort")
+    assert np.array_equal(p1, p2) and np.array_equal(v1, v2)
