@@ -21,7 +21,7 @@ def main():
     import jax.numpy as jnp
     from fyrox_tpu.render import (RenderConfig, build_render_template,
                                   make_cube, make_plane, make_sphere,
-                                  render_frame)
+                                  render_frame, render_frame_demand)
     from fyrox_tpu.scene import SceneBuilder, graph, init_state
 
     n_worlds = int(os.environ.get("FYROX_BENCH_RENDER_WORLDS", 16))
@@ -66,14 +66,35 @@ def main():
                        edge_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_EDGEMODE", "vpu"))
 
-    frame = jax.jit(lambda s: render_frame(s, t, rt, cfg)[0])
-    color = jax.block_until_ready(frame(st))
+    # the jitted frame also returns the per-pass bin DEMAND (true max
+    # tile overlap before the k_per_tile clamp): binning silently drops
+    # triangles past the cap, so a run whose demand reaches any pass's
+    # cap rendered a cheaper, incorrect frame and must be invalidated
+    # (ADVICE r4: the 424 default sits just above measured 350-405)
+    caps = []
+
+    def _frame(s):
+        color, demand, c = render_frame_demand(s, t, rt, cfg)
+        caps[:] = c
+        return color, demand
+
+    frame = jax.jit(_frame)
+    color, demand = jax.block_until_ready(frame(st))
+    if cfg.use_pallas:
+        dmax = np.asarray(demand).max(axis=0)           # per pass over worlds
+        over = [(int(d), k) for d, k in zip(dmax, caps) if int(d) >= k]
+        if over:
+            raise RuntimeError(
+                f"bin overflow: per-pass demand>=cap {over} — raise "
+                f"FYROX_BENCH_RENDER_KTILE; run invalid")
+        print(json.dumps({"bin_demand_max": [int(d) for d in dmax],
+                          "bin_caps": list(caps)}), flush=True)
     float(jnp.sum(color))            # hard sync through the axon tunnel
     reps = 3
     times = []
     for _ in range(reps):
         t0 = time.time()
-        color = frame(st)
+        color, _ = frame(st)
         float(jnp.sum(color))
         times.append(time.time() - t0)
     dt = min(times)

@@ -146,6 +146,29 @@ def _tri_features(tri_clip, tri_valid, height, width, backface_cull=True):
     return feats, bbox, ok
 
 
+_DEMAND_TRACE = None
+
+
+def demand_trace_start():
+    """Begin recording per-pass bin demand. While active, every
+    `_bin_triangles` call appends `(max_true_count, k_per_tile)` — the
+    TRUE per-tile overlap maximum (before the K clamp) as a traced
+    scalar plus the static cap. Because binning silently drops
+    triangles past K, a benchmark whose demand reaches K renders an
+    incorrect (cheaper) frame; callers compare the two to invalidate
+    such runs (see pipeline.render_frame_demand). Must be started and
+    stopped within one trace scope (e.g. inside the per-world fn under
+    vmap) so the recorded tracers stay in scope."""
+    global _DEMAND_TRACE
+    _DEMAND_TRACE = []
+
+
+def demand_trace_stop():
+    global _DEMAND_TRACE
+    out, _DEMAND_TRACE = _DEMAND_TRACE, None
+    return out
+
+
 def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile,
                    mode="topk"):
     """First-K triangle ids per tile by bbox overlap.
@@ -170,6 +193,10 @@ def _bin_triangles(bbox, ok, height, width, tile_h, tile_w, k_per_tile,
           & (bbox[:, None, None, 1] < ty0[None] + tile_h)
           & (bbox[:, None, None, 3] >= ty0[None])
           & ok[:, None, None])
+    if _DEMAND_TRACE is not None:
+        _DEMAND_TRACE.append(
+            (jnp.max(jnp.sum(ov.astype(jnp.int32), axis=0)),
+             int(k_per_tile)))
     if mode == "cumsum":
         from fyrox_tpu.physics.pallas_ops import count_lt
         nt = nty * ntx

@@ -628,6 +628,38 @@ def render_frame(scene_state, scene_template: SceneTemplate,
     return jax.vmap(fn)(scene_state.globals_, scene_state.global_visibility)
 
 
+def render_frame_demand(scene_state, scene_template: SceneTemplate,
+                        rt: RenderTemplate,
+                        config: RenderConfig = RenderConfig()):
+    """render_frame + per-pass bin-demand audit (Pallas path only).
+
+    Returns (color [W,H,Wd,3], demand [W, n_passes] int32, caps
+    [n_passes] static list). `demand[w, p]` is pass p's TRUE max
+    per-tile triangle overlap in world w, BEFORE the k_per_tile clamp;
+    `caps[p]` is the clamp that pass binned with. Any demand >= cap
+    means the binned raster silently dropped triangles and the frame
+    (and any timing of it) is invalid — benchmarks must check this
+    (bench_render.py does). On the non-Pallas path there is no binning
+    and demand comes back empty."""
+    from fyrox_tpu.render import pallas_raster
+    caps_out = []
+
+    def fn(g, v):
+        pallas_raster.demand_trace_start()
+        try:
+            color, _ = _frame_one_world(g, v, rt, scene_template, config)
+        finally:
+            trace = pallas_raster.demand_trace_stop()
+        caps_out[:] = [k for _, k in trace]
+        occ = (jnp.stack([m for m, _ in trace])
+               if trace else jnp.zeros((0,), jnp.int32))
+        return color, occ
+
+    color, demand = jax.vmap(fn)(scene_state.globals_,
+                                 scene_state.global_visibility)
+    return color, demand, list(caps_out)
+
+
 def render_frames_chunked(scene_state, scene_template: SceneTemplate,
                           rt: RenderTemplate,
                           config: RenderConfig = RenderConfig(),

@@ -174,9 +174,17 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
         return g.depth
 
     n_casc = cascade_vps.shape[0]
-    if isinstance(tri_budget, (tuple, list)):
-        fracs = list(tri_budget) + [tri_budget[-1]] * max(
-            0, n_casc - len(tri_budget))
+    from fyrox_tpu.render import pallas_raster as _pr
+    # While a bin-demand trace is active the per-pass occupancy scalars
+    # are recorded from inside `one`; vmapping over cascades would trap
+    # them inside the inner trace scope (UnexpectedTracerError at the
+    # caller), so unroll the cascade loop in that case — identical math,
+    # one binned-pass demand entry per cascade.
+    unroll = _pr._DEMAND_TRACE is not None
+    if isinstance(tri_budget, (tuple, list)) or unroll:
+        fracs = (list(tri_budget) if isinstance(tri_budget, (tuple, list))
+                 else [tri_budget] * n_casc)
+        fracs += [fracs[-1]] * max(0, n_casc - len(fracs))
         return jnp.stack([one(cascade_vps[ci],
                               _budget_of(fracs[ci], skip_full=True))
                           for ci in range(n_casc)])

@@ -175,7 +175,7 @@ class AbsmEditor:
         for k, t in enumerate(d.transitions):
             if not (0 <= t.src < n and 0 <= t.dst < n):
                 out.append(f"transition {k} references a missing state")
-            if not (0 <= t.param < max(len(d.params), 1)):
+            if not (0 <= t.param < len(d.params)):
                 out.append(f"transition {k} references a missing parameter")
         reachable = {d.entry}
         frontier = [d.entry]

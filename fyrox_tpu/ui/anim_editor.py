@@ -122,21 +122,24 @@ class AnimationEditor:
         """Insert a key keeping the channel time-sorted; returns its
         index."""
         time, value = float(time), float(value)
+        new_key = (time, value, float(tangent))
+        inserted_at = []      # index computed from the insertion itself,
+                              # so duplicate (time, value) keys can't alias
 
         def apply(d: AnimDocument) -> AnimDocument:
             tr = d.clips[c].tracks[t]
             ch = list(tr.channels[channel])
-            ch.append((time, value, float(tangent)))
+            ch.append(new_key)
             ch.sort(key=lambda k: k[0])
+            inserted_at[:] = [next(i for i, k in enumerate(ch)
+                                   if k is new_key)]
             chans = (tr.channels[:channel] + (tuple(ch),)
                      + tr.channels[channel + 1:])
             return _with_clip(d, c, _with_track(
                 d.clips[c], t, replace(tr, channels=chans)))
 
         self.stack.do(Command(f"Add Key @{time:.3f}", apply))
-        ch = self.doc.clips[c].tracks[t].channels[channel]
-        return next(i for i, k in enumerate(ch)
-                    if k[0] == time and k[1] == value)
+        return inserted_at[0]
 
     def move_key(self, c: int, t: int, channel: int, key: int,
                  time: float, value: float):
@@ -175,9 +178,10 @@ class AnimationEditor:
 
     # ---- lowering + preview ----
     def compile(self) -> track_mod.AnimationSet:
-        """Lower to the runtime AnimationSet (disabled tracks and
-        keyless channels pad with a constant key, matching the packed
-        CurveSet's fixed 3-row layout)."""
+        """Lower to the runtime AnimationSet. Disabled tracks are
+        OMITTED from the output entirely; keyless channels of enabled
+        tracks pad with a constant key, matching the packed CurveSet's
+        fixed 3-row layout."""
         ab = track_mod.AnimationSetBuilder()
         for clip in self.doc.clips:
             ci = ab.add_clip(name=clip.name, length=clip.length,

@@ -182,8 +182,9 @@ def test_rank_rows_inverts_argsort_and_scatter_permutes():
 
 
 def test_slab_rank_modes_identical():
-    """FYROX_BP_RANK=count (default) vs =sort produce identical slab
-    candidate windows on a settled pile."""
+    """FYROX_BP_RANK=sort (default: XLA argsort won the round-4 A/B)
+    vs =count (the counting-rank A/B mode, measured -2.9%) produce
+    identical slab candidate windows on a settled pile."""
     import os
     from fyrox_tpu.models.character import build_pile_scene
     from fyrox_tpu.scene import SceneBuilder

@@ -463,3 +463,65 @@ class TestOrthoCamera:
         far_o = m_ortho[:, :32].sum()
         assert near_o > 0 and far_o > 0
         assert abs(int(near_o) - int(far_o)) <= 0.2 * near_o  # same size
+
+
+class TestBinDemandAudit:
+    """render_frame_demand: the per-pass bin-occupancy audit that
+    invalidates benchmark runs whose k_per_tile silently dropped
+    triangles (ADVICE r4 medium)."""
+
+    def _scene(self):
+        import numpy as np
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, make_plane)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(20.0), name="ground")
+        for i in range(4):
+            sb.add_mesh(make_cube(1.0), position=(i * 2.0 - 3.0, 0.5, 0.0))
+        tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+        sb.add_light("directional", rotation=tilt)
+        sb.add_camera("cam", position=(0, 4.0, -8.0),
+                      rotation=(np.sin(np.pi / 10), 0, 0, np.cos(np.pi / 10)))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 2), t)
+        return t, st, build_render_template(t)
+
+    def test_demand_reported_per_pass_and_under_cap(self):
+        import numpy as np
+        from fyrox_tpu.render import RenderConfig, render_frame, \
+            render_frame_demand
+        t, st, rt = self._scene()
+        cfg = RenderConfig(width=32, height=32, shadows=True,
+                           use_pallas=True, pallas_interpret=True,
+                           k_per_tile=128)
+        color, demand, caps = render_frame_demand(st, t, rt, cfg)
+        # camera pass + 3 CSM cascades = 4 binned passes
+        assert demand.shape == (2, 4) and len(caps) == 4
+        d = np.asarray(demand)
+        assert (d > 0).any()
+        assert all(int(m) < k for m, k in zip(d.max(0), caps))
+        # audit must not change the image
+        plain, _ = render_frame(st, t, rt, cfg)
+        np.testing.assert_array_equal(np.asarray(color), np.asarray(plain))
+
+    def test_overflow_detected_when_cap_too_small(self):
+        import numpy as np
+        from fyrox_tpu.render import RenderConfig, render_frame_demand
+        t, st, rt = self._scene()
+        # k_per_tile=8 (one _CHUNK) is far below this scene's ~100+
+        # triangles overlapping the ground tiles: demand must hit the cap
+        cfg = RenderConfig(width=32, height=32, shadows=False,
+                           use_pallas=True, pallas_interpret=True,
+                           k_per_tile=8)
+        _, demand, caps = render_frame_demand(st, t, rt, cfg)
+        d = np.asarray(demand)
+        assert any(int(m) >= k for m, k in zip(d.max(0), caps))
+
+    def test_plain_path_reports_empty(self):
+        from fyrox_tpu.render import RenderConfig, render_frame_demand
+        t, st, rt = self._scene()
+        cfg = RenderConfig(width=32, height=32, shadows=False,
+                           use_pallas=False)
+        _, demand, caps = render_frame_demand(st, t, rt, cfg)
+        assert demand.shape[1] == 0 and caps == []
