@@ -45,6 +45,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from fyrox_tpu.physics.pallas_ops import perm_take
+
 from fyrox_tpu.physics import shapes as sh
 
 __all__ = ["GridConfig", "build_grid_config", "grid_candidates",
@@ -510,10 +512,9 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     w = amin.shape[0]
     cg = int(sc.grid_cols.size)
     nbig = int(sc.big_cols.size)
-    inc = jnp.asarray(sc.inc_gc)
 
     aabb6 = jnp.concatenate([amin, amax], axis=-1)              # [W,C,6]
-    gaabb = jnp.einsum("gc,wcd->wgd", inc, aabb6)               # [W,Cg,6]
+    gaabb = perm_take(sc.inc_gc, aabb6, axis=1)                 # [W,Cg,6]
     gmin, gmax = gaabb[..., :3], gaabb[..., 3:]
     qx = jnp.floor(gmin[..., 0] / sc.cell).astype(jnp.int32)
     qy = jnp.floor(gmin[..., 1] / sc.cell).astype(jnp.int32)
@@ -570,7 +571,7 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     attr_parts = [attr_static, gaabb]
     if two_tier:
         taabb6 = jnp.concatenate([amin_tight, amax_tight], axis=-1)
-        gtaabb = jnp.einsum("gc,wcd->wgd", inc, taabb6)          # [W,Cg,6]
+        gtaabb = perm_take(sc.inc_gc, taabb6, axis=1)            # [W,Cg,6]
         attr_parts.append(gtaabb)
     attrs = jnp.concatenate(attr_parts, axis=-1)                 # [W,Cg,10|16]
     na = attrs.shape[-1]

@@ -16,10 +16,14 @@ kernel is evaluated for every pair and the result selected by type — the
 compute-everything-select pattern that keeps the whole narrowphase one
 vectorized program (no per-pair branching under jit).
 
-Supported (round 1): ball-ball, ball-cuboid, ball-capsule, capsule-capsule,
-capsule-cuboid, cuboid-cuboid (SAT + reference-face clipping), and every
-shape vs HALFSPACE. Cylinder/cone currently collide via their capsule
-proxy (TODO: dedicated kernels).
+Supported: ball-ball, ball-cuboid, ball-capsule, capsule-capsule,
+capsule-cuboid, cuboid-cuboid (SAT + reference-face clipping), every
+shape vs HALFSPACE, and CONVEX polyhedra via the dense SAT kernels
+(physics/convex.py). Cylinder/cone carry registered 12-gon prism/
+pyramid hulls (world.add_collider), so in hull-aware paths they resolve
+through real SAT; only the hull-free plane path falls back to their
+capsule proxy (KIND_POINTS rows). Segment/Triangle lower at build time
+(world.add_collider) to zero-radius capsule / single-cell trimesh.
 """
 from __future__ import annotations
 

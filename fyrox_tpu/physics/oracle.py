@@ -351,10 +351,19 @@ def oracle_step(st: OracleState, t, dt: float,
             if m is None:
                 continue
             n, pts, deps, gate = m
+            # speculative-CCD activation distance (world.py pred_p /
+            # slab2 pred): the static margin EXTENDED by the pair's
+            # relative linear sweep |lv_a - lv_b|*dt, so fast approaches
+            # activate early and the solver's sep/h bias clamps the
+            # approach (the repo's documented CCD model; rapier's static
+            # prediction_distance + separate TOI solve is replaced by
+            # this, physics/mod.rs:905 semantics)
+            pred = margin + float(np.linalg.norm(
+                lv[col_body[a]] - lv[col_body[bb]])) * dt
             for p, dep in zip(pts, deps):
-                if dep <= -margin:
+                if dep <= -pred:
                     continue
-                if gate is not None and gate <= -margin:
+                if gate is not None and gate <= -pred:
                     continue
                 contacts.append(dict(
                     a=col_body[a], b=col_body[bb], n=np.asarray(n, np.float64),

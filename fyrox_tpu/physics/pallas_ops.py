@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["BLK", "pad_to", "pad_contacts", "plane_gather", "plane_scatter",
+__all__ = ["BLK", "pad_to", "pad_contacts", "perm_take", "use_pose_dot",
+           "plane_gather", "plane_scatter",
            "gather_rows", "count_lt", "rank_rows", "scatter_rows"]
 
 BLK = 1024        # contacts per kernel block
@@ -47,6 +48,47 @@ def _is_tpu():
 
 def pad_to(n, mult):
     return -(-max(n, 1) // mult) * mult
+
+
+_PERM_CACHE: dict = {}
+
+
+def _perm_idx(inc):
+    """Static one-hot row matrix [G,N] → (idx [G] i32, all_hot, mask).
+
+    Rows are one-hot (or all-zero padding); argmax recovers the source
+    index exactly. Cached per matrix identity — the inc_* matrices are
+    template/context numpy statics."""
+    key = id(inc)
+    hit = _PERM_CACHE.get(key)
+    if hit is None:
+        m = np.asarray(inc)
+        hit = (np.argmax(m, axis=1).astype(np.int32),
+               bool((m.sum(axis=1) > 0).all()), m.sum(axis=1) > 0)
+        _PERM_CACHE[key] = hit
+    return hit
+
+
+def perm_take(inc, stacked, axis=-1):
+    """Exact static-permutation gather: stacked [..., N, ...] → G rows.
+
+    The one-hot MATMUL form (FYROX_POSE_GATHER=dot) runs at the
+    backend's default matmul precision — bf16 on TPU — which quantizes
+    every gathered POSE to ~3 decimal digits and shows up as 1e-3-level
+    contact-depth error (r5 session-2 finding). Static indices lower to
+    an exact XLA gather instead; the dot form stays as an A/B mode."""
+    idx, all_hot, mask = _perm_idx(inc)
+    out = jnp.take(stacked, jnp.asarray(idx), axis=axis)
+    if not all_hot:
+        shape = [1] * out.ndim
+        shape[axis] = len(mask)
+        out = out * jnp.asarray(mask, out.dtype).reshape(shape)
+    return out
+
+
+def use_pose_dot():
+    import os
+    return os.environ.get("FYROX_POSE_GATHER", "take") == "dot"
 
 
 def pad_contacts(x, k_pad, fill=0):

@@ -95,8 +95,25 @@ def supports_kernel(t, has_com) -> bool:
 def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
             self_body_ref, out_body_ref, out_lam_ref, *, s, cg, bp,
             n_sub, n_pgs, n_stab, msp):
+    con = {name: con_ref[0, i] for name, i in _CI.items()}
+    body = {name: body_ref[0, i] for name, i in _BI.items()}
+    out, lam = solve_planes(params_ref[0], con, body, hi_ref[0], lo_ref[0],
+                            self_body_ref[...], s=s, cg=cg, bp=bp,
+                            n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+    out_body_ref[0] = out
+    out_lam_ref[0] = lam
+
+
+def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
+                 n_sub, n_pgs, n_stab, msp):
+    """The complete in-VMEM TGS solve on plane VALUES (not refs), so the
+    fused narrow+compact+solve kernel (pallas_step.py) can feed it
+    contacts it just built without an HBM round trip.
+
+    prm [9] f32; con: dict _C_NAMES → [S,Cg]; body: dict _B_NAMES → [Bp];
+    hi/lo [S,Cg] i32 partner-body two-level indices; self_b [Cg,Bp]
+    one-hot. Returns (out [13,Bp] stacked lv/av/pos/q, lam [3,S,Cg])."""
     f32 = jnp.float32
-    prm = params_ref[0]
     h = prm[0]
     allowed = prm[1]
     max_corr = prm[2]
@@ -108,10 +125,10 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     iscale_soft = prm[8]
 
     def cp(name):
-        return con_ref[0, _CI[name]]              # [S, Cg]
+        return con[name]                          # [S, Cg]
 
     def bpl(name):
-        return body_ref[0, _BI[name]]             # [Bp]
+        return body[name]                         # [Bp]
 
     n = (cp("nx"), cp("ny"), cp("nz"))
     pt = (cp("ptx"), cp("pty"), cp("ptz"))
@@ -129,10 +146,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
     t1 = (1.0 + sgn_t * n[0] * n[0] * a_t, sgn_t * b_t, -sgn_t * n[0])
     t2 = (b_t, sgn_t + n[1] * n[1] * a_t, -n[1])
 
-    hi = hi_ref[0]                                # [S, Cg] int32
-    lo = lo_ref[0]
-    self_b = self_body_ref[...]                   # [Cg, Bp] one-hot (row g
-                                                  #  → its body)
+    # hi/lo: [S, Cg] int32; self_b: [Cg, Bp] one-hot (row g → its body)
 
     # two-level one-hot gather with the NATIVE (n_hi, 128) decomposition:
     # body = hi*128 + lo. Minor-dim splits must keep 128 lanes — Mosaic
@@ -512,8 +526,7 @@ def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
 
     out = [lv[0], lv[1], lv[2], av[0], av[1], av[2],
            pos[0], pos[1], pos[2], q[0], q[1], q[2], q[3]]
-    out_body_ref[0] = jnp.stack(out)
-    out_lam_ref[0] = jnp.stack([lam_n, lam_t1, lam_t2])
+    return jnp.stack(out), jnp.stack([lam_n, lam_t1, lam_t2])
 
 
 def solve_tgs_pallas(con_planes, hi, lo, body_planes,

@@ -1,0 +1,317 @@
+"""Fused narrowphase + compaction + TGS solve: ONE resident Pallas
+program per world (grid=(W,)).
+
+Round-4 stage profile (W=32, v5e): broadphase 3.9 / narrowphase 3.9 /
+compaction 1.9 / solver 4.0 ms. The solver already ran resident in VMEM
+(pallas_solver.py); narrowphase and compaction still materialized every
+[W,Cg,Wd]-window plane through HBM between XLA ops — ~58 MB/world for
+the compaction one-hot alone. This kernel extends the resident program
+upstream: candidate windows enter as ONE [Wd_rows, Cg] int tensor
+(j_real, −1 = invalid), the per-class manifolds (np_planes — pure
+elementwise, reused verbatim in-kernel), the two-tier active-point
+compaction and the warmstart pid matching all happen in VMEM, and the
+solve (pallas_solver.solve_planes) continues in the same kernel.
+Windows and manifolds never touch HBM.
+
+Everything derivable from static tables rides the j-gather instead of
+being passed in: body_j = col_body[j_real], kind_j = kinds[j_real],
+swap/pid from kind/index compares — so the broadphase→kernel boundary
+is a single int32 tensor per step.
+
+Scope (supports_fused): primitive shape classes incl. big halfspace
+partners; scenes with convex hulls, trimesh/heightfield scenery, COM
+offsets or joints take the XLA path. Same rapier parameter mapping as
+the XLA path (fyrox-impl/src/scene/graph/physics/mod.rs:892-908);
+equivalence tests run this kernel in interpreter mode against the
+unfused XLA stages (tests/test_pallas_step.py).
+
+Layouts in-kernel (per world):
+  candidate rows  [NS, Cg]    NS = Σ_cls nslot_cls; lane = grid collider
+  window planes   [Wd, Cg]    Wd = Σ_cls nslot_cls·npts_cls, same
+                              point-major row order as the XLA
+                              _narrowphase_windows concat
+  contact planes  [S, Cg]     compacted; identical to pallas_solver
+  body planes     [A, Bp]
+Compaction cumsums run as one strict-lower-triangular [Wd,Wd] MXU dot
+(0/1 values, f32 accumulation — exact); the per-slot selection is S
+masked sublane reductions per attribute.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fyrox_tpu.physics import np_planes
+from fyrox_tpu.physics import pallas_solver as _ps
+from fyrox_tpu.physics.pallas_solver import _AB, _B_NAMES, solve_planes
+from fyrox_tpu.physics.planes import (norm3, q_to_rot9, splat, where3,
+                                      where_n)
+
+__all__ = ["fused_step_pallas", "supports_fused"]
+
+# dynamic collider plane rows (world-varying, [10, Cp]/[10, Cgp])
+_DYN = ("px", "py", "pz", "qx", "qy", "qz", "qw", "vsx", "vsy", "vsz")
+# static collider table rows: j-side [10, Cp] (last row col_body),
+# i-side [10, Cgp] (last row = grid collider index)
+_STA = ("p0", "p1", "p2", "p3", "p4", "p5", "fric", "rest", "kind", "idx")
+
+
+def supports_fused(cx, t) -> bool:
+    """Kernel scope: everything the primitive plane narrowphase covers."""
+    from fyrox_tpu.physics.pallas_solver import supports_kernel
+    return (supports_kernel(t, cx.has_com)
+            and not cx.scenery
+            and cx.hull_flat is None
+            and any(t.grid.nslot(c) for c in range(3)))
+
+
+def _gather_dot(mat, oh, prec=None):
+    """[A,128] f32 values x [128,K] one-hot, split-bf16 per the solver's
+    precision policy (split3 = bit-exact f32 at 3 bf16 passes)."""
+    f32 = jnp.float32
+    if prec is None:
+        prec = _ps._GATHER_PREC
+    if prec in ("split2", "split3"):
+        m_hi = mat.astype(jnp.bfloat16)
+        rem = mat - m_hi.astype(f32)
+        parts = [m_hi, rem.astype(jnp.bfloat16)]
+        if prec == "split3":
+            parts.append((rem - parts[1].astype(f32)).astype(jnp.bfloat16))
+        out = jax.lax.dot_general(jnp.concatenate(parts, axis=0),
+                                  oh.astype(jnp.bfloat16),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        a0 = mat.shape[0]
+        acc = out[:a0]
+        for i in range(1, len(parts)):
+            acc = acc + out[i * a0:(i + 1) * a0]
+        return acc
+    p = jax.lax.Precision.HIGHEST if prec == "highest" else None
+    return jax.lax.dot_general(mat, oh.astype(f32), (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32, precision=p)
+
+
+def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
+            coli_sta_ref, jv_ref, warm_lam_ref, warm_pid_ref, self_body_ref,
+            out_body_ref, out_lam_ref, out_pid_ref, *,
+            s, cg, bp, cp_, num_colliders, class_layout, combos,
+            n_sub, n_pgs, n_stab, msp):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    prm = params_ref[0]
+    margin = prm[9]
+    n_hi = cp_ // 128
+
+    colj_dyn = colj_dyn_ref[0]                     # [10, Cp]
+    colj_sta = colj_sta_ref[...]                   # [10, Cp]
+    coli_dyn = coli_dyn_ref[0]                     # [10, Cgp]
+    coli_sta = coli_sta_ref[...]                   # [10, Cgp]
+    jall = jv_ref[0]                               # [NS, Cgp] i32
+
+    # j-side gather source: 10 dynamic + 10 static rows ride one wide dot
+    j_src = [colj_dyn[i] for i in range(10)] + [colj_sta[i] for i in range(10)]
+    na = len(j_src)                                # 20
+
+    wnames_f = ("nx", "ny", "nz", "px", "py", "pz", "depth", "act",
+                "fric", "rest", "sigma", "own")
+    wnd_f = {k: [] for k in wnames_f}
+    wnd_i = {k: [] for k in ("body_j", "pid")}
+
+    for (cls, nslot, row0) in class_layout:
+        npts = (1, 2, 4)[cls]
+        jr_raw = jall[row0:row0 + nslot]           # [nslot, Cgp] i32
+        valid = jr_raw >= 0
+        jr = jnp.maximum(jr_raw, 0)
+        hi = jr // 128
+        lo = jr % 128
+
+        k = nslot * cg
+        lo_flat = lo.reshape(1, k)
+        hi_flat = hi.reshape(1, k)
+        iota_wide = jax.lax.broadcasted_iota(i32, (128, k), 0)
+        oh = (iota_wide == lo_flat).astype(f32)
+        mat = jnp.stack([p[s8 * 128:(s8 + 1) * 128]
+                         for s8 in range(n_hi) for p in j_src])  # [n_hi*na,128]
+        tmp = _gather_dot(mat, oh)                 # [n_hi*na, k]
+        acc = tmp[0:na] * (hi_flat == 0).astype(f32)
+        for s8 in range(1, n_hi):
+            acc = acc + tmp[s8 * na:(s8 + 1) * na] * (hi_flat == s8
+                                                      ).astype(f32)
+        jg = acc.reshape(na, nslot, cg)
+
+        j_pos = (jg[0], jg[1], jg[2])
+        j_q = (jg[3], jg[4], jg[5], jg[6])
+        j_vs = (jg[7], jg[8], jg[9])
+        j_p6 = tuple(jg[10 + i] for i in range(6))
+        j_fric, j_rest = jg[16], jg[17]
+        kind_j = jg[18].astype(i32)
+        body_j = jg[19].astype(i32)
+
+        def ib(row):
+            return jnp.broadcast_to(row[None], (nslot, cg))
+
+        i_pos = tuple(ib(coli_dyn[i]) for i in range(3))
+        i_q = tuple(ib(coli_dyn[3 + i]) for i in range(4))
+        i_vs = tuple(ib(coli_dyn[7 + i]) for i in range(3))
+        i_p6 = tuple(ib(coli_sta[i]) for i in range(6))
+        i_fric = ib(coli_sta[6])
+        i_rest = ib(coli_sta[7])
+        kind_i = ib(coli_sta[8]).astype(i32)
+        gidx = ib(coli_sta[9]).astype(i32)
+
+        dv = tuple(a - b for a, b in zip(i_vs, j_vs))
+        pred = margin + norm3(dv)
+
+        # canonical A/B ordering (same compare as broadphase swap)
+        sw = (kind_i > kind_j) | ((kind_i == kind_j) & (gidx > jr))
+        eff_a = jnp.where(sw, kind_j, kind_i)
+        eff_b = jnp.where(sw, kind_i, kind_j)
+        pos_a = where3(sw, j_pos, i_pos)
+        pos_b = where3(sw, i_pos, j_pos)
+        q_a = where_n(sw, j_q, i_q)
+        q_b = where_n(sw, i_q, j_q)
+        p6_a = where_n(sw, j_p6, i_p6)
+        p6_b = where_n(sw, i_p6, j_p6)
+        rot_a = q_to_rot9(q_a)
+        rot_b = q_to_rot9(q_b)
+
+        m = np_planes.generate_class_planes(
+            cls, eff_a, eff_b, pos_a, rot_a, p6_a, pos_b, rot_b, p6_b,
+            pred, combos_present=combos[cls])
+
+        fric_p = jnp.sqrt(jnp.maximum(i_fric * j_fric, 0.0))
+        rest_p = jnp.maximum(i_rest, j_rest)
+        sigma = jnp.where(sw, -1.0, 1.0)
+        pid_pair = jnp.where(valid, gidx * num_colliders + jr, -1)
+
+        for p_i in range(npts):
+            wnd_f["nx"].append(m.normal[0])
+            wnd_f["ny"].append(m.normal[1])
+            wnd_f["nz"].append(m.normal[2])
+            wnd_f["px"].append(m.pts[p_i][0])
+            wnd_f["py"].append(m.pts[p_i][1])
+            wnd_f["pz"].append(m.pts[p_i][2])
+            wnd_f["depth"].append(m.depth[p_i])
+            wnd_f["act"].append((m.active[p_i] & valid).astype(f32))
+            wnd_f["fric"].append(fric_p)
+            wnd_f["rest"].append(rest_p)
+            wnd_f["sigma"].append(sigma)
+            wnd_f["own"].append(splat(float(npts), m.depth[p_i]))
+            wnd_i["body_j"].append(body_j)
+            wnd_i["pid"].append(pid_pair * 4 + p_i)
+
+    wnd = {k: jnp.concatenate(v, axis=0) for k, v in {**wnd_f, **wnd_i}.items()}
+    wd = wnd["act"].shape[0]
+
+    # ---- two-tier compaction (slab2._compact semantics) ----
+    actf = wnd["act"]
+    pen = actf * (wnd["depth"] > 0.0)
+    spec = actf - pen
+    # exclusive cumsum over window rows = strict-lower-triangular dot
+    # (0/1 values, f32 accumulation: exact); built from iotas in-kernel
+    # (pallas_call rejects captured host constants)
+    tril = (jax.lax.broadcasted_iota(i32, (wd, wd), 1)
+            < jax.lax.broadcasted_iota(i32, (wd, wd), 0)).astype(f32)
+    csum = jax.lax.dot_general(tril, jnp.concatenate([pen, spec], axis=1),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    lpos_pen = csum[:, :cg]
+    n_pen = jnp.sum(pen, axis=0, keepdims=True)
+    lpos_spec = n_pen + csum[:, cg:]
+    lpos = jnp.where(pen > 0.5, lpos_pen, lpos_spec).astype(i32)
+    keep = (actf > 0.5) & (lpos < s)
+
+    comp = {}
+    for k in ("nx", "ny", "nz", "px", "py", "pz", "depth", "fric",
+              "rest", "sigma", "own"):
+        comp[k] = jnp.stack(
+            [jnp.sum(jnp.where(keep & (lpos == si), wnd[k], 0.0), axis=0)
+             for si in range(s)])                              # [S, Cg]
+    for k in ("body_j", "pid"):
+        comp[k] = jnp.stack(
+            [jnp.sum(jnp.where(keep & (lpos == si), wnd[k], 0), axis=0)
+             for si in range(s)])
+
+    n_valid = jnp.sum(actf, axis=0)                            # [Cg]
+    iota_s = jax.lax.broadcasted_iota(i32, (s, cg), 0).astype(f32)
+    actc = (iota_s < jnp.minimum(n_valid, float(s))[None]).astype(f32)
+    own_c = jnp.maximum(comp["own"], 1.0)
+    pid_c = jnp.where(actc > 0.5, comp["pid"], -1)
+
+    # ---- warmstart pid matching (slab2._solve_tgs_planes) ----
+    warm_lam = warm_lam_ref[0]                                 # [3, S, Cg]
+    warm_pid = warm_pid_ref[0]                                 # [S, Cg] i32
+    same = (warm_pid == pid_c).astype(f32) * actc
+    lam0 = (warm_lam[0] * same, warm_lam[1] * same, warm_lam[2] * same)
+
+    bj = jnp.clip(comp["body_j"], 0, bp - 1)
+    con = dict(nx=comp["nx"], ny=comp["ny"], nz=comp["nz"],
+               ptx=comp["px"], pty=comp["py"], ptz=comp["pz"],
+               depth=comp["depth"], fric=comp["fric"], rest=comp["rest"],
+               actf=actc, own=own_c, sigma=comp["sigma"],
+               lam_n=lam0[0], lam_t1=lam0[1], lam_t2=lam0[2])
+    body = {name: body_ref[0, i] for i, name in enumerate(_B_NAMES)}
+
+    out, lam = solve_planes(prm, con, body, bj // 128, bj % 128,
+                            self_body_ref[...], s=s, cg=cg, bp=bp,
+                            n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+    out_body_ref[0] = out
+    out_lam_ref[0] = lam
+    out_pid_ref[0] = pid_c
+
+
+def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
+                      coli_sta, jv, warm_lam, warm_pid, self_body, *,
+                      s, cg, bp, cp_, num_colliders, class_layout, combos,
+                      n_sub, n_pgs, n_stab, msp=0.5, interpret=False):
+    """params [10] f32 (solver 9 + margin); body_planes [W,AB,Bp];
+    colj_dyn [W,10,Cp]; colj_sta [10,Cp] static; coli_dyn [W,10,Cgp];
+    coli_sta [10,Cgp] static; jv [W,NS,Cgp] i32 (−1 invalid);
+    warm_lam [W,3,S,Cgp]; warm_pid [W,S,Cgp] i32; self_body [Cgp,Bp].
+
+    class_layout: static tuple of (cls, nslot, row0) for classes with
+    windows; combos: dict cls → present combo list (host kind census).
+
+    Returns (body_out [W,13,Bp], lam_out [W,3,S,Cgp],
+    pid_out [W,S,Cgp] i32 — the next step's warm_pair)."""
+    w = body_planes.shape[0]
+    ns = jv.shape[1]
+    kern = functools.partial(
+        _kernel, s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
+        class_layout=class_layout, combos=combos,
+        n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+    return pl.pallas_call(
+        kern,
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((1, 10), lambda i: (0, 0)),
+            pl.BlockSpec((1, _AB, bp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 10, cp_), lambda i: (i, 0, 0)),
+            pl.BlockSpec((10, cp_), lambda i: (0, 0)),
+            pl.BlockSpec((1, 10, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((10, cg), lambda i: (0, 0)),
+            pl.BlockSpec((1, ns, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            pl.BlockSpec((cg, bp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 13, bp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((w, 13, bp), jnp.float32),
+            jax.ShapeDtypeStruct((w, 3, s, cg), jnp.float32),
+            jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(params[None], body_planes, colj_dyn, colj_sta, coli_dyn, coli_sta,
+      jv, warm_lam, warm_pid, self_body)

@@ -20,8 +20,8 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["BALL", "CUBOID", "CAPSULE", "CYLINDER", "CONE", "HALFSPACE",
-           "CONVEX", "HEIGHTFIELD", "TRIMESH", "NUM_KINDS",
-           "shape_aabb_half_extents", "mass_properties"]
+           "CONVEX", "HEIGHTFIELD", "TRIMESH", "SEGMENT", "TRIANGLE",
+           "NUM_KINDS", "shape_aabb_half_extents", "mass_properties"]
 
 BALL, CUBOID, CAPSULE, CYLINDER, CONE, HALFSPACE = 0, 1, 2, 3, 4, 5
 # extended shapes (collider.rs:511 parity). CONVEX params: [radius_bound];
@@ -30,6 +30,11 @@ BALL, CUBOID, CAPSULE, CYLINDER, CONE, HALFSPACE = 0, 1, 2, 3, 4, 5
 # TRIMESH params: [radius_bound]; triangles in shape_data.
 CONVEX, HEIGHTFIELD, TRIMESH = 6, 7, 8
 NUM_KINDS = 9
+# builder-level shapes that LOWER at add_collider time (they never appear
+# in a built template, so NUM_KINDS excludes them — collider.rs:511
+# Segment/Triangle rows): SEGMENT → zero-radius capsule between two local
+# endpoints; TRIANGLE → single-cell trimesh (static-only, like trimesh).
+SEGMENT, TRIANGLE = 9, 10
 
 _HUGE = 1.0e9
 

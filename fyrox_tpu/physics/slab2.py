@@ -36,7 +36,10 @@ import jax.numpy as jnp
 from fyrox_tpu.physics import broadphase as bp_mod
 from fyrox_tpu.physics import np_planes
 from fyrox_tpu.physics import shapes as sh
-from fyrox_tpu.physics.pallas_ops import BLK, pad_contacts, pad_to, plane_gather
+from fyrox_tpu.physics.pallas_ops import (BLK, pad_contacts, pad_to,
+                                           plane_gather)
+from fyrox_tpu.physics.pallas_ops import perm_take as _perm_take
+from fyrox_tpu.physics.pallas_ops import use_pose_dot as _use_pose_dot
 from fyrox_tpu.physics.planes import (add3, cross3, dot3, neg3, norm3,
                                       normalize3, q_to_rot9, qmul, qrotate,
                                       rot9_apply, rot9_apply_t, scale3,
@@ -214,26 +217,37 @@ def _stack(planes):
     return jnp.stack(planes, axis=-1)
 
 
+
+
 def _grid(inc_gc, plane):
-    """[W,C] collider plane → [W,Cg] grid plane (static one-hot matmul)."""
-    return jnp.einsum("gc,wc->wg", jnp.asarray(inc_gc), plane)
+    """[W,C] collider plane → [W,Cg] grid plane (static permutation)."""
+    if _use_pose_dot():
+        return jnp.einsum("gc,wc->wg", jnp.asarray(inc_gc), plane)
+    return _perm_take(inc_gc, plane)
 
 
 def _grid_multi(inc_gc, planes):
-    """Batched [W,C]→[W,Cg]: ONE matmul for the whole plane list (a
-    per-plane loop would launch one small MXU kernel each)."""
-    out = jnp.einsum("gc,wac->wag", jnp.asarray(inc_gc),
-                     jnp.stack(planes, axis=1))
+    """Batched [W,C]→[W,Cg] for the whole plane list in one op."""
+    if _use_pose_dot():
+        out = jnp.einsum("gc,wac->wag", jnp.asarray(inc_gc),
+                         jnp.stack(planes, axis=1))
+    else:
+        out = _perm_take(inc_gc, jnp.stack(planes, axis=1))
     return [out[:, i] for i in range(len(planes))]
 
 
 def _body_to_grid(inc_gb, plane):
-    return jnp.einsum("gb,wb->wg", jnp.asarray(inc_gb), plane)
+    if _use_pose_dot():
+        return jnp.einsum("gb,wb->wg", jnp.asarray(inc_gb), plane)
+    return _perm_take(inc_gb, plane)
 
 
 def _body_to_grid_multi(inc_gb, planes):
-    out = jnp.einsum("gb,wab->wag", jnp.asarray(inc_gb),
-                     jnp.stack(planes, axis=1))
+    if _use_pose_dot():
+        out = jnp.einsum("gb,wab->wag", jnp.asarray(inc_gb),
+                         jnp.stack(planes, axis=1))
+    else:
+        out = _perm_take(inc_gb, jnp.stack(planes, axis=1))
     return [out[:, i] for i in range(len(planes))]
 
 
@@ -331,9 +345,11 @@ def _collider_pose_planes(cx: _Ctx, pos_b, q_b, lv_b):
     """Body planes → collider world pose planes.
 
     Returns (cpos v3, cq quat4, lv_c v3) as [W,C] planes."""
-    inc = jnp.asarray(cx.inc_cb)
-    out = jnp.einsum("cb,wab->wac", inc,
-                     jnp.stack(list(pos_b) + list(q_b) + list(lv_b), axis=1))
+    stacked = jnp.stack(list(pos_b) + list(q_b) + list(lv_b), axis=1)
+    if _use_pose_dot():
+        out = jnp.einsum("cb,wab->wac", jnp.asarray(cx.inc_cb), stacked)
+    else:
+        out = _perm_take(cx.inc_cb, stacked)
     bpos = tuple(out[:, i] for i in range(3))
     bq = tuple(out[:, i] for i in range(3, 7))
     lvc = tuple(out[:, i] for i in range(7, 10))
@@ -1132,16 +1148,45 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
                             jnp.ones_like(state.bp_age),
                             (state.bp_age + 1) % period)
 
-    # ---- narrowphase + active-point compaction ----
-    attrs_f, attrs_i = _narrowphase_windows(cx, t, cands, cpos, cq, crot9,
-                                            v_sweep, margin, dtype)
-    con = _compact(cx, attrs_f, attrs_i, dtype)
+    # ---- fused resident step: narrowphase + compaction + solve in ONE
+    # Pallas program (pallas_step.py) — windows and manifolds never
+    # touch HBM. Falls back to the staged XLA path off-TPU and for
+    # scenes outside the kernel scope (scenery/convex/joints/COM) ----
+    import os as _os
+    from fyrox_tpu.physics import pallas_step as pf
+    from fyrox_tpu.physics.pallas_ops import _is_tpu
+    # TPU default stays the staged path until the fused kernel has a
+    # session-verified compile + win on the real chip (r5 session 1 hit
+    # a Mosaic remote-compile failure at flagship scale): opt in with
+    # FYROX_FUSED_STEP=1. Interpret mode (tests) always exercises it.
+    fused_env = _os.environ.get("FYROX_FUSED_STEP")
+    use_fused = (pf.supports_fused(cx, t)
+                 and ((_is_tpu() and fused_env == "1")
+                      or bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
+                 and not _os.environ.get("FYROX_NO_FUSED_STEP")
+                 and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"))
+    if use_fused:
+        pos_b, q_b, lv_b, av_b, lam_out, pid_new = _run_fused_step(
+            cx, t, cands, cpos, cq, v_sweep, margin, pos_b, q_b, lv_b,
+            av_b, acc_b, dt, dtype,
+            warm=((state.warm_n, state.warm_t1, state.warm_t2,
+                   state.warm_pair)
+                  if state.warm_n is not None else None),
+            interpret=bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
+    else:
+        # ---- narrowphase + active-point compaction ----
+        attrs_f, attrs_i = _narrowphase_windows(cx, t, cands, cpos, cq,
+                                                crot9, v_sweep, margin,
+                                                dtype)
+        con = _compact(cx, attrs_f, attrs_i, dtype)
+        pid_new = con.pid
 
-    # ---- solve + integrate ----
-    pos_b, q_b, lv_b, av_b, lam_out = _solve_tgs_planes(
-        cx, t, con, pos_b, q_b, lv_b, av_b, acc_b, inv_mass, dt,
-        warm=((state.warm_n, state.warm_t1, state.warm_t2, state.warm_pair)
-              if state.warm_n is not None else None))
+        # ---- solve + integrate ----
+        pos_b, q_b, lv_b, av_b, lam_out = _solve_tgs_planes(
+            cx, t, con, pos_b, q_b, lv_b, av_b, acc_b, inv_mass, dt,
+            warm=((state.warm_n, state.warm_t1, state.warm_t2,
+                   state.warm_pair)
+                  if state.warm_n is not None else None))
 
     position = _stack(pos_b)
     rotation = _stack(q_b)
@@ -1152,7 +1197,7 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
 
     if state.warm_n is not None and lam_out is not None:
         warm_n, warm_t1, warm_t2 = lam_out
-        warm_pair = con.pid
+        warm_pair = pid_new
     else:
         warm_n, warm_t1, warm_t2 = state.warm_n, state.warm_t1, state.warm_t2
         warm_pair = state.warm_pair
@@ -1442,6 +1487,134 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
                                           length=t.n_stabilization)
 
     return pos, q, lv, av, (lam_n, lam_t1, lam_t2)
+
+
+def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
+                    av, accel, dt, dtype, warm=None, interpret=False):
+    """Pack collider poses, static shape tables and the broadphase
+    candidate windows into the fused narrow+compact+solve kernel's
+    layouts (pallas_step.py) and unpack body state + warm carries."""
+    from fyrox_tpu.physics import pallas_step as pf
+    from fyrox_tpu.physics.pallas_ops import pad_to
+    w = pos[0].shape[0]
+    b, cg, s = cx.b, cx.cg, cx.s_active
+    c = cx.c
+    cgp = pad_to(cg, 128)
+    cpp = pad_to(c, 128)
+    bp = pad_to(b, 128)
+    sc = t.grid
+
+    def padl(p, n_from, n_to, fill=0.0):
+        """[W, n_from] → [W, n_to] lane pad."""
+        p = jnp.broadcast_to(p, (w, n_from))
+        if n_to > n_from:
+            p = jnp.concatenate(
+                [p, jnp.full((w, n_to - n_from), fill, p.dtype)], axis=1)
+        return p
+
+    # dynamic collider planes, collider order (j gathers) + grid order
+    # (i side)
+    dyn_c = list(cpos) + list(cq) + list(v_sweep)              # 10 × [W,C]
+    colj_dyn = jnp.stack([padl(p, c, cpp) for p in dyn_c], axis=1)
+    dyn_g = _grid_multi(cx.inc_gc, dyn_c)                      # 10 × [W,Cg]
+    coli_dyn = jnp.stack([padl(p, cg, cgp) for p in dyn_g], axis=1)
+
+    # static tables (cached on the ctx)
+    if getattr(cx, "_fused_statics", None) is None:
+        stj = np.zeros((10, cpp), np.float32)
+        stj[0:6, :c] = cx.params.T
+        stj[6, :c] = cx.fric
+        stj[7, :c] = cx.rest
+        stj[8, :c] = cx.kinds
+        stj[9, :c] = cx.col_body
+        gi = cx.grid_cols
+        sti = np.zeros((10, cgp), np.float32)
+        sti[0:6, :cg] = cx.params[gi].T
+        sti[6, :cg] = cx.fric[gi]
+        sti[7, :cg] = cx.rest[gi]
+        sti[8, :cg] = cx.kinds[gi]
+        sti[9, :cg] = gi
+        self_body = np.zeros((cgp, bp), np.float32)
+        self_body[np.arange(cg), cx.col_body[gi]] = 1.0
+        layout = []
+        row0 = 0
+        for cls in range(3):
+            ns_c = sc.nslot(cls)
+            if ns_c:
+                layout.append((cls, ns_c, row0))
+                row0 += ns_c
+        # cache NUMPY only: jnp.asarray inside a jit trace yields a
+        # tracer, and caching one across traces is a leak (the second
+        # fresh jit raises UnexpectedTracerError)
+        cx._fused_statics = (stj, sti, self_body, tuple(layout))
+    colj_sta, coli_sta, self_body, class_layout = cx._fused_statics
+    colj_sta = jnp.asarray(colj_sta)
+    coli_sta = jnp.asarray(coli_sta)
+    self_body = jnp.asarray(self_body)
+
+    # candidate windows → one [W, NS, Cgp] int tensor, −1 invalid
+    jv_parts = []
+    for (cls, ns_c, _r0) in class_layout:
+        cand = cands[cls]
+        jr = jnp.where(cand.valid, cand.j_real, -1)            # [W, cg*ns]
+        jr = jr.reshape(w, cg, ns_c).transpose(0, 2, 1)        # [W, ns, cg]
+        if cgp > cg:
+            jr = jnp.concatenate(
+                [jr, jnp.full((w, ns_c, cgp - cg), -1, jr.dtype)], axis=2)
+        jv_parts.append(jr)
+    jv = jnp.concatenate(jv_parts, axis=1).astype(jnp.int32)
+
+    def to_sc(p):
+        x = p.reshape(w, cg, s).transpose(0, 2, 1)
+        if cgp > cg:
+            x = jnp.concatenate(
+                [x, jnp.zeros((w, s, cgp - cg), p.dtype)], axis=2)
+        return x
+
+    def from_sc(x):
+        return x[:, :, :cg].transpose(0, 2, 1).reshape(w, cg * s)
+
+    if warm is not None:
+        wn, wt1, wt2, wpid = warm
+        warm_lam = jnp.stack([to_sc(wn), to_sc(wt1), to_sc(wt2)], axis=1)
+        warm_pid = to_sc(wpid).astype(jnp.int32)
+    else:
+        warm_lam = jnp.zeros((w, 3, s, cgp), dtype)
+        # zero carries must stay device-varying under shard_map
+        warm_lam = warm_lam + pos[0][:, :1, None, None] * 0.0
+        warm_pid = jnp.full((w, s, cgp), -2, jnp.int32)
+
+    def padb(p):
+        p = jnp.broadcast_to(p, (w, b))
+        if bp > b:
+            p = jnp.concatenate([p, jnp.zeros((w, bp - b), p.dtype)], axis=1)
+        return p
+
+    ii0 = _ii_world9(q, cx.inv_inertia)
+    imass = jnp.asarray(cx.inv_mass)[None]
+    body_list = (list(lv) + list(av) + list(pos) + list(q) + list(accel)
+                 + [imass] + list(ii0))
+    body_planes = jnp.stack([padb(p) for p in body_list], axis=1)
+
+    params = jnp.concatenate(
+        [_kernel_params(t, dt),
+         jnp.asarray(margin, jnp.float32).reshape(1)])
+
+    body_out, lam_out, pid_out = pf.fused_step_pallas(
+        params, body_planes, colj_dyn, colj_sta, coli_dyn, coli_sta,
+        jv, warm_lam, warm_pid, self_body,
+        s=s, cg=cgp, bp=bp, cp_=cpp, num_colliders=sc.num_colliders,
+        class_layout=class_layout, combos=cx.combos,
+        n_sub=t.n_substeps, n_pgs=t.n_pgs, n_stab=t.n_stabilization,
+        msp=float(t.mass_split_pow), interpret=interpret)
+
+    lv_o = tuple(body_out[:, i, :b] for i in range(3))
+    av_o = tuple(body_out[:, 3 + i, :b] for i in range(3))
+    pos_o = tuple(body_out[:, 6 + i, :b] for i in range(3))
+    q_o = tuple(body_out[:, 9 + i, :b] for i in range(4))
+    lams = tuple(from_sc(lam_out[:, i]) for i in range(3))
+    pid_new = from_sc(pid_out)
+    return pos_o, q_o, lv_o, av_o, lams, pid_new
 
 
 def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, lam0,

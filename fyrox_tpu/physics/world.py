@@ -239,8 +239,48 @@ class PhysicsBuilder:
         faces) or a [T,3,3] soup) — both static-only. Cylinders/cones
         additionally register a 12-gon prism/pyramid hull so the dense
         narrowphase resolves them with real SAT kernels (collider.rs:511
-        Cylinder/Cone rows) instead of a capsule proxy."""
+        Cylinder/Cone rows) instead of a capsule proxy.
+
+        SEGMENT and TRIANGLE (the last collider.rs:511 vocabulary rows)
+        are builder-level shapes that LOWER here: SEGMENT takes
+        `points=(a, b)` local endpoints (or `params=[half_height]` for a
+        local-Y segment) and becomes a zero-radius capsule — exact same
+        closest-point geometry, zero volume; TRIANGLE takes
+        `points=(a, b, c)` (or `triangles=` one cell) and becomes a
+        single-cell trimesh (static-only, like trimesh)."""
         from fyrox_tpu.physics import convex as cx
+        if int(shape) == sh.SEGMENT:
+            if points is not None:
+                a, b = (np.asarray(p, np.float32) for p in points)
+                mid = 0.5 * (a + b)
+                d = b - a
+                ln = float(np.linalg.norm(d))
+                if ln > 1e-12:
+                    # rotation taking local +Y onto the segment direction
+                    y = np.array([0.0, 1.0, 0.0])
+                    dn = d / ln
+                    v = np.cross(y, dn)
+                    c = float(np.dot(y, dn))
+                    s = float(np.linalg.norm(v))
+                    if s > 1e-8:
+                        axis = v / s
+                        half = np.arctan2(s, c) * 0.5
+                        offset_rot = np.concatenate(
+                            [axis * np.sin(half), [np.cos(half)]])
+                    elif c < 0.0:                    # antiparallel: flip
+                        offset_rot = np.array([0.0, 0.0, 1.0, 0.0])
+                    offset = np.asarray(offset, np.float32) + mid
+                params = [0.5 * ln, 0.0]
+            else:
+                params = [float(params[0]) if len(params) else 0.5, 0.0]
+            shape = sh.CAPSULE
+        elif int(shape) == sh.TRIANGLE:
+            if triangles is None:
+                if points is None or len(points) != 3:
+                    raise ValueError("TRIANGLE collider needs points=(a,b,c)"
+                                     " or triangles= one cell")
+                triangles = np.asarray(points, np.float32)[None]
+            shape = sh.TRIMESH
         p6 = np.zeros(6, np.float32)
         hull = hf = tm = -1
         if int(shape) == sh.CONVEX:
@@ -854,11 +894,12 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
 
     # collider world pose via static one-hot matmuls (no body→collider
     # gather): inc_cb [C,B]
-    inc_cb = np.zeros((c, b), np.float32)
-    inc_cb[np.arange(c), np.asarray(t.col_body)] = 1.0
-    inc_cb = jnp.asarray(inc_cb)
-    bq = jnp.einsum("cb,wbd->wcd", inc_cb, state.rotation)
-    bp_ = jnp.einsum("cb,wbd->wcd", inc_cb, state.position)
+    # EXACT static body→collider gather: the one-hot einsum form runs
+    # at default matmul precision (bf16 on TPU) and quantizes poses
+    # (see pallas_ops.perm_take)
+    cb_idx = jnp.asarray(np.asarray(t.col_body, np.int32))
+    bq = jnp.take(state.rotation, cb_idx, axis=1)
+    bp_ = jnp.take(state.position, cb_idx, axis=1)
     cq = jnp.asarray(t.col_rot)[None]
     cp = jnp.asarray(t.col_pos)[None]
     wq = quat.mul(bq, jnp.broadcast_to(cq, bq.shape))
@@ -873,7 +914,7 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
     # CCD sweep (speculative-contact model; see step_physics dense path).
     # The slab walk requires AABB extents <= cell, so sweeps clamp to the
     # per-collider cap — CCD coverage up to ~cell/dt closing speed.
-    v_col = jnp.einsum("cb,wbd->wcd", inc_cb, state.linvel)
+    v_col = jnp.take(state.linvel, cb_idx, axis=1)
     v_sweep = v_col * dt
     cap3 = jnp.asarray(sc.sweep_cap)[None, :, None]
     swc = jnp.clip(v_sweep, -cap3, cap3)
@@ -899,10 +940,11 @@ def _step_physics_slab(state, t: PhysicsTemplate, dt, accel, angvel, inv_mass):
               jnp.asarray(t.col_friction)[:, None],
               jnp.asarray(t.col_restitution)[:, None]], -1)[None],
              (w, c, 9)), v_sweep], -1)                          # [W,C,24]
-    inc_gc = jnp.asarray(sc.inc_gc)
-    iplane_col = jnp.einsum("gc,wcd->wgd", inc_gc,
-                            jnp.concatenate([planes[..., :12],
-                                             v_sweep], -1))     # [W,Cg,15]
+    from fyrox_tpu.physics.pallas_ops import perm_take
+    iplane_col = perm_take(sc.inc_gc,
+                           jnp.concatenate([planes[..., :12],
+                                            v_sweep], -1),
+                           axis=1)                              # [W,Cg,15]
 
     # runtime convex-hull tables (only when the scene has convex
     # colliders): dense per-collider padded hulls, flattened so the

@@ -5,9 +5,11 @@ Strategy: evolve a scene with the batched engine, and at sampled states
 run ONE step of both implementations from the identical state (warmstart
 zeroed — the oracle is warm-free) and diff positions/velocities. This
 pins the whole narrowphase + Jacobi/TGS solve + NGS + integration chain
-to the independent scalar implementation at the 1e-4 level (f32 forward
-vs f64 reference), the measurable stand-in for BASELINE.md's
-"match rapier CPU to 1e-5/step" with no Rust toolchain in this image.
+to the independent scalar implementation at 1e-5/step (measured worst
+1.4e-6, f32 forward vs f64 reference) — BASELINE.md's "match rapier CPU
+to 1e-5/step" bar, met directly now that the oracle models the
+speculative-CCD activation distance (no Rust toolchain in this image,
+so the oracle stands in for rapier itself).
 """
 import numpy as np
 import pytest
@@ -70,20 +72,27 @@ def _mixed_cluster():
 
 
 def test_oracle_stack_dense():
+    """BASELINE.md's 1e-5/step bar, met with headroom: the r5 oracle
+    CCD-activation fix (oracle.py pred) dropped the measured worst
+    single-step deviation from ~2e-4 to <=1.4e-6 across every config
+    (dp/dv/dw, all five scene x broadphase combos, true-CPU f32); the
+    f64 device-vs-oracle A/B (scripts/f64_oracle_ab.py, run by
+    test_f64_device_path_vs_oracle) pins the remaining gap as pure f32
+    rounding (f64 agrees to ~2e-11)."""
     _compare_trajectory(_stack(), "dense", steps=60,
-                        samples={0, 20, 40, 59}, tol=2e-4)
+                        samples={0, 20, 40, 59}, tol=1e-5)
 
 
 def test_oracle_mixed_dense():
     _compare_trajectory(_mixed_cluster(), "dense", steps=60,
-                        samples={0, 15, 30, 59}, tol=2e-4)
+                        samples={0, 15, 30, 59}, tol=1e-5)
 
 
 def test_oracle_mixed_grid():
     """The grid/directed path must land on the same oracle trace — this
     pins broadphase compaction + twin symmetry + windowed scatters."""
     _compare_trajectory(_mixed_cluster(), "grid", steps=60,
-                        samples={0, 15, 30, 59}, tol=2e-4)
+                        samples={0, 15, 30, 59}, tol=1e-5)
 
 
 def test_oracle_mixed_slab():
@@ -92,12 +101,12 @@ def test_oracle_mixed_slab():
     f64 oracle — the fast path is in the fidelity matrix, not just
     diffed against dense."""
     _compare_trajectory(_mixed_cluster(), "slab", steps=60,
-                        samples={0, 15, 30, 59}, tol=2e-4)
+                        samples={0, 15, 30, 59}, tol=1e-5)
 
 
 def test_oracle_stack_slab():
     _compare_trajectory(_stack(), "slab", steps=60,
-                        samples={0, 20, 40, 59}, tol=2e-4)
+                        samples={0, 20, 40, 59}, tol=1e-5)
 
 
 def test_jacobi_vs_gauss_seidel():
@@ -125,3 +134,22 @@ def test_jacobi_vs_gauss_seidel():
     # documented fidelity numbers (README fidelity notes).
     assert worst_p < 1.2e-2, worst_p
     assert worst_v < 1.0, worst_v
+
+
+def test_f64_device_path_vs_oracle():
+    """VERDICT r4 #4: separate algorithmic divergence from f32 rounding.
+    The production batched step (dense AND slab-v2) run in float64 must
+    match the independent scalar f64 oracle to ~1e-9/step (measured
+    worst dp 2.1e-11); the residual in the f32 matrix above is then
+    proven to be pure f32 rounding. Runs in a subprocess because
+    jax_enable_x64 is process-global."""
+    import os
+    import subprocess
+    import sys
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "f64_oracle_ab.py")
+    out = subprocess.run(
+        [sys.executable, script, "--tol", "1e-9", "--steps", "45"],
+        capture_output=True, text=True, timeout=2400)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    assert '"all_pass": true' in out.stdout

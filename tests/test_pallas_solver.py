@@ -48,10 +48,15 @@ def test_kernel_matches_xla_path(monkeypatch):
             s = step(s)
         return jax.tree_util.tree_map(np.asarray, s)
 
+    # FYROX_NO_FUSED_STEP isolates the solver kernel (XLA narrowphase);
+    # the fused narrow+compact+solve kernel has its own equivalence
+    # suite in test_pallas_step.py
     ref = run({"FYROX_PALLAS_INTERPRET": None,
-               "FYROX_NO_PALLAS_SOLVER": "1"})
+               "FYROX_NO_PALLAS_SOLVER": "1",
+               "FYROX_NO_FUSED_STEP": "1"})
     got = run({"FYROX_PALLAS_INTERPRET": "1",
-               "FYROX_NO_PALLAS_SOLVER": None})
+               "FYROX_NO_PALLAS_SOLVER": None,
+               "FYROX_NO_FUSED_STEP": "1"})
     dp = np.abs(ref.position - got.position).max()
     dv = np.abs(ref.linvel - got.linvel).max()
     # same algorithm, different reduction orders (kernel dots vs XLA
@@ -78,6 +83,7 @@ def test_gather_precision_variants(monkeypatch):
         s0 = step(s0)
     monkeypatch.delenv("FYROX_NO_PALLAS_SOLVER")
     monkeypatch.setenv("FYROX_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("FYROX_NO_FUSED_STEP", "1")
     cold = s0._replace(warm_n=jnp.zeros_like(s0.warm_n),
                        warm_t1=jnp.zeros_like(s0.warm_t1),
                        warm_t2=jnp.zeros_like(s0.warm_t2))

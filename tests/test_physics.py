@@ -289,3 +289,77 @@ class TestComOffset:
         np.testing.assert_allclose(float(s.position[0, 0, 0]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(s.rotation[0, 0]), [0, 0, 0, 1],
                                    atol=1e-5)
+
+
+class TestSegmentTriangle:
+    """collider.rs:511 Segment/Triangle rows: builder-level shapes that
+    lower to zero-radius capsule / single-cell trimesh."""
+
+    def test_segment_lowers_to_zero_radius_capsule(self):
+        from fyrox_tpu.physics import SEGMENT, PhysicsBuilder, BodyType
+        from fyrox_tpu.physics import shapes as sh
+        pb = PhysicsBuilder()
+        b = pb.add_body(position=(0, 1, 0))
+        pb.add_collider(b, SEGMENT, points=((0, 0, -0.5), (0, 0, 0.5)))
+        t = pb.build(broadphase="dense")
+        assert int(t.col_shape[0]) == sh.CAPSULE
+        assert abs(float(t.col_params[0, 0]) - 0.5) < 1e-6   # half length
+        assert float(t.col_params[0, 1]) == 0.0              # radius
+        # offset rotation maps local +Y onto the segment direction (+Z)
+        q = np.asarray(t.col_rot[0], np.float64)
+        y = np.array([0.0, 1.0, 0.0])
+        x_, y_, z_, w_ = q
+        rot = np.array([
+            [1 - 2*(y_*y_+z_*z_), 2*(x_*y_-w_*z_), 2*(x_*z_+w_*y_)],
+            [2*(x_*y_+w_*z_), 1 - 2*(x_*x_+z_*z_), 2*(y_*z_-w_*x_)],
+            [2*(x_*z_-w_*y_), 2*(y_*z_+w_*x_), 1 - 2*(x_*x_+y_*y_)]])
+        np.testing.assert_allclose(rot @ y, [0, 0, 1], atol=1e-6)
+
+    def test_ball_rests_on_segment(self):
+        """A ball dropped onto a horizontal segment comes to rest on it
+        (capsule r=0 narrowphase end-to-end, dense + slab paths)."""
+        from fyrox_tpu.physics import (BALL, SEGMENT, BodyType,
+                                       PhysicsBuilder)
+        from fyrox_tpu.physics import world as wm
+        for bp in ("dense", "slab"):
+            pb = PhysicsBuilder()
+            g = pb.add_body(body_type=BodyType.STATIC)
+            pb.add_collider(g, SEGMENT, points=((-2, 0, 0), (2, 0, 0)),
+                            friction=0.8)
+            b = pb.add_body(position=(0.0, 0.6, 0.0))
+            pb.add_collider(b, BALL, [0.3], friction=0.5)
+            t = pb.build(broadphase=bp)
+            s = wm.init_physics_state(pb, t, 1)
+            step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+            for _ in range(120):
+                s = step(s)
+            y = float(s.position[0, 1, 1])
+            assert 0.25 < y < 0.35, (bp, y)   # resting at ~ball radius
+
+    def test_triangle_lowers_to_trimesh_and_supports(self):
+        from fyrox_tpu.physics import (BALL, TRIANGLE, BodyType,
+                                       PhysicsBuilder)
+        from fyrox_tpu.physics import shapes as sh
+        from fyrox_tpu.physics import world as wm
+        pb = PhysicsBuilder()
+        g = pb.add_body(body_type=BodyType.STATIC)
+        pb.add_collider(g, TRIANGLE,
+                        points=((-2, 0, -2), (2, 0, -2), (0, 0, 2)))
+        b = pb.add_body(position=(0.0, 0.8, 0.0))
+        pb.add_collider(b, BALL, [0.3])
+        t = pb.build(broadphase="dense")
+        assert int(t.col_shape[0]) == sh.TRIMESH
+        s = wm.init_physics_state(pb, t, 1)
+        step = jax.jit(lambda s: wm.step_physics(s, t, 1 / 60))
+        for _ in range(120):
+            s = step(s)
+        y = float(s.position[0, 1, 1])
+        assert 0.25 < y < 0.35, y             # resting on the triangle
+
+    def test_triangle_dynamic_rejected(self):
+        from fyrox_tpu.physics import TRIANGLE, PhysicsBuilder
+        pb = PhysicsBuilder()
+        b = pb.add_body(position=(0, 1, 0))
+        with pytest.raises(ValueError):
+            pb.add_collider(b, TRIANGLE,
+                            points=((0, 0, 0), (1, 0, 0), (0, 0, 1)))
