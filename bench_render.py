@@ -61,40 +61,46 @@ def main():
                        # default, scripts/TPU_SESSION5_r4.json) + headroom
                        k_per_tile=int(os.environ.get(
                            "FYROX_BENCH_RENDER_KTILE", 424)),
+                       # shadow passes concentrate casters into few
+                       # tiles: the r5 audit measured 801 true demand on
+                       # this scene (the camera pass stays < 424)
+                       csm_k_per_tile=int(os.environ.get(
+                           "FYROX_BENCH_RENDER_CSM_KTILE", 896)),
                        bin_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_BINMODE", "cumsum"),
                        edge_mode=os.environ.get(
                            "FYROX_BENCH_RENDER_EDGEMODE", "vpu"))
 
-    # the jitted frame also returns the per-pass bin DEMAND (true max
-    # tile overlap before the k_per_tile clamp): binning silently drops
-    # triangles past the cap, so a run whose demand reaches any pass's
-    # cap rendered a cheaper, incorrect frame and must be invalidated
-    # (ADVICE r4: the 424 default sits just above measured 350-405)
-    caps = []
-
-    def _frame(s):
-        color, demand, c = render_frame_demand(s, t, rt, cfg)
-        caps[:] = c
-        return color, demand
-
-    frame = jax.jit(_frame)
-    color, demand = jax.block_until_ready(frame(st))
-    if cfg.use_pallas:
-        dmax = np.asarray(demand).max(axis=0)           # per pass over worlds
-        over = [(int(d), k) for d, k in zip(dmax, caps) if int(d) >= k]
+    # bin-demand AUDIT (one world, separate program): binning silently
+    # drops triangles past the k_per_tile cap, so a run whose true
+    # per-tile demand reaches any pass's cap rendered a cheaper,
+    # incorrect frame and must be invalidated (ADVICE r4: the 424
+    # default sits just above measured 350-405). The audit runs once on
+    # a 1-world slice — the TIMED program below stays the untouched
+    # production render_frame (the audit variant unrolls cascades for
+    # its demand trace and must not be what gets measured).
+    if cfg.use_pallas and not os.environ.get("FYROX_BENCH_SKIP_AUDIT"):
+        st1 = jax.tree_util.tree_map(lambda x: x[:1], st)
+        _, demand, caps = jax.jit(
+            lambda s: render_frame_demand(s, t, rt, cfg))(st1)
+        dmax = np.asarray(demand).max(axis=0)           # per pass
+        print(json.dumps({"bin_demand_max": [int(d) for d in dmax],
+                          "bin_caps": [int(k) for k in caps]}), flush=True)
+        over = [(p, int(d), int(k))
+                for p, (d, k) in enumerate(zip(dmax, caps)) if int(d) >= k]
         if over:
             raise RuntimeError(
-                f"bin overflow: per-pass demand>=cap {over} — raise "
-                f"FYROX_BENCH_RENDER_KTILE; run invalid")
-        print(json.dumps({"bin_demand_max": [int(d) for d in dmax],
-                          "bin_caps": list(caps)}), flush=True)
+                f"bin overflow: (pass, demand, cap) {over} — raise "
+                f"FYROX_BENCH_RENDER_KTILE / _CSM_KTILE; run invalid")
+
+    frame = jax.jit(lambda s: render_frame(s, t, rt, cfg)[0])
+    color = jax.block_until_ready(frame(st))
     float(jnp.sum(color))            # hard sync through the axon tunnel
     reps = 3
     times = []
     for _ in range(reps):
         t0 = time.time()
-        color, _ = frame(st)
+        color = frame(st)
         float(jnp.sum(color))
         times.append(time.time() - t0)
     dt = min(times)

@@ -418,7 +418,13 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
     triangles-spanning-the-camera-plane exactness."""
     tile_h = min(tile_h, height)
     tile_w = min(tile_w, width)
-    assert height % tile_h == 0 and width % tile_w == 0
+    # non-tile-divisible targets (e.g. CsmConfig map_size=192 against the
+    # 128-lane tile) rasterize into the next tile-multiple grid: the
+    # viewport transform below stays at (height, width), so the pad
+    # rows/columns simply never receive fragments, and the output is
+    # cropped back at the end
+    height_p = -(-height // tile_h) * tile_h
+    width_p = -(-width // tile_w) * tile_w
     homogeneous = (mode == "homogeneous")
     if tri_valid is None:
         tri_valid = jnp.ones(tri_clip.shape[0], bool)
@@ -436,23 +442,29 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
         bbox = jnp.pad(bbox, ((0, pad), (0, 0)),
                        constant_values=-_BIG)        # empty bbox: no overlap
         ok = jnp.pad(ok, (0, pad))
-    tile_ids, _, tile_count = _bin_triangles(bbox, ok, height, width,
+    tile_ids, _, tile_count = _bin_triangles(bbox, ok, height_p, width_p,
                                              tile_h, tile_w, k_per_tile,
                                              mode=bin_mode)
     if depth_only:
-        return _visibility_pallas(
-            feats, tile_ids, tile_count, height, width, tile_h, tile_w,
+        z = _visibility_pallas(
+            feats, tile_ids, tile_count, height_p, width_p, tile_h, tile_w,
             k_per_tile, interpret=interpret, depth_only=True,
             homogeneous=homogeneous, edge_mode=edge_mode)
+        return z[:height, :width]
     z, local_idx, w0, w1 = _visibility_pallas(
-        feats, tile_ids, tile_count, height, width, tile_h, tile_w,
+        feats, tile_ids, tile_count, height_p, width_p, tile_h, tile_w,
         k_per_tile, interpret=interpret, homogeneous=homogeneous,
         edge_mode=edge_mode)
+    if height_p > height or width_p > width:
+        z = z[:height, :width]
+        local_idx = local_idx[:height, :width]
+        w0 = w0[:height, :width]
+        w1 = w1[:height, :width]
 
     # local tile slot → global triangle id: ONE flat gather. (Building
     # tile_ids[py_tile, px_tile] first materializes an [H,W,K] grid —
     # 67 MB/world at 256²/K=256 — that dominated the whole frame.)
-    ntx = width // tile_w
+    ntx = width_p // tile_w
     py_tile = jnp.arange(height) // tile_h
     px_tile = jnp.arange(width) // tile_w
     mask = local_idx >= 0
@@ -477,13 +489,36 @@ def rasterize_pallas(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height,
         denom = jnp.maximum(pw0 + pw1 + pw2, 1e-12)
         pw0, pw1, pw2 = pw0 / denom, pw1 / denom, pw2 / denom
 
+    # attribute interpolation: "joined" (default) concatenates every
+    # attribute's [T,3,C] rows into ONE [T,3*Ct] table so the per-pixel
+    # tri_id lookup is a single row gather instead of one gather per
+    # attribute (6-7 XLA gathers of the same indices — the round-3
+    # "attribute-pass materialization" residual); "split" is the legacy
+    # per-attribute A/B mode
+    import os as _os
     out = {}
-    for k, v in tri_attrs.items():
-        av = v[tri_id]                                        # [H,W,3,C]
-        out[k] = (pw0[..., None] * av[..., 0, :]
-                  + pw1[..., None] * av[..., 1, :]
-                  + pw2[..., None] * av[..., 2, :])
-        out[k] = jnp.where(mask[..., None], out[k], 0.0)
+    if _os.environ.get("FYROX_RASTER_ATTR", "joined") == "joined" and tri_attrs:
+        t_rows = next(iter(tri_attrs.values())).shape[0]
+        joined = jnp.concatenate(
+            [v.reshape(t_rows, -1) for v in tri_attrs.values()], axis=-1)
+        rows = joined[tri_id]                                 # [H,W,3*Ct]
+        off = 0
+        for k, v in tri_attrs.items():
+            c = v.shape[-1]
+            av = rows[..., off:off + 3 * c].reshape(
+                rows.shape[:2] + (3, c))
+            off += 3 * c
+            out[k] = (pw0[..., None] * av[..., 0, :]
+                      + pw1[..., None] * av[..., 1, :]
+                      + pw2[..., None] * av[..., 2, :])
+            out[k] = jnp.where(mask[..., None], out[k], 0.0)
+    else:
+        for k, v in tri_attrs.items():
+            av = v[tri_id]                                    # [H,W,3,C]
+            out[k] = (pw0[..., None] * av[..., 0, :]
+                      + pw1[..., None] * av[..., 1, :]
+                      + pw2[..., None] * av[..., 2, :])
+            out[k] = jnp.where(mask[..., None], out[k], 0.0)
 
     z = jnp.where(mask, z, _BIG)
     return GBuffer(depth=z, albedo=out["albedo"], normal=out["normal"],

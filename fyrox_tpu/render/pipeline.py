@@ -74,6 +74,11 @@ class RenderConfig(NamedTuple):
     # edge-function evaluation in the tile kernel: "vpu" (broadcast
     # chains) or "mxu" (one [F*chunk,3]@[3,px] dot per chunk — A/B)
     edge_mode: str = "vpu"
+    # per-tile bin capacity for the CSM depth passes (0 = k_per_tile).
+    # Shadow views concentrate the whole caster set into few tiles, so
+    # their true demand can far exceed the camera pass's (the r5 audit
+    # measured 801 vs <424 on the bench scene) — size them separately
+    csm_k_per_tile: int = 0
 
 
 @dataclass
@@ -149,7 +154,11 @@ def build_render_template(template: SceneTemplate,
             return -1
         key = id(tex)
         if key not in tex_ids:
-            arr = tex.base if hasattr(tex, "base") else np.asarray(tex)
+            # Texture objects carry their data in .base; raw numpy
+            # arrays ALSO have a .base attribute (None or a view
+            # parent), so they must not take that branch
+            arr = (tex.base if hasattr(tex, "base")
+                   and not isinstance(tex, np.ndarray) else np.asarray(tex))
             tex_ids[key] = len(textures)
             textures.append(np.asarray(arr, np.float32))
         return tex_ids[key]
@@ -186,9 +195,41 @@ def build_render_template(template: SceneTemplate,
             _mesh_tex(mesh, "mr_texture", "metallicRoughnessTexture")),
             np.int32))
         voff += v
+    # ---- Rectangle 2D nodes (dim2/rectangle.rs): unit quad in the
+    # node's local XY plane, double-sided (both windings), emissive so
+    # it reads unlit like the reference's 2D forward path; uv_rect
+    # selects the texture sub-region ----
+    rects = template.rectangles if getattr(template, "rectangles", None) else {}
+    for ri, node_idx in enumerate(rects.get("node", [])):
+        node_idx = int(node_idx)
+        col = np.asarray(rects["color"][ri], np.float32)
+        u0, v0, u1, v1 = (float(x) for x in rects["uv_rect"][ri])
+        quad = np.asarray([[-0.5, -0.5, 0.0], [0.5, -0.5, 0.0],
+                           [0.5, 0.5, 0.0], [-0.5, 0.5, 0.0]], np.float32)
+        quv = np.asarray([[u0, v1], [u1, v1], [u1, v0], [u0, v0]],
+                         np.float32)
+        tri2 = np.asarray([[0, 1, 2], [0, 2, 3],        # front (+Z)
+                           [0, 2, 1], [0, 3, 2]], np.int32)  # back
+        pos.append(quad)
+        nrm.append(np.tile(np.asarray([[0, 0, 1]], np.float32), (4, 1)))
+        tris.append(tri2 + voff)
+        vnode.append(np.full(4, node_idx, np.int32))
+        tnode.append(np.full(4, node_idx, np.int32))
+        alb.append(np.tile(col, (4, 1)))
+        mat.append(np.zeros((4, 2), np.float32))
+        emi.append(np.tile(col, (4, 1)))
+        tri_alpha.append(np.ones(4, np.float32))
+        uvs.append(quv)
+        ti = int(rects["texture"][ri])
+        tex = (template.rect_textures[ti] if ti >= 0 else None)
+        tri_tex.append(np.full(4, _register(tex), np.int32))
+        tri_mr.append(np.full(4, -1, np.int32))
+        voff += 4
+
     n_sprites = len((template.sprites or {}).get("node", []))
     if not pos and not n_sprites:
-        raise ValueError("scene has no MESH or SPRITE nodes to render")
+        raise ValueError("scene has no MESH, RECTANGLE or SPRITE nodes "
+                         "to render")
     if not pos:
         pos = [np.zeros((3, 3), np.float32)]
         nrm = [np.tile(np.asarray([[0, 1, 0]], np.float32), (3, 1))]
@@ -530,7 +571,8 @@ def _frame_one_world(globals_, gvis, rt: RenderTemplate, scene_template,
             depth_maps = shadows_mod.render_cascade_depths(
                 tri_pos, cascade_vps, config.csm.map_size,
                 tri_valid=tri_valid, chunk=config.chunk,
-                use_pallas=config.use_pallas, k_per_tile=config.k_per_tile,
+                use_pallas=config.use_pallas,
+                k_per_tile=config.csm_k_per_tile or config.k_per_tile,
                 pallas_interpret=config.pallas_interpret,
                 tri_budget=config.cascade_tri_budget,
                 bin_mode=config.bin_mode, edge_mode=config.edge_mode)

@@ -228,9 +228,13 @@ def rasterize(tri_clip, tri_attrs: Dict[str, jnp.ndarray], height, width,
         mbuf = mbuf | better
         return (zbuf, abuf, mbuf), None
 
-    zbuf0 = jnp.full((height, width), _BIG, jnp.float32)
-    abuf0 = jnp.zeros((height, width, ctot), jnp.float32)
-    mbuf0 = jnp.zeros((height, width), bool)
+    # seed the scan carries from an input-derived zero so they are
+    # device-varying under shard_map (a constant-initialized carry has
+    # unvarying manual axes and the scan rejects the carry type change)
+    dv0 = tc.reshape(-1)[0] * 0.0
+    zbuf0 = jnp.full((height, width), _BIG, jnp.float32) + dv0
+    abuf0 = jnp.zeros((height, width, ctot), jnp.float32) + dv0
+    mbuf0 = jnp.zeros((height, width), bool) | (dv0 > 0.0)
     (zbuf, abuf, mbuf), _ = jax.lax.scan(chunk_step, (zbuf0, abuf0, mbuf0),
                                          (tc, ta, tv))
 

@@ -174,6 +174,7 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
         return g.depth
 
     n_casc = cascade_vps.shape[0]
+    import os as _os
     from fyrox_tpu.render import pallas_raster as _pr
     # While a bin-demand trace is active the per-pass occupancy scalars
     # are recorded from inside `one`; vmapping over cascades would trap
@@ -185,9 +186,50 @@ def render_cascade_depths(world_tri_positions, cascade_vps, map_size,
         fracs = (list(tri_budget) if isinstance(tri_budget, (tuple, list))
                  else [tri_budget] * n_casc)
         fracs += [fracs[-1]] * max(0, n_casc - len(fracs))
-        return jnp.stack([one(cascade_vps[ci],
-                              _budget_of(fracs[ci], skip_full=True))
-                          for ci in range(n_casc)])
+        budgets = [_budget_of(fracs[ci], skip_full=True)
+                   for ci in range(n_casc)]
+        one_launch = (use_pallas and not unroll
+                      and _os.environ.get("FYROX_CSM_LAUNCH", "batched")
+                      == "batched")
+        if not one_launch:
+            return jnp.stack([one(cascade_vps[ci], budgets[ci])
+                              for ci in range(n_casc)])
+        # ---- batched single-launch cascades: per-cascade budget cull
+        # first, PAD each cascade's kept set to the common max, then ONE
+        # vmapped depth raster (the Pallas grid extends over the cascade
+        # axis) instead of n_casc separate kernel dispatches ----
+        n_max = max(b if b else t_total for b in budgets)
+
+        def cull(vp, budget):
+            clip = raster_mod.transform_clip(world_tri_positions, vp[None])
+            valid = (jnp.ones(t_total, bool) if tri_valid is None
+                     else tri_valid)
+            if budget:
+                ndc = clip[..., :2]
+                inside = (jnp.all(jnp.min(ndc, axis=1) <= 1.0, -1)
+                          & jnp.all(jnp.max(ndc, axis=1) >= -1.0, -1)
+                          & valid)
+                e1 = ndc[:, 1] - ndc[:, 0]
+                e2 = ndc[:, 2] - ndc[:, 0]
+                area = jnp.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+                score = jnp.where(inside, area, -1.0)
+                topv, topi = jax.lax.top_k(score, budget)
+                clip, valid = clip[topi], topv >= 0.0
+            if clip.shape[0] < n_max:
+                pad = n_max - clip.shape[0]
+                clip = jnp.concatenate(
+                    [clip, jnp.zeros((pad,) + clip.shape[1:], clip.dtype)])
+                valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+            return clip, valid
+
+        clips, valids = zip(*[cull(cascade_vps[ci], budgets[ci])
+                              for ci in range(n_casc)])
+        from fyrox_tpu.render.pallas_raster import rasterize_pallas
+        return jax.vmap(lambda cc, vv: rasterize_pallas(
+            cc, {}, map_size, map_size, tri_valid=vv,
+            k_per_tile=min(k_per_tile, n_max), interpret=pallas_interpret,
+            depth_only=True, backface_cull=False, bin_mode=bin_mode,
+            edge_mode=edge_mode))(jnp.stack(clips), jnp.stack(valids))
     budget = _budget_of(tri_budget)
     return jax.vmap(lambda vp: one(vp, budget))(cascade_vps)
 

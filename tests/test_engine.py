@@ -154,6 +154,52 @@ class TestShardedSlab:
                                    atol=2e-4)
 
 
+class TestShardedRender:
+    """The multi-chip surface must cover the RENDER program, not just
+    physics (r4 VERDICT #9): render_frame jitted under shard_map over
+    the world axis on the 8-device CPU mesh, checked against the
+    single-device frame. The deferred pipeline (G-buffer + CSM shadows
+    + shading) is world-parallel with no cross-world collectives, so
+    per-device frames must be bitwise-identical programs; atol covers
+    reduction-order noise only."""
+
+    def test_sharded_render_matches_single_device(self):
+        from functools import partial
+        from fyrox_tpu.parallel.mesh import world_mesh
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      make_cube, make_plane, render_frame)
+        from fyrox_tpu.scene import graph, init_state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(10.0), name="ground")
+        for i in range(4):
+            sb.add_mesh(make_cube(0.8, albedo=(0.8, 0.3, 0.2)),
+                        position=(i - 1.5, 0.4, 0.0))
+        sb.add_light("directional", intensity=2.0)
+        sb.add_camera("cam", position=(0.0, 3.0, -6.0))
+        tpl = sb.build()
+        w = 8
+        st = graph.update_hierarchical_data(init_state(tpl, w), tpl)
+        rt = build_render_template(tpl)
+        cfg = RenderConfig(width=48, height=48, shadows=True)
+
+        ref = np.asarray(
+            jax.jit(lambda s: render_frame(s, tpl, rt, cfg)[0])(st))
+
+        mesh = world_mesh()
+        spec = jax.tree_util.tree_map(lambda _: P("worlds"), st)
+        f = jax.jit(jax.shard_map(
+            lambda s: render_frame(s, tpl, rt, cfg)[0],
+            mesh=mesh, in_specs=(spec,), out_specs=P("worlds")))
+        st_sh = jax.device_put(
+            st, jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P("worlds")), st))
+        got = np.asarray(f(st_sh))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 class TestDebugStep:
     def test_checkified_step_clean_and_dirty(self):
         """The sanitizer step reports no error on healthy state and

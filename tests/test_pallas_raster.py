@@ -135,3 +135,35 @@ class TestBinModes:
                               depth_only=True, edge_mode="mxu")
         np.testing.assert_allclose(np.asarray(zb), np.asarray(za),
                                    atol=1e-5)
+
+
+class TestNonTileDivisible:
+    def test_192_target_matches_cropped_256(self):
+        """CsmConfig map_size=192 (not a 128-lane multiple) rasterizes
+        into a padded grid and crops — pixels must match the XLA
+        rasterizer at the same 192 viewport (r4 session-6 finding: this
+        used to trip the tile-divisibility assert)."""
+        rng = np.random.default_rng(4)
+        clip, attrs = random_tris(rng, t=48)
+        g1 = raster.rasterize(clip, attrs, 192, 192, chunk=16)
+        g2 = rasterize_pallas(clip, attrs, 192, 192, tile_h=8, tile_w=128,
+                              k_per_tile=64, interpret=True)
+        assert g2.depth.shape == (192, 192)
+        m1 = np.asarray(g1.mask)
+        m2 = np.asarray(g2.mask)
+        assert (m1 == m2).mean() > 0.999
+        both = m1 & m2
+        assert both.sum() > 50
+        # 5e-5: 2DH z = Z/W per pixel vs per-vertex divide + lerp — both
+        # valid f32 roundings (same as the 64x128 case, slightly larger
+        # at 192 px scale)
+        np.testing.assert_allclose(np.asarray(g2.depth)[both],
+                                   np.asarray(g1.depth)[both], atol=5e-5)
+
+    def test_depth_only_192(self):
+        rng = np.random.default_rng(5)
+        clip, _ = random_tris(rng, t=32)
+        z = rasterize_pallas(clip, {}, 192, 192, interpret=True,
+                             depth_only=True, k_per_tile=64)
+        assert z.shape == (192, 192)
+        assert np.isfinite(np.asarray(z)).all()

@@ -525,3 +525,55 @@ class TestBinDemandAudit:
                            use_pallas=False)
         _, demand, caps = render_frame_demand(st, t, rt, cfg)
         assert demand.shape[1] == 0 and caps == []
+
+
+class TestBatchedCascadeLaunch:
+    def test_batched_matches_unrolled(self, monkeypatch):
+        """FYROX_CSM_LAUNCH=batched (one vmapped depth raster over the
+        cascade axis, per-cascade budget cull + pad) must render the
+        same frame as the unrolled per-cascade launches."""
+        import numpy as np
+        from fyrox_tpu.render import (RenderConfig, make_cube, make_plane,
+                                      build_render_template, render_frame)
+        from fyrox_tpu.scene import SceneBuilder, graph, init_state
+        sb = SceneBuilder()
+        sb.add_mesh(make_plane(20.0), name="ground")
+        for i in range(6):
+            sb.add_mesh(make_cube(1.0), position=(i * 2.0 - 5.0, 0.5, 0.0))
+        tilt = (np.sin(np.pi / 3), 0.0, 0.0, np.cos(np.pi / 3))
+        sb.add_light("directional", rotation=tilt)
+        sb.add_camera("cam", position=(0, 4.0, -8.0),
+                      rotation=(np.sin(np.pi / 10), 0, 0, np.cos(np.pi / 10)))
+        t = sb.build()
+        st = graph.update_hierarchical_data(init_state(t, 1), t)
+        rt = build_render_template(t)
+        cfg = RenderConfig(width=64, height=64, shadows=True,
+                           use_pallas=True, pallas_interpret=True,
+                           k_per_tile=64,
+                           cascade_tri_budget=(0.5, 1.0, 0.75))
+        monkeypatch.setenv("FYROX_CSM_LAUNCH", "unrolled")
+        a = np.asarray(render_frame(st, t, rt, cfg)[0])
+        monkeypatch.setenv("FYROX_CSM_LAUNCH", "batched")
+        b = np.asarray(render_frame(st, t, rt, cfg)[0])
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_joined_attr_matches_split(self, monkeypatch):
+        """FYROX_RASTER_ATTR=joined (one concatenated row gather) is a
+        pure re-association of the legacy per-attribute gathers."""
+        import numpy as np
+        from fyrox_tpu.render import raster
+        from fyrox_tpu.render.pallas_raster import rasterize_pallas
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_pallas_raster import random_tris
+        rng = np.random.default_rng(9)
+        clip, attrs = random_tris(rng, t=40)
+        monkeypatch.setenv("FYROX_RASTER_ATTR", "split")
+        a = rasterize_pallas(clip, attrs, 64, 128, k_per_tile=64,
+                             interpret=True)
+        monkeypatch.setenv("FYROX_RASTER_ATTR", "joined")
+        b = rasterize_pallas(clip, attrs, 64, 128, k_per_tile=64,
+                             interpret=True)
+        for f in ("albedo", "normal", "position", "material", "emission"):
+            np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                          np.asarray(getattr(b, f)))
