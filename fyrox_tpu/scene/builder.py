@@ -58,6 +58,10 @@ class SceneBuilder:
                                   max_distance=[], rolloff=[])
         self._sound_buffers: list = []
         self._listeners: dict = dict(node=[])
+        self._rects: dict = dict(node=[], color=[], uv_rect=[], texture=[])
+        self._rect_textures: list = []
+        self._navmeshes: dict = dict(node=[], data=[])
+        self._navmesh_data: list = []
         self.extras: dict = {}
 
     # -- generic node ------------------------------------------------------
@@ -183,6 +187,53 @@ class SceneBuilder:
         self._listeners["node"].append(idx)
         return idx
 
+    # -- Rectangle 2D (dim2/rectangle.rs) -----------------------------------
+    def add_rectangle(self, name="rectangle", parent=-1,
+                      color=(1.0, 1.0, 1.0), uv_rect=(0.0, 0.0, 1.0, 1.0),
+                      texture=None, **kw) -> int:
+        """Rectangle node (fyrox-impl/src/scene/dim2/rectangle.rs): a
+        colored/textured unit quad in the node's local XY plane — the 2D
+        sprite primitive. Unlike SPRITE it is NOT camera-facing: it
+        transforms with the node (scale the node to size it). Rendered
+        double-sided and emissive (the reference draws rectangles unlit
+        in the 2D forward path). `uv_rect=(u0,v0,u1,v1)` selects the
+        texture sub-region (rectangle.rs uv_rect property)."""
+        if kw.get("bbox") is None:
+            kw["bbox"] = (np.asarray([-0.5, -0.5, -0.01], np.float32),
+                          np.asarray([0.5, 0.5, 0.01], np.float32))
+        idx = self.add_node(name, parent, NodeType.RECTANGLE, **kw)
+        self._nodes[idx].payload = len(self._rects["node"])
+        tex = -1
+        if texture is not None:
+            if isinstance(texture, (int, np.integer)):
+                tex = int(texture)
+            else:
+                self._rect_textures.append(texture)
+                tex = len(self._rect_textures) - 1
+        r = self._rects
+        r["node"].append(idx)
+        r["color"].append(np.asarray(color, np.float32))
+        r["uv_rect"].append(np.asarray(uv_rect, np.float32))
+        r["texture"].append(tex)
+        return idx
+
+    # -- NavigationalMesh (scene/navmesh.rs:81) -----------------------------
+    def add_navmesh(self, vertices, triangles, name="navmesh", parent=-1,
+                    **kw) -> int:
+        """NavigationalMesh node: navmesh geometry attached to the scene
+        graph (fyrox-impl/src/scene/navmesh.rs:81). Vertices are
+        node-local; `fyrox_tpu.utils.navagent.template_navmesh` bakes the
+        node's template transform in and returns a utils.navmesh.Navmesh
+        for pathfinding, and `BatchedNavAgents` steers bodies along
+        per-world paths (utils/navmesh.rs:642 NavmeshAgent equivalent)."""
+        idx = self.add_node(name, parent, NodeType.NAVMESH, **kw)
+        self._nodes[idx].payload = len(self._navmeshes["node"])
+        self._navmesh_data.append((np.asarray(vertices, np.float32),
+                                   np.asarray(triangles, np.int32)))
+        self._navmeshes["node"].append(idx)
+        self._navmeshes["data"].append(len(self._navmesh_data) - 1)
+        return idx
+
     def add_lod_group(self, levels):
         """Attach a LOD group (LodGroup, scene/base.rs:129): levels is a
         list of (begin, end, [node indices]) with begin/end the normalized
@@ -227,6 +278,10 @@ class SceneBuilder:
         sound_off = len(self._sounds["node"])
         listener_off = len(self._listeners["node"])
         buf_off = len(self._sound_buffers)
+        rect_off = len(self._rects["node"])
+        rtex_off = len(self._rect_textures)
+        nav_off = len(self._navmeshes["node"])
+        navd_off = len(self._navmesh_data)
         for rec in prefab._nodes:
             rec2 = copy.deepcopy(rec)
             rec2.name = name_prefix + rec2.name
@@ -244,6 +299,10 @@ class SceneBuilder:
                     rec2.payload += sound_off
                 elif rec2.node_type == NodeType.LISTENER:
                     rec2.payload += listener_off
+                elif rec2.node_type == NodeType.RECTANGLE:
+                    rec2.payload += rect_off
+                elif rec2.node_type == NodeType.NAVMESH:
+                    rec2.payload += nav_off
             self._nodes.append(rec2)
         for k in self._cameras:
             vals = list(prefab._cameras[k])
@@ -271,6 +330,22 @@ class SceneBuilder:
         self._sound_buffers.extend(prefab._sound_buffers)
         self._listeners["node"].extend(
             v + offset for v in prefab._listeners["node"])
+        for k in self._rects:
+            vals = list(prefab._rects[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            elif k == "texture":
+                vals = [v + rtex_off if v >= 0 else v for v in vals]
+            self._rects[k].extend(vals)
+        self._rect_textures.extend(prefab._rect_textures)
+        for k in self._navmeshes:
+            vals = list(prefab._navmeshes[k])
+            if k == "node":
+                vals = [v + offset for v in vals]
+            elif k == "data":
+                vals = [v + navd_off for v in vals]
+            self._navmeshes[k].extend(vals)
+        self._navmesh_data.extend(prefab._navmesh_data)
         return root
 
     # -- pack ----------------------------------------------------------------
@@ -324,6 +399,10 @@ class SceneBuilder:
             sounds={k: np.asarray(v) for k, v in self._sounds.items()},
             listeners={k: np.asarray(v) for k, v in self._listeners.items()},
             sound_buffers=list(self._sound_buffers),
+            rectangles={k: np.asarray(v) for k, v in self._rects.items()},
+            rect_textures=list(self._rect_textures),
+            navmeshes={k: np.asarray(v) for k, v in self._navmeshes.items()},
+            navmesh_data=list(self._navmesh_data),
             extras=dict(self.extras),
         )
         return template

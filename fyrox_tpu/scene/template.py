@@ -106,6 +106,14 @@ class SceneTemplate:
     sounds: dict = field(default_factory=dict)        # SoA dict of source params
     listeners: dict = field(default_factory=dict)     # SoA dict (node)
     sound_buffers: list = field(default_factory=list)  # list of mono f32 arrays
+    # Rectangle 2D nodes (dim2/rectangle.rs): colored/textured unit quad
+    # in the node's local XY plane, routed through the render pipeline
+    rectangles: dict = field(default_factory=dict)    # SoA (node,color,uv_rect,texture)
+    rect_textures: list = field(default_factory=list)
+    # NavigationalMesh nodes (scene/navmesh.rs:81): per-node navmesh
+    # geometry; pathfinding/steering in utils/navmesh.py + utils/navagent.py
+    navmeshes: dict = field(default_factory=dict)     # SoA (node, data index)
+    navmesh_data: list = field(default_factory=list)  # list of (verts, tris)
     # physics template (fyrox_tpu.physics), animation template, etc. are
     # attached by their subsystem builders:
     extras: dict = field(default_factory=dict)

@@ -237,3 +237,76 @@ def make_plugin():
         fresh = host.plugins[0]
         assert type(fresh).VERSION == 2       # new code is live
         assert fresh.count == 3               # state survived + this tick
+
+
+class TestStockScripts:
+    """fyrox_tpu.scripts — the fyrox-scripts crate equivalent
+    (fyrox-scripts/src/camera.rs FlyingCameraController + orbit)."""
+
+    def _engine(self, w=3):
+        from fyrox_tpu.engine import Engine
+        from fyrox_tpu.scene import SceneBuilder
+        from fyrox_tpu.render import make_cube
+        sb = SceneBuilder()
+        sb.add_mesh(make_cube(1.0), position=(0, 0, 0))
+        cam = sb.add_camera("cam", position=(0, 1.0, -5.0))
+        eng = Engine(template=sb.build())
+        return eng, eng.init_state(num_worlds=w), cam
+
+    def test_flying_camera_yaw_and_move(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from fyrox_tpu.script import ScriptProcessor
+        from fyrox_tpu.scripts import FlyingCameraController
+        eng, state, cam = self._engine(3)
+        sp = ScriptProcessor()
+        ctl = sp.add(FlyingCameraController(cam, 3, speed=2.0,
+                                            sensitivity=1e-2))
+        # world 0: pure mouse yaw; world 1: forward move; world 2: idle
+        ctl.set_input(mouse_delta=np.asarray([[10.0, 0], [0, 0], [0, 0]]),
+                      move_axes=np.asarray([[0.0, 0], [0, 1.0], [0, 0]]))
+        p0 = np.asarray(state.scene.position[:, cam])
+        for _ in range(30):
+            state = sp.update(eng, state, 1 / 60)
+        q = np.asarray(state.scene.rotation[:, cam])
+        p = np.asarray(state.scene.position[:, cam])
+        assert abs(q[0, 1]) > 1e-3                  # world 0 yawed
+        assert abs(q[1, 1]) < 1e-6                  # world 1 didn't
+        np.testing.assert_allclose(p[0], p0[0], atol=1e-6)   # no move
+        assert p[1, 2] > p0[1, 2] + 0.5             # forward = +Z look
+        np.testing.assert_allclose(p[2], p0[2], atol=1e-6)
+        # pitch limit clamps (camera.rs:146 ±89.9°)
+        ctl.set_input(mouse_delta=np.asarray([[0, 1e4]] * 3),
+                      move_axes=np.zeros((3, 2)))
+        state = sp.update(eng, state, 1 / 60)
+        assert float(jnp.max(ctl.pitch)) <= np.deg2rad(89.9) + 1e-6
+
+    def test_orbit_camera_keeps_radius_and_renders(self):
+        import numpy as np
+        from fyrox_tpu.script import ScriptProcessor
+        from fyrox_tpu.scripts import OrbitCameraController
+        from fyrox_tpu.render import (RenderConfig, build_render_template,
+                                      render_frame)
+        from fyrox_tpu.scene import graph
+        eng, state, cam = self._engine(2)
+        sp = ScriptProcessor()
+        ctl = sp.add(OrbitCameraController(cam, 2, target=(0, 0, 0),
+                                           radius=5.0, sensitivity=5e-3))
+        ctl.set_input(mouse_delta=np.asarray([[20.0, 6.0], [-8.0, 2.0]]))
+        for _ in range(25):
+            state = sp.update(eng, state, 1 / 60)
+        p = np.asarray(state.scene.position[:, cam])
+        r = np.linalg.norm(p, axis=-1)
+        np.testing.assert_allclose(r, 5.0, atol=1e-4)   # stays on sphere
+        assert abs(p[0, 0] - p[1, 0]) > 0.1             # worlds diverged
+        # the camera still FACES the target: the cube at origin renders
+        st = graph.update_hierarchical_data(state.scene, eng.template)
+        rt = build_render_template(eng.template)
+        color, gbuf = render_frame(
+            state.scene._replace(globals_=st.globals_), eng.template, rt,
+            RenderConfig(width=32, height=32, shadows=False))
+        assert np.asarray(gbuf.mask).sum(axis=(1, 2)).min() > 10
+        # zoom shrinks the radius
+        ctl.set_input(mouse_delta=np.zeros((2, 2)), zoom=np.ones(2))
+        state = sp.update(eng, state, 1 / 60)
+        assert float(np.asarray(ctl.radius).max()) < 5.0
