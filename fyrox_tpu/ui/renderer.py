@@ -97,9 +97,35 @@ def _draw_text(img, text, x, y, scale, rgba):
         x += cw
 
 
-def render_ui(commands: List[DrawCommand], height, width) -> np.ndarray:
+_ATLAS_CACHE: dict = {}
+
+
+def _atlas_for(font, px_size: int):
+    """font: a FontAtlas (used as-is), a TtfFont (per-size atlases built
+    and cached), or a path/bytes (parsed once, then cached)."""
+    from fyrox_tpu.ui.font import FontAtlas, TtfFont
+    if isinstance(font, FontAtlas):
+        return font
+    if not isinstance(font, TtfFont):
+        key = ("ttf", font if isinstance(font, str) else id(font))
+        font = _ATLAS_CACHE.get(key) or _ATLAS_CACHE.setdefault(
+            key, TtfFont(font))
+    key = (id(font), int(px_size))
+    at = _ATLAS_CACHE.get(key)
+    if at is None:
+        at = _ATLAS_CACHE[key] = FontAtlas(font, int(px_size))
+    return at
+
+
+def render_ui(commands: List[DrawCommand], height, width,
+              font=None) -> np.ndarray:
     """Paint the draw-command list → [H,W,4] f32 RGBA (premultiplied by
-    nothing; straight alpha, 0 where untouched)."""
+    nothing; straight alpha, 0 where untouched).
+
+    `font` (optional): a ui.font.FontAtlas / TtfFont / .ttf path — text
+    commands then render real antialiased glyphs sized to the widget
+    (fyrox-ui font/mod.rs atlas path); without it the embedded 5x7
+    bitmap fallback keeps the renderer dependency-free."""
     img = np.zeros((height, width, 4), np.float32)
     for cmd in commands:
         b = cmd.bounds
@@ -112,9 +138,15 @@ def render_ui(commands: List[DrawCommand], height, width) -> np.ndarray:
             _blend_px(img, b.y, b.y + b.h, b.x, b.x + t, cmd.color)
             _blend_px(img, b.y, b.y + b.h, b.x + b.w - t, b.x + b.w, cmd.color)
         elif cmd.kind == "text":
-            # fit glyphs to ~70% of the widget height
-            scale = max(int(b.h * 0.7 / 7), 1)
-            _draw_text(img, cmd.text, b.x + 3, b.y + 3, scale, cmd.color)
+            if font is not None:
+                px = max(int(b.h * 0.7), 6)
+                at = _atlas_for(font, px)
+                at.draw(img, str(cmd.text), b.x + 3, b.y + 1, cmd.color)
+            else:
+                # 5x7 fallback: fit glyphs to ~70% of the widget height
+                scale = max(int(b.h * 0.7 / 7), 1)
+                _draw_text(img, cmd.text, b.x + 3, b.y + 3, scale,
+                           cmd.color)
     return img
 
 

@@ -41,17 +41,64 @@ class FormattedText:
 
     def __init__(self, text: str, font_size: float = 14.0, wrap="word",
                  halign="left", valign="top",
-                 constraint=(math.inf, math.inf)):
+                 constraint=(math.inf, math.inf), font=None):
         self.text = text
         self.font_size = font_size
         self.wrap = wrap
         self.halign = halign
         self.valign = valign
         self.constraint = constraint
+        # font: optional ui.font.FontAtlas — layout then uses real glyph
+        # advances + kerning (formatted_text.rs measures with font
+        # metrics); without one, the monospace model stands in
+        self.font = font
         self.char_w = font_size * CHAR_ASPECT
-        self.line_h = font_size * LINE_FACTOR
+        self.line_h = (font.line_height if font is not None
+                       else font_size * LINE_FACTOR)
         self.lines: List[Line] = []
         self._build()
+
+    def _advances(self, s: str):
+        """Per-char advance widths (kerning folded into the following
+        char) — uniform char_w when no font is attached."""
+        if self.font is None:
+            return [self.char_w] * len(s)
+        out, prev = [], None
+        for ch in s:
+            g = self.font.glyphs.get(ch)
+            a = g["advance"] if g else self.font.px_size * 0.5
+            if prev is not None:
+                a += self.font.kerning(prev, ch)
+            out.append(a)
+            prev = ch
+        return out
+
+    def _wrap_widths(self, para: str, p0: int, limit: float):
+        """Width-based wrapping for proportional fonts: greedy word fill
+        against the pixel constraint, letter-splitting overlong words."""
+        adv = self._advances(para)
+        n = len(para)
+        s = 0
+        while s < n:
+            acc = 0.0
+            last_space = -1
+            e = s
+            while e < n:
+                acc += adv[e]
+                if para[e] == " ":
+                    last_space = e
+                if acc > limit and e > s:
+                    break
+                e += 1
+            if e >= n:
+                self.lines.append(Line(p0 + s, p0 + n))
+                break
+            if self.wrap == "word" and last_space > s:
+                self.lines.append(Line(p0 + s, p0 + last_space))
+                s = last_space + 1            # swallow the space
+            else:                             # letter wrap / long word
+                self.lines.append(Line(p0 + s, p0 + e))
+                s = e
 
     # -- layout -------------------------------------------------------------
 
@@ -63,6 +110,20 @@ class FormattedText:
 
     def _build(self):
         self.lines = []
+        if self.font is not None:
+            cw = self.constraint[0]
+            pos = 0
+            for para in self.text.split("\n"):
+                if (not math.isfinite(cw) or self.wrap == "none"
+                        or not para):
+                    self.lines.append(Line(pos, pos + len(para)))
+                else:
+                    self._wrap_widths(para, pos, cw)
+                pos += len(para) + 1
+            if not self.lines:
+                self.lines = [Line(0, 0)]
+            self._finish_layout()
+            return
         cols = self._max_cols()
         pos = 0
         for para in self.text.split("\n"):
@@ -89,8 +150,15 @@ class FormattedText:
             pos += n + 1                            # +1 for the newline
         if not self.lines:
             self.lines = [Line(0, 0)]
+        self._finish_layout()
+
+    def _finish_layout(self):
         for i, ln in enumerate(self.lines):
-            ln.width = (ln.end - ln.start) * self.char_w
+            if self.font is None:
+                ln.width = (ln.end - ln.start) * self.char_w
+            else:
+                ln.width = float(sum(
+                    self._advances(self.text[ln.start:ln.end])))
             ln.y = i * self.line_h
         total_w = max((ln.width for ln in self.lines), default=0.0)
         cw, ch = self.constraint
@@ -121,16 +189,32 @@ class FormattedText:
     def caret_to_xy(self, idx: int) -> Tuple[float, float]:
         """Top-left of the caret for char index idx ∈ [0, len(text)]."""
         idx = max(0, min(idx, len(self.text)))
+
+        def _x_at(ln, i):
+            if self.font is None:
+                return ln.x + (i - ln.start) * self.char_w
+            return ln.x + float(sum(
+                self._advances(self.text[ln.start:ln.end])[:i - ln.start]))
+
         for ln in self.lines:
             if ln.start <= idx <= ln.end:
-                return (ln.x + (idx - ln.start) * self.char_w, ln.y)
+                return (_x_at(ln, idx), ln.y)
         ln = self.lines[-1]
-        return (ln.x + (ln.end - ln.start) * self.char_w, ln.y)
+        return (_x_at(ln, ln.end), ln.y)
 
     def xy_to_caret(self, x: float, y: float) -> int:
         """Nearest char index for a local point (click → caret)."""
         li = max(0, min(int(y // self.line_h), len(self.lines) - 1))
         ln = self.lines[li]
+        if self.font is not None:
+            adv = self._advances(self.text[ln.start:ln.end])
+            acc, col = ln.x, 0
+            for a in adv:
+                if x < acc + a * 0.5:
+                    break
+                acc += a
+                col += 1
+            return ln.start + col
         col = int(round((x - ln.x) / self.char_w))
         return ln.start + max(0, min(col, ln.end - ln.start))
 
