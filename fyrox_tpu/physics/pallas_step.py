@@ -96,22 +96,18 @@ def _gather_dot(mat, oh, prec=None):
                                preferred_element_type=f32, precision=p)
 
 
-def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
-            coli_sta_ref, jv_ref, warm_lam_ref, warm_pid_ref, self_body_ref,
-            out_body_ref, out_lam_ref, out_pid_ref, *,
-            s, cg, bp, cp_, num_colliders, class_layout, combos,
-            n_sub, n_pgs, n_stab, msp):
+def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
+                    warm_lam, warm_pid, *, s, cg, bp, cp_, num_colliders,
+                    class_layout, combos):
+    """The in-VMEM narrowphase + two-tier compaction + warm pid match on
+    plane VALUES. Returns (con dict _C_NAMES -> [S,Cg], bj [S,Cg] i32,
+    pid_c [S,Cg] i32). Shared by the monolithic fused kernel and the
+    split narrow/compact kernel (FYROX_FUSED_STEP=2) — the split halves
+    the per-kernel program size the Mosaic AOT compiler has to chew."""
     f32 = jnp.float32
     i32 = jnp.int32
-    prm = params_ref[0]
     margin = prm[9]
     n_hi = cp_ // 128
-
-    colj_dyn = colj_dyn_ref[0]                     # [10, Cp]
-    colj_sta = colj_sta_ref[...]                   # [10, Cp]
-    coli_dyn = coli_dyn_ref[0]                     # [10, Cgp]
-    coli_sta = coli_sta_ref[...]                   # [10, Cgp]
-    jall = jv_ref[0]                               # [NS, Cgp] i32
 
     # j-side gather source: 10 dynamic + 10 static rows ride one wide dot
     j_src = [colj_dyn[i] for i in range(10)] + [colj_sta[i] for i in range(10)]
@@ -244,8 +240,6 @@ def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
     pid_c = jnp.where(actc > 0.5, comp["pid"], -1)
 
     # ---- warmstart pid matching (slab2._solve_tgs_planes) ----
-    warm_lam = warm_lam_ref[0]                                 # [3, S, Cg]
-    warm_pid = warm_pid_ref[0]                                 # [S, Cg] i32
     same = (warm_pid == pid_c).astype(f32) * actc
     lam0 = (warm_lam[0] * same, warm_lam[1] * same, warm_lam[2] * same)
 
@@ -255,8 +249,21 @@ def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
                depth=comp["depth"], fric=comp["fric"], rest=comp["rest"],
                actf=actc, own=own_c, sigma=comp["sigma"],
                lam_n=lam0[0], lam_t1=lam0[1], lam_t2=lam0[2])
-    body = {name: body_ref[0, i] for i, name in enumerate(_B_NAMES)}
+    return con, bj, pid_c
 
+
+def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
+            coli_sta_ref, jv_ref, warm_lam_ref, warm_pid_ref, self_body_ref,
+            out_body_ref, out_lam_ref, out_pid_ref, *,
+            s, cg, bp, cp_, num_colliders, class_layout, combos,
+            n_sub, n_pgs, n_stab, msp):
+    prm = params_ref[0]
+    con, bj, pid_c = _narrow_compact(
+        prm, colj_dyn_ref[0], colj_sta_ref[...], coli_dyn_ref[0],
+        coli_sta_ref[...], jv_ref[0], warm_lam_ref[0], warm_pid_ref[0],
+        s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
+        class_layout=class_layout, combos=combos)
+    body = {name: body_ref[0, i] for i, name in enumerate(_B_NAMES)}
     out, lam = solve_planes(prm, con, body, bj // 128, bj % 128,
                             self_body_ref[...], s=s, cg=cg, bp=bp,
                             n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
@@ -265,10 +272,29 @@ def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
     out_pid_ref[0] = pid_c
 
 
+def _nc_kernel(params_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
+               coli_sta_ref, jv_ref, warm_lam_ref, warm_pid_ref,
+               out_con_ref, out_bj_ref, out_pid_ref, *,
+               s, cg, bp, cp_, num_colliders, class_layout, combos):
+    """Split-mode kernel 1: narrowphase + compaction + warm matching;
+    compacted contact planes go to HBM once ([_AC,S,Cg] per world, ~50x
+    smaller than the window planes the staged path materializes)."""
+    prm = params_ref[0]
+    con, bj, pid_c = _narrow_compact(
+        prm, colj_dyn_ref[0], colj_sta_ref[...], coli_dyn_ref[0],
+        coli_sta_ref[...], jv_ref[0], warm_lam_ref[0], warm_pid_ref[0],
+        s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
+        class_layout=class_layout, combos=combos)
+    out_con_ref[0] = jnp.stack([con[n] for n in _ps._C_NAMES])
+    out_bj_ref[0] = bj
+    out_pid_ref[0] = pid_c
+
+
 def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
                       coli_sta, jv, warm_lam, warm_pid, self_body, *,
                       s, cg, bp, cp_, num_colliders, class_layout, combos,
-                      n_sub, n_pgs, n_stab, msp=0.5, interpret=False):
+                      n_sub, n_pgs, n_stab, msp=0.5, interpret=False,
+                      split=False):
     """params [10] f32 (solver 9 + margin); body_planes [W,AB,Bp];
     colj_dyn [W,10,Cp]; colj_sta [10,Cp] static; coli_dyn [W,10,Cgp];
     coli_sta [10,Cgp] static; jv [W,NS,Cgp] i32 (−1 invalid);
@@ -281,6 +307,49 @@ def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
     pid_out [W,S,Cgp] i32 — the next step's warm_pair)."""
     w = body_planes.shape[0]
     ns = jv.shape[1]
+    if split:
+        # two resident kernels instead of one: narrow+compact emits the
+        # compacted contact planes through HBM once (~[_AC,S,Cg]/world),
+        # then the production solver kernel (pallas_solver) consumes
+        # them. Halves the program size Mosaic AOT has to compile — the
+        # monolithic kernel's 62 MB MLIR crashed the remote compiler.
+        nck = functools.partial(
+            _nc_kernel, s=s, cg=cg, bp=bp, cp_=cp_,
+            num_colliders=num_colliders, class_layout=class_layout,
+            combos=combos)
+        con_planes, bj, pid_out = pl.pallas_call(
+            nck,
+            grid=(w,),
+            in_specs=[
+                pl.BlockSpec((1, 10), lambda i: (0, 0)),
+                pl.BlockSpec((1, 10, cp_), lambda i: (i, 0, 0)),
+                pl.BlockSpec((10, cp_), lambda i: (0, 0)),
+                pl.BlockSpec((1, 10, cg), lambda i: (i, 0, 0)),
+                pl.BlockSpec((10, cg), lambda i: (0, 0)),
+                pl.BlockSpec((1, ns, cg), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, _ps._AC, s, cg), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((w, _ps._AC, s, cg), jnp.float32),
+                jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+                jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(params[None], colj_dyn, colj_sta, coli_dyn, coli_sta,
+          jv, warm_lam, warm_pid)
+        body_out, lam_out = _ps.solve_tgs_pallas(
+            con_planes, bj // 128, bj % 128, body_planes, self_body,
+            params[:9], s=s, cg=cg, bp=bp, n_sub=n_sub, n_pgs=n_pgs,
+            n_stab=n_stab, msp=msp, interpret=interpret)
+        return body_out, lam_out, pid_out
     kern = functools.partial(
         _kernel, s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
         class_layout=class_layout, combos=combos,

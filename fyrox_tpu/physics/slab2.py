@@ -1156,12 +1156,15 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
     from fyrox_tpu.physics import pallas_step as pf
     from fyrox_tpu.physics.pallas_ops import _is_tpu
     # TPU default stays the staged path until the fused kernel has a
-    # session-verified compile + win on the real chip (r5 session 1 hit
-    # a Mosaic remote-compile failure at flagship scale): opt in with
-    # FYROX_FUSED_STEP=1. Interpret mode (tests) always exercises it.
+    # session-verified compile + win on the real chip (the monolithic
+    # kernel's 62 MB MLIR crashed the Mosaic AOT compiler even at W=8):
+    # opt in with FYROX_FUSED_STEP=1 (one kernel) or =2 (split
+    # narrow+compact kernel -> solver kernel, half the program size per
+    # compile). Interpret mode (tests) always exercises the fused path;
+    # =2 selects the split there too.
     fused_env = _os.environ.get("FYROX_FUSED_STEP")
     use_fused = (pf.supports_fused(cx, t)
-                 and ((_is_tpu() and fused_env == "1")
+                 and ((_is_tpu() and fused_env in ("1", "2"))
                       or bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
                  and not _os.environ.get("FYROX_NO_FUSED_STEP")
                  and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"))
@@ -1494,6 +1497,7 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
     """Pack collider poses, static shape tables and the broadphase
     candidate windows into the fused narrow+compact+solve kernel's
     layouts (pallas_step.py) and unpack body state + warm carries."""
+    import os as _os
     from fyrox_tpu.physics import pallas_step as pf
     from fyrox_tpu.physics.pallas_ops import pad_to
     w = pos[0].shape[0]
@@ -1606,7 +1610,8 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
         s=s, cg=cgp, bp=bp, cp_=cpp, num_colliders=sc.num_colliders,
         class_layout=class_layout, combos=cx.combos,
         n_sub=t.n_substeps, n_pgs=t.n_pgs, n_stab=t.n_stabilization,
-        msp=float(t.mass_split_pow), interpret=interpret)
+        msp=float(t.mass_split_pow), interpret=interpret,
+        split=_os.environ.get("FYROX_FUSED_STEP") == "2")
 
     lv_o = tuple(body_out[:, i, :b] for i in range(3))
     av_o = tuple(body_out[:, 3 + i, :b] for i in range(3))

@@ -62,24 +62,30 @@ def main():
     # A/B: staged default first (the provenance number), then the
     # fused kernel opt-in — probe at W=8 before committing the big
     # flagship compile (session-1 Mosaic remote-compile failure)
+    probe_ok = {}
     for name, env, ww in (
             ("headline_staged_default", {"FYROX_FUSED_STEP": None}, None),
             # exact take-form pose gathers (new default) vs the bf16
             # one-hot dot form they replace (r5 pose-quantization fix)
             ("headline_pose_dot", {"FYROX_POSE_GATHER": "dot"}, None),
             ("headline_pose_take", {"FYROX_POSE_GATHER": None}, None),
-            ("fused_probe_w8", {"FYROX_FUSED_STEP": "1"}, 8),
-            ("headline_fused", {"FYROX_FUSED_STEP": "1"}, None),
+            # split mode (=2): narrow+compact kernel -> solver kernel,
+            # half the per-kernel program for the Mosaic AOT compiler
+            # (the monolithic kernel's 62 MB MLIR crashed it at W=8)
+            ("fused_split_probe_w8", {"FYROX_FUSED_STEP": "2"}, 8),
+            ("headline_fused_split", {"FYROX_FUSED_STEP": "2"}, None),
             ("headline_staged_again", {"FYROX_FUSED_STEP": None}, None),
     ):
         try:
+            if name == "headline_fused_split" and not probe_ok.get("s"):
+                emit(name, skipped="probe failed")
+                continue
             v = measure_headline(env, worlds=ww)
             emit(name, env_steps_per_sec_per_chip=round(v, 1))
+            if name == "fused_split_probe_w8":
+                probe_ok["s"] = True
         except Exception as e:  # noqa: BLE001 — record and continue
             emit(name, error=f"{type(e).__name__}: {e}"[:800])
-            if name == "fused_probe_w8":
-                os.environ.pop("FYROX_FUSED_STEP", None)
-                break
     os.environ.pop("FYROX_FUSED_STEP", None)
 
     # ---- slab demand stats on a settled flagship state (sizes S and

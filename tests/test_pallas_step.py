@@ -111,6 +111,25 @@ def test_fused_matches_solver_kernel_single_step(monkeypatch):
 
 
 @pytest.mark.slow
+def test_split_mode_matches_monolithic(monkeypatch):
+    """FYROX_FUSED_STEP=2 (narrow+compact kernel -> solver kernel, the
+    Mosaic-AOT-sized split) must produce the same step as the monolithic
+    fused kernel: identical in-kernel math, only an HBM hop for the
+    compacted planes between them."""
+    pb, t = _scene(with_capsules=False, seed=7, n=12)
+    s0 = wm.init_physics_state(pb, t, 1)
+    mono = _run(monkeypatch, t, s0,
+                {"FYROX_PALLAS_INTERPRET": "1",
+                 "FYROX_FUSED_STEP": None}, steps=3)
+    split = _run(monkeypatch, t, s0,
+                 {"FYROX_PALLAS_INTERPRET": "1",
+                  "FYROX_FUSED_STEP": "2"}, steps=3)
+    np.testing.assert_allclose(mono.position, split.position, atol=1e-7)
+    np.testing.assert_allclose(mono.warm_n, split.warm_n, atol=1e-6)
+    np.testing.assert_array_equal(mono.warm_pair, split.warm_pair)
+
+
+@pytest.mark.slow
 def test_fused_warmstart_carries(monkeypatch):
     """Warmstarted steady-state: the fused kernel's in-kernel pid match
     must reproduce the XLA warm matching (no impulse loss between
