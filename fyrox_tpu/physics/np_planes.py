@@ -31,7 +31,19 @@ class ManifoldP(NamedTuple):
     normal: Tuple          # v3, A→B
     pts: List              # [v3] * n
     depth: List            # [plane] * n
-    active: List           # [bool plane] * n
+    active: List           # [f32 0/1 mask plane] * n (NOT bool: selects
+                           # between vector bools hit Mosaic's
+                           # unsupported i8->i1 truncation in-kernel)
+
+
+def _m(cond):
+    """Float 0/1 mask from a predicate. In-kernel (Mosaic) bitwise ops
+    on multi-row vector bools lower through an i8 pack and hit an
+    unsupported i8->i1 truncation (r5 finding: arith.trunci on
+    vector<13x1024xi8>); composing masks in f32 and comparing once
+    keeps every predicate a single compare feeding a select/extui —
+    the supported pattern. XLA-side semantics are identical."""
+    return jnp.where(cond, 1.0, 0.0)
 
 
 def _empty(like, npts):
@@ -39,7 +51,7 @@ def _empty(like, npts):
     return ManifoldP(normal=(z, z, z),
                      pts=[(z, z, z) for _ in range(npts)],
                      depth=[jnp.full_like(like, -1e9) for _ in range(npts)],
-                     active=[jnp.zeros(like.shape, bool) for _ in range(npts)])
+                     active=[jnp.zeros_like(like) for _ in range(npts)])
 
 
 def _sel(cond, mt, mf):
@@ -52,7 +64,7 @@ def _sel(cond, mt, mf):
 
 def _one(normal, point, depth, pred):
     return ManifoldP(normal=normal, pts=[point], depth=[depth],
-                     active=[depth > -pred])
+                     active=[_m(depth > -pred)])
 
 
 # --------------------------------------------------------------------------
@@ -82,10 +94,9 @@ def ball_cuboid_p(pa, ra, pb, rot_b, half, pred):
     px = half[0] - jnp.abs(rel[0])
     py = half[1] - jnp.abs(rel[1])
     pz = half[2] - jnp.abs(rel[2])
-    ax = (px <= py) & (px <= pz)
-    ay = (~ax) & (py <= pz)
-    az = ~(ax | ay)
-    axf, ayf, azf = (a.astype(dist.dtype) for a in (ax, ay, az))
+    axf = _m(px <= py) * _m(px <= pz)
+    ayf = (1.0 - axf) * _m(py <= pz)
+    azf = 1.0 - axf - ayf
     sgn = jnp.sign(axf * rel[0] + ayf * rel[1] + azf * rel[2])
     sgn = jnp.where(sgn == 0, 1.0, sgn)
     n_in = (axf * sgn, ayf * sgn, azf * sgn)
@@ -188,7 +199,7 @@ def capsule_halfspace_p(pa, rot_a, hh, ra, pp, rot_p, pred):
         depth = ra - dist
         pts.append(sub3(e, scale3(n, dist)))
         dep.append(depth)
-        act.append(depth > -pred)
+        act.append(_m(depth > -pred))
     return ManifoldP(normal=neg3(n), pts=pts, depth=dep, active=act)
 
 
@@ -211,7 +222,8 @@ def cuboid_halfspace_p(pa, rot_a, half, pp, rot_p, pred):
         for j in range(8):
             if j == i:
                 continue
-            gt = (depths[j] > depths[i]) | ((depths[j] == depths[i]) & (j < i))
+            # ties break by index — static j<i folds into the compare
+            gt = (depths[j] >= depths[i]) if j < i else (depths[j] > depths[i])
             r = gt.astype(jnp.int32) if r is None else r + gt
         ranks.append(r)
     pts, dep, act = [], [], []
@@ -230,7 +242,7 @@ def cuboid_halfspace_p(pa, rot_a, half, pp, rot_p, pred):
                 dk = dk + depths[i] * m
         pts.append((px, py, pz))
         dep.append(dk)
-        act.append(dk > -pred)
+        act.append(_m(dk > -pred))
     return ManifoldP(normal=neg3(n), pts=pts, depth=dep, active=act)
 
 
@@ -265,7 +277,8 @@ def cuboid_cuboid_p(pa, rot_a, half_a, pb, rot_b, half_b, pred):
             axis, ln = normalize3(axis, fallback=(0.0, 0.0, 0.0))
             axis = where3(ln > 1e-6, axis, best_axis)
             pen = face_pen(axis)
-            better = (ln > 1e-6) & (pen < best_pen - 1e-6)
+            better = (_m(ln > 1e-6)
+                      * _m(pen < best_pen - 1e-6)) > 0.5
             best_pen = jnp.where(better, pen, best_pen)
             best_axis = where3(better, axis, best_axis)
 
@@ -276,10 +289,9 @@ def cuboid_cuboid_p(pa, rot_a, half_a, pb, rot_b, half_b, pred):
         axes = [rot9_col(rot, j) for j in range(3)]
         dots = [dot3(a, axis_dir) for a in axes]
         a0, a1, a2 = (jnp.abs(t) for t in dots)
-        fx = (a0 >= a1) & (a0 >= a2)
-        fy = (~fx) & (a1 >= a2)
-        fz = ~(fx | fy)
-        fxf, fyf, fzf = (f.astype(p[0].dtype) for f in (fx, fy, fz))
+        fxf = _m(a0 >= a1) * _m(a0 >= a2)
+        fyf = (1.0 - fxf) * _m(a1 >= a2)
+        fzf = 1.0 - fxf - fyf
         fa = (fxf, fyf, fzf)
         ta = (fzf, fxf, fyf)      # (face+1) % 3 one-hot
         tb = (fyf, fzf, fxf)      # (face+2) % 3 one-hot
@@ -315,7 +327,7 @@ def cuboid_cuboid_p(pa, rot_a, half_a, pb, rot_b, half_b, pred):
         depth = plane_d - dot3(normal, ip)
         pts.append(clipped)
         dep.append(depth)
-        act.append((depth > -pred) & pen_ok)
+        act.append(_m(depth > -pred) * _m(pen_ok))
     return ManifoldP(normal=normal, pts=pts, depth=dep, active=act)
 
 
@@ -378,5 +390,5 @@ def generate_class_planes(cls, eff_a, eff_b, pos_a, rot_a, p6a,
         else CLASS_COMBOS_P[cls]
     for (ka, kb) in combos:
         m = _run_combo(ka, kb, pos_a, rot_a, p6a, pos_b, rot_b, p6b, pred)
-        out = _sel((eff_a == ka) & (eff_b == kb), m, out)
+        out = _sel((_m(eff_a == ka) * _m(eff_b == kb)) > 0.5, m, out)
     return out

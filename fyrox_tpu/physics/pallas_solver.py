@@ -82,30 +82,280 @@ _AC = len(_C_NAMES)
 _B_NAMES = ("lvx", "lvy", "lvz", "avx", "avy", "avz",
             "px", "py", "pz", "qx", "qy", "qz", "qw",
             "accx", "accy", "accz", "im",
-            "ii0", "ii1", "ii2", "ii3", "ii4", "ii5", "ii6", "ii7", "ii8")
+            "ii0", "ii1", "ii2", "ii3", "ii4", "ii5", "ii6", "ii7", "ii8",
+            # body-local COM offset (zeros for origin-centered bodies):
+            # lever arms and integration then track the COM, not the
+            # origin (rapier RigidBody::center_of_mass semantics)
+            "cmx", "cmy", "cmz")
 _BI = {n: i for i, n in enumerate(_B_NAMES)}
 _AB = len(_B_NAMES)
 
 
 def supports_kernel(t, has_com) -> bool:
+    """COM offsets and joint sets up to 128 joints run in-kernel (the
+    joint tables live on one padded 128-lane axis); larger joint sets
+    fall back to the XLA plane path."""
     joints = t.joints
-    return (not has_com) and (joints is None or joints.num_joints == 0)
+    return joints is None or joints.num_joints <= 128
+
+
+# -- in-kernel joint constraint math (plane-form, [Jp]-lane) -------------
+# jtab static rows: kind, anchor_a3, anchor_b3, axis_a3, ref_rot4,
+# com_a3, com_b3 (20). oh_ja/oh_jb [Jp,Bp] one-hot body selectors; pad
+# lanes are all-zero rows, so their gathers read 0 and their scatters
+# write nothing.
+_J_ROWS = 20
+_J_ERP = 0.2
+_J_POS_ERP = 0.5
+
+
+def _jrot(q, v):
+    """Rotate plane-tuple v by plane-quat q (x,y,z,w)."""
+    tx = 2.0 * (q[1] * v[2] - q[2] * v[1])
+    ty = 2.0 * (q[2] * v[0] - q[0] * v[2])
+    tz = 2.0 * (q[0] * v[1] - q[1] * v[0])
+    return (v[0] + q[3] * tx + (q[1] * tz - q[2] * ty),
+            v[1] + q[3] * ty + (q[2] * tx - q[0] * tz),
+            v[2] + q[3] * tz + (q[0] * ty - q[1] * tx))
+
+
+def _jqmul(a, b):
+    return (a[3] * b[0] + a[0] * b[3] + a[1] * b[2] - a[2] * b[1],
+            a[3] * b[1] - a[0] * b[2] + a[1] * b[3] + a[2] * b[0],
+            a[3] * b[2] + a[0] * b[1] - a[1] * b[0] + a[2] * b[3],
+            a[3] * b[3] - a[0] * b[0] - a[1] * b[1] - a[2] * b[2])
+
+
+def _jconj(q):
+    return (-q[0], -q[1], -q[2], q[3])
+
+
+def _jcross(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _jdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _jmv9(m, v):
+    return (m[0] * v[0] + m[1] * v[1] + m[2] * v[2],
+            m[3] * v[0] + m[4] * v[1] + m[5] * v[2],
+            m[6] * v[0] + m[7] * v[1] + m[8] * v[2])
+
+
+def _jgather(planes, oh):
+    """list of [Bp] body planes -> list of [Jp] joint-lane values
+    (HIGHEST: one small [A,Bp]x[Bp,Jp] dot, exactness over speed)."""
+    mat = jnp.stack(planes)
+    out = jax.lax.dot_general(mat, oh, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    return [out[i] for i in range(len(planes))]
+
+
+def _jscatter(vals, oh):
+    """list of [Jp] joint deltas -> list of [Bp] body sums (Jacobi
+    accumulation across joints sharing a body)."""
+    mat = jnp.stack(vals)
+    out = jax.lax.dot_general(mat, oh, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+    return [out[i] for i in range(len(vals))]
+
+
+def _skew_sandwich(r, m):
+    """skew(r) @ M @ skew(r)^T as 9 planes (M row-major 9 planes)."""
+    rx, ry, rz = r
+    t0 = (-rz * m[3] + ry * m[6], -rz * m[4] + ry * m[7],
+          -rz * m[5] + ry * m[8])
+    t1 = (rz * m[0] - rx * m[6], rz * m[1] - rx * m[7],
+          rz * m[2] - rx * m[8])
+    t2 = (-ry * m[0] + rx * m[3], -ry * m[1] + rx * m[4],
+          -ry * m[2] + rx * m[5])
+
+    def col(t):
+        return (-rz * t[1] + ry * t[2],
+                rz * t[0] - rx * t[2],
+                -ry * t[0] + rx * t[1])
+
+    c0, c1, c2 = col(t0), col(t1), col(t2)
+    return (c0[0], c0[1], c0[2], c1[0], c1[1], c1[2], c2[0], c2[1], c2[2])
+
+
+def _solve3(m, b):
+    """3x3 solve via the adjugate (per-lane scalars; no linalg in
+    Mosaic). m: 9 planes row-major (+eps on the diagonal upstream)."""
+    c00 = m[4] * m[8] - m[5] * m[7]
+    c01 = m[5] * m[6] - m[3] * m[8]
+    c02 = m[3] * m[7] - m[4] * m[6]
+    det = m[0] * c00 + m[1] * c01 + m[2] * c02
+    inv_det = 1.0 / (det + 1e-18)
+    c10 = m[2] * m[7] - m[1] * m[8]
+    c11 = m[0] * m[8] - m[2] * m[6]
+    c12 = m[1] * m[6] - m[0] * m[7]
+    c20 = m[1] * m[5] - m[2] * m[4]
+    c21 = m[2] * m[3] - m[0] * m[5]
+    c22 = m[0] * m[4] - m[1] * m[3]
+    return ((c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det,
+            (c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det,
+            (c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det)
+
+
+def _joint_frames(jtab, oh_ja, oh_jb, pos, q):
+    """Shared gather block: per-joint body poses + world anchors."""
+    g = _jgather(list(pos) + list(q), oh_ja)
+    pos_a, qa = tuple(g[0:3]), tuple(g[3:7])
+    g = _jgather(list(pos) + list(q), oh_jb)
+    pos_b, qb = tuple(g[0:3]), tuple(g[3:7])
+    anch_a = (jtab[1], jtab[2], jtab[3])
+    anch_b = (jtab[4], jtab[5], jtab[6])
+    return pos_a, qa, pos_b, qb, anch_a, anch_b
+
+
+def _joint_velocity_planes(lv, av, pos, q, ii0, im, jtab, oh_ja, oh_jb, h):
+    """One Jacobi velocity pass over all joints (joints.py
+    solve_joints_velocity semantics, plane-form in-kernel)."""
+    kind = jtab[0]
+    axis_l = (jtab[7], jtab[8], jtab[9])
+    ref_rot = (jtab[10], jtab[11], jtab[12], jtab[13])
+    com_a = (jtab[14], jtab[15], jtab[16])
+    com_b = (jtab[17], jtab[18], jtab[19])
+    pos_a, qa, pos_b, qb, anch_a, anch_b = _joint_frames(
+        jtab, oh_ja, oh_jb, pos, q)
+    dyn = list(lv) + list(av) + [im] + list(ii0)
+    ga = _jgather(dyn, oh_ja)
+    gb = _jgather(dyn, oh_jb)
+    lv_a, av_a, im_a, ii_a = (tuple(ga[0:3]), tuple(ga[3:6]), ga[6],
+                              tuple(ga[7:16]))
+    lv_b, av_b, im_b, ii_b = (tuple(gb[0:3]), tuple(gb[3:6]), gb[6],
+                              tuple(gb[7:16]))
+
+    ra = _jrot(qa, tuple(a - c for a, c in zip(anch_a, com_a)))
+    rb = _jrot(qb, tuple(a - c for a, c in zip(anch_b, com_b)))
+    pa = tuple(p + r for p, r in zip(pos_a, _jrot(qa, anch_a)))
+    pb = tuple(p + r for p, r in zip(pos_b, _jrot(qb, anch_b)))
+    va = tuple(l + c for l, c in zip(lv_a, _jcross(av_a, ra)))
+    vb = tuple(l + c for l, c in zip(lv_b, _jcross(av_b, rb)))
+
+    c3 = tuple(b_ - a_ for a_, b_ in zip(pa, pb))
+    axis_w0 = _jrot(qa, axis_l)
+    is_prism = kind == 3.0
+    cdot = _jdot(c3, axis_w0)
+    c3 = tuple(jnp.where(is_prism, cc - cdot * ax, cc)
+               for cc, ax in zip(c3, axis_w0))
+    verr = tuple(vb_ - va_ + (_J_ERP / h) * cc
+                 for va_, vb_, cc in zip(va, vb, c3))
+    vdot = _jdot(verr, axis_w0)
+    verr = tuple(jnp.where(is_prism, ve - vdot * ax, ve)
+                 for ve, ax in zip(verr, axis_w0))
+
+    sa = _skew_sandwich(ra, ii_a)
+    sb = _skew_sandwich(rb, ii_b)
+    imab = im_a + im_b
+    k = [x + y for x, y in zip(sa, sb)]
+    for d in (0, 4, 8):
+        k[d] = k[d] + imab + 1e-9
+    imp = _solve3(k, verr)
+    imp = tuple(-i for i in imp)
+
+    dlv_a = tuple(-i * im_a for i in imp)
+    dlv_b = tuple(i * im_b for i in imp)
+    dav_a = _jmv9(ii_a, _jcross(ra, tuple(-i for i in imp)))
+    dav_b = _jmv9(ii_b, _jcross(rb, imp))
+
+    # apply the point impulses BEFORE the angular locks: the reference
+    # pass (joints.solve_joints_velocity) scatter-adds then re-gathers
+    # av, so the locks see the post-point angular velocities — including
+    # contributions from OTHER joints sharing a body
+    sums_a = _jscatter(list(dlv_a) + list(dav_a), oh_ja)
+    sums_b = _jscatter(list(dlv_b) + list(dav_b), oh_jb)
+    lv = tuple(l + a_ + b_ for l, a_, b_ in zip(lv, sums_a[0:3],
+                                                sums_b[0:3]))
+    av = tuple(a0 + a_ + b_ for a0, a_, b_ in zip(av, sums_a[3:6],
+                                                  sums_b[3:6]))
+    av_a = tuple(_jgather(list(av), oh_ja))
+    av_b = tuple(_jgather(list(av), oh_jb))
+
+    # angular locks (FIXED/PRISMATIC full, REVOLUTE minus hinge axis)
+    rel_w = tuple(b_ - a_ for a_, b_ in zip(av_a, av_b))
+    q_rel = _jqmul(_jconj(qa), qb)
+    q_err = _jqmul(_jconj(ref_rot), q_rel)
+    sgn = jnp.where(q_err[3] >= 0.0, 1.0, -1.0)
+    ang_err = _jrot(qa, (2.0 * q_err[0] * sgn, 2.0 * q_err[1] * sgn,
+                         2.0 * q_err[2] * sgn))
+    target = tuple(rw + (_J_ERP / h) * ae for rw, ae in zip(rel_w, ang_err))
+    tdot = _jdot(target, axis_w0)
+    t_rev = tuple(tt - tdot * ax for tt, ax in zip(target, axis_w0))
+    full = (kind == 1.0) | (kind == 3.0)
+    is_rev = kind == 2.0
+    ang_t = tuple(jnp.where(full, tt,
+                            jnp.where(is_rev, tr, jnp.zeros_like(tt)))
+                  for tt, tr in zip(target, t_rev))
+    k_ang = [x + y for x, y in zip(ii_a, ii_b)]
+    for d in (0, 4, 8):
+        k_ang[d] = k_ang[d] + 1e-9
+    ang_imp = _solve3(k_ang, ang_t)
+    ang_imp = tuple(-i for i in ang_imp)
+    dav_a2 = _jmv9(ii_a, tuple(-i for i in ang_imp))
+    dav_b2 = _jmv9(ii_b, ang_imp)
+
+    sums_a = _jscatter(list(dav_a2), oh_ja)
+    sums_b = _jscatter(list(dav_b2), oh_jb)
+    av = tuple(a0 + a_ + b_ for a0, a_, b_ in zip(av, sums_a, sums_b))
+    return lv, av
+
+
+def _joint_position_planes(pos, q, im, jtab, oh_ja, oh_jb):
+    """NGS anchor-separation correction (joints.joint_position_pass)."""
+    kind = jtab[0]
+    axis_l = (jtab[7], jtab[8], jtab[9])
+    pos_a, qa, pos_b, qb, anch_a, anch_b = _joint_frames(
+        jtab, oh_ja, oh_jb, pos, q)
+    ga = _jgather([im], oh_ja)
+    gb = _jgather([im], oh_jb)
+    im_a, im_b = ga[0], gb[0]
+    ra = _jrot(qa, anch_a)
+    rb = _jrot(qb, anch_b)
+    c3 = tuple((p_b + r_b) - (p_a + r_a)
+               for p_a, r_a, p_b, r_b in zip(pos_a, ra, pos_b, rb))
+    axis_w = _jrot(qa, axis_l)
+    is_prism = kind == 3.0
+    cdot = _jdot(c3, axis_w)
+    c3 = tuple(jnp.where(is_prism, cc - cdot * ax, cc)
+               for cc, ax in zip(c3, axis_w))
+    denom = jnp.maximum(im_a + im_b, 1e-9)
+    corr = tuple(_J_POS_ERP * cc for cc in c3)
+    d_a = tuple(cc * im_a / denom for cc in corr)
+    d_b = tuple(-cc * im_b / denom for cc in corr)
+    sums_a = _jscatter(list(d_a), oh_ja)
+    sums_b = _jscatter(list(d_b), oh_jb)
+    return tuple(p + a_ + b_ for p, a_, b_ in zip(pos, sums_a, sums_b))
 
 
 def _kernel(params_ref, con_ref, hi_ref, lo_ref, body_ref,
-            self_body_ref, out_body_ref, out_lam_ref, *, s, cg, bp,
-            n_sub, n_pgs, n_stab, msp):
-    con = {name: con_ref[0, i] for name, i in _CI.items()}
-    body = {name: body_ref[0, i] for name, i in _BI.items()}
+            self_body_ref, *rest, s, cg, bp,
+            n_sub, n_pgs, n_stab, msp, has_com=False, has_joints=False):
+    i = 0
+    joints = None
+    if has_joints:
+        joints = (rest[0][...], rest[1][...], rest[2][...])
+        i = 3
+    out_body_ref, out_lam_ref = rest[i], rest[i + 1]
+    con = {name: con_ref[0, i2] for name, i2 in _CI.items()}
+    body = {name: body_ref[0, i2] for name, i2 in _BI.items()}
     out, lam = solve_planes(params_ref[0], con, body, hi_ref[0], lo_ref[0],
                             self_body_ref[...], s=s, cg=cg, bp=bp,
-                            n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+                            n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab,
+                            msp=msp, has_com=has_com, joints=joints)
     out_body_ref[0] = out
     out_lam_ref[0] = lam
 
 
 def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
-                 n_sub, n_pgs, n_stab, msp):
+                 n_sub, n_pgs, n_stab, msp, has_com=False, joints=None):
     """The complete in-VMEM TGS solve on plane VALUES (not refs), so the
     fused narrow+compact+solve kernel (pallas_step.py) can feed it
     contacts it just built without an HBM round trip.
@@ -349,7 +599,16 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
         count_b = count_b ** msp
 
     im_plane = bpl("im")
-    body14 = [im_plane, count_b, bpl("px"), bpl("py"), bpl("pz")] + ii0
+    cm_l = (bpl("cmx"), bpl("cmy"), bpl("cmz"))
+    q0_ = (bpl("qx"), bpl("qy"), bpl("qz"), bpl("qw"))
+    if has_com:
+        # anchors are frozen per step: lever arms measure from the
+        # step-start world COM (XLA path com_w0)
+        com_w0 = tuple(p + r for p, r in zip(
+            (bpl("px"), bpl("py"), bpl("pz")), _jrot(q0_, cm_l)))
+    else:
+        com_w0 = (bpl("px"), bpl("py"), bpl("pz"))
+    body14 = [im_plane, count_b, com_w0[0], com_w0[1], com_w0[2]] + ii0
     jg14, ig14 = gather_self(body14)
     im_j, cnt_j = jg14[0], jg14[1]
     im_i, cnt_i = ig14[0], ig14[1]
@@ -430,6 +689,11 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
     for _sub in range(n_sub):
         lv = tuple(l + h * a_ for l, a_ in zip(lv, acc))
 
+        if joints is not None:
+            jtab, oh_ja, oh_jb = joints
+            lv, av = _joint_velocity_planes(
+                lv, av, pos, q, ii0, im_plane, jtab, oh_ja, oh_jb, h)
+
         # warmstart
         lam_n = lam_n * wc
         lam_t1 = lam_t1 * wc
@@ -475,7 +739,8 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
         vn_end = dot3(rel_vel(lv, av), n)
         depth = depth - h * vn_end
 
-        # integrate (no COM offsets in the kernel's scope)
+        # integrate (COM scenes track the COM linearly and re-derive
+        # the origin from the new orientation — XLA substep semantics)
         dq = (q[3] * av[0] + av[1] * q[2] - av[2] * q[1],
               q[3] * av[1] - av[0] * q[2] + av[2] * q[0],
               q[3] * av[2] + av[0] * q[1] - av[1] * q[0],
@@ -483,8 +748,20 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
         qn = tuple(qc + 0.5 * h * dc for qc, dc in zip(q, dq))
         inv = jax.lax.rsqrt(qn[0] ** 2 + qn[1] ** 2 + qn[2] ** 2
                             + qn[3] ** 2 + 1e-30)
-        q = tuple(qc * inv for qc in qn)
-        pos = tuple(p + h * l for p, l in zip(pos, lv))
+        q_new = tuple(qc * inv for qc in qn)
+        if has_com:
+            com = tuple(p + r + h * l for p, r, l in zip(
+                pos, _jrot(q, cm_l), lv))
+            pos = tuple(c_ - r for c_, r in zip(com, _jrot(q_new, cm_l)))
+        else:
+            pos = tuple(p + h * l for p, l in zip(pos, lv))
+        q = q_new
+
+    if joints is not None:
+        jtab, oh_ja, oh_jb = joints
+        for _it in range(n_stab):
+            pos = _joint_position_planes(pos, q, im_plane, jtab,
+                                         oh_ja, oh_jb)
 
     # restitution
     vn = dot3(rel_vel(lv, av), n)
@@ -504,6 +781,13 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
         dpos = tuple(sums[0:3])
         dth = mv9(tuple(sums[3:6]))
         pos = tuple(p + d for p, d in zip(pos, dpos))
+        if has_com:
+            # rotating about the COM shifts the origin: dtheta x (-R q cm)
+            arm = tuple(-r for r in _jrot(q, cm_l))
+            shift = (dth[1] * arm[2] - dth[2] * arm[1],
+                     dth[2] * arm[0] - dth[0] * arm[2],
+                     dth[0] * arm[1] - dth[1] * arm[0])
+            pos = tuple(p + sh for p, sh in zip(pos, shift))
         dq = (q[3] * dth[0] + dth[1] * q[2] - dth[2] * q[1],
               q[3] * dth[1] - dth[0] * q[2] + dth[2] * q[0],
               q[3] * dth[2] + dth[0] * q[1] - dth[1] * q[0],
@@ -531,14 +815,32 @@ def solve_planes(prm, con, body, hi, lo, self_b, *, s, cg, bp,
 
 def solve_tgs_pallas(con_planes, hi, lo, body_planes,
                      self_body, params, s, cg, bp, n_sub, n_pgs, n_stab,
-                     msp=0.5, interpret=False):
+                     msp=0.5, interpret=False, has_com=False,
+                     joint_tables=None):
     """con_planes [W,AC,S,Cg] f32; hi/lo [W,S,Cg] i32; body_planes
     [W,AB,Bp]; self_body [Cg,Bp] one-hot f32; params [9] f32.
+
+    joint_tables: optional (jtab [_J_ROWS,Jp] f32, oh_ja [Jp,Bp],
+    oh_jb [Jp,Bp]) static tables — the joint passes then run in-kernel
+    (ragdolls keep the fast path). has_com: bodies carry cm* planes.
 
     Returns (body_out [W,13,Bp], lam_out [W,3,S,Cg])."""
     w = con_planes.shape[0]
     kern = functools.partial(_kernel, s=s, cg=cg, bp=bp, n_sub=n_sub,
-                             n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+                             n_pgs=n_pgs, n_stab=n_stab, msp=msp,
+                             has_com=has_com,
+                             has_joints=joint_tables is not None)
+    extra_in = []
+    extra_specs = []
+    if joint_tables is not None:
+        jtab, oh_ja, oh_jb = joint_tables
+        jp = jtab.shape[1]
+        extra_in = [jtab, oh_ja, oh_jb]
+        extra_specs = [
+            pl.BlockSpec((_J_ROWS, jp), lambda i: (0, 0)),
+            pl.BlockSpec((jp, bp), lambda i: (0, 0)),
+            pl.BlockSpec((jp, bp), lambda i: (0, 0)),
+        ]
     return pl.pallas_call(
         kern,
         grid=(w,),
@@ -549,7 +851,7 @@ def solve_tgs_pallas(con_planes, hi, lo, body_planes,
             pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, _AB, bp), lambda i: (i, 0, 0)),
             pl.BlockSpec((cg, bp), lambda i: (0, 0)),
-        ],
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec((1, 13, bp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
@@ -561,4 +863,5 @@ def solve_tgs_pallas(con_planes, hi, lo, body_planes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params[None], con_planes, hi, lo, body_planes, self_body)
+    )(params[None], con_planes, hi, lo, body_planes, self_body,
+      *extra_in)

@@ -62,9 +62,13 @@ _STA = ("p0", "p1", "p2", "p3", "p4", "p5", "fric", "rest", "kind", "idx")
 
 
 def supports_fused(cx, t) -> bool:
-    """Kernel scope: everything the primitive plane narrowphase covers."""
-    from fyrox_tpu.physics.pallas_solver import supports_kernel
-    return (supports_kernel(t, cx.has_com)
+    """Kernel scope: everything the primitive plane narrowphase covers.
+    Joints/COM run in the SOLVER kernel (pallas_solver joint tables) but
+    are not yet threaded through this fused front end, so such scenes
+    use the staged narrowphase + solver-kernel path."""
+    joints = t.joints
+    return (not cx.has_com
+            and (joints is None or joints.num_joints == 0)
             and not cx.scenery
             and cx.hull_flat is None
             and any(t.grid.nslot(c) for c in range(3)))
@@ -121,22 +125,37 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
     for (cls, nslot, row0) in class_layout:
         npts = (1, 2, 4)[cls]
         jr_raw = jall[row0:row0 + nslot]           # [nslot, Cgp] i32
-        valid = jr_raw >= 0
-        jr = jnp.maximum(jr_raw, 0)
-        hi = jr // 128
-        lo = jr % 128
+        # pad slot rows to a multiple of 8: Mosaic supports vector bools
+        # only at 8-aligned sublane counts — [13x1024]xi1 (nslot=13)
+        # lowers through an i8 pack and dies on an unsupported i8->i1
+        # truncation; padded rows are invalid (-1) and compact away
+        nslot_p = -(-nslot // 8) * 8
+        if nslot_p > nslot:
+            jr_raw = jnp.concatenate(
+                [jr_raw, jnp.full((nslot_p - nslot, cg), -1, i32)], axis=0)
+            nslot = nslot_p
+        # all slot-index math rides f32 (exact for these magnitudes):
+        # int vector SELECTS/MAX lower through an i8 mask pack Mosaic
+        # can't truncate back to i1 — the solver kernel compiles because
+        # its only int vector ops are compares
+        jr_f = jr_raw.astype(f32)
+        valid = jr_f >= 0.0
+        jr = jnp.maximum(jr_f, 0.0)
+        hi = jnp.floor(jr * (1.0 / 128.0))
+        lo = jr - 128.0 * hi
 
         k = nslot * cg
         lo_flat = lo.reshape(1, k)
         hi_flat = hi.reshape(1, k)
-        iota_wide = jax.lax.broadcasted_iota(i32, (128, k), 0)
+        iota_wide = jax.lax.broadcasted_iota(
+            i32, (128, k), 0).astype(f32)
         oh = (iota_wide == lo_flat).astype(f32)
         mat = jnp.stack([p[s8 * 128:(s8 + 1) * 128]
                          for s8 in range(n_hi) for p in j_src])  # [n_hi*na,128]
         tmp = _gather_dot(mat, oh)                 # [n_hi*na, k]
-        acc = tmp[0:na] * (hi_flat == 0).astype(f32)
+        acc = tmp[0:na] * (hi_flat == 0.0).astype(f32)
         for s8 in range(1, n_hi):
-            acc = acc + tmp[s8 * na:(s8 + 1) * na] * (hi_flat == s8
+            acc = acc + tmp[s8 * na:(s8 + 1) * na] * (hi_flat == float(s8)
                                                       ).astype(f32)
         jg = acc.reshape(na, nslot, cg)
 
@@ -145,8 +164,8 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
         j_vs = (jg[7], jg[8], jg[9])
         j_p6 = tuple(jg[10 + i] for i in range(6))
         j_fric, j_rest = jg[16], jg[17]
-        kind_j = jg[18].astype(i32)
-        body_j = jg[19].astype(i32)
+        kind_j = jg[18]                            # f32 (small ints)
+        body_j = jg[19]
 
         def ib(row):
             return jnp.broadcast_to(row[None], (nslot, cg))
@@ -157,14 +176,40 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
         i_p6 = tuple(ib(coli_sta[i]) for i in range(6))
         i_fric = ib(coli_sta[6])
         i_rest = ib(coli_sta[7])
-        kind_i = ib(coli_sta[8]).astype(i32)
-        gidx = ib(coli_sta[9]).astype(i32)
+        kind_i = ib(coli_sta[8])
+        gidx = ib(coli_sta[9])
 
         dv = tuple(a - b for a, b in zip(i_vs, j_vs))
         pred = margin + norm3(dv)
 
-        # canonical A/B ordering (same compare as broadphase swap)
-        sw = (kind_i > kind_j) | ((kind_i == kind_j) & (gidx > jr))
+        import os as _os2
+        if _os2.environ.get("FYROX_NC_BISECT") == "gather":
+            # debug: gathers only — fabricate a trivial manifold from
+            # gathered planes, no swap/np_planes
+            for p_i in range(npts):
+                wnd_f["nx"].append(jg[0] * 0.0)
+                wnd_f["ny"].append(jg[1] * 0.0 + 1.0)
+                wnd_f["nz"].append(jg[2] * 0.0)
+                wnd_f["px"].append(jg[0])
+                wnd_f["py"].append(jg[1])
+                wnd_f["pz"].append(jg[2])
+                wnd_f["depth"].append(pred - margin - 1.0)
+                wnd_f["act"].append(jnp.where(valid, 1.0, 0.0))
+                wnd_f["fric"].append(j_fric)
+                wnd_f["rest"].append(j_rest)
+                wnd_f["sigma"].append(jg[0] * 0.0 + 1.0)
+                wnd_f["own"].append(jg[0] * 0.0 + float(npts))
+                wnd_i["body_j"].append(body_j)
+                wnd_i["pid"].append(gidx * 4.0 + float(p_i))
+            continue
+
+        # canonical A/B ordering (same compare as broadphase swap);
+        # composed in f32 — in-kernel bitwise ops on vector bools hit
+        # Mosaic's unsupported i8->i1 truncation (np_planes._m note)
+        swf = (jnp.where(kind_i > kind_j, 1.0, 0.0)
+               + jnp.where(kind_i == kind_j, 1.0, 0.0)
+               * jnp.where(gidx > jr, 1.0, 0.0))
+        sw = swf > 0.5
         eff_a = jnp.where(sw, kind_j, kind_i)
         eff_b = jnp.where(sw, kind_i, kind_j)
         pos_a = where3(sw, j_pos, i_pos)
@@ -183,7 +228,8 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
         fric_p = jnp.sqrt(jnp.maximum(i_fric * j_fric, 0.0))
         rest_p = jnp.maximum(i_rest, j_rest)
         sigma = jnp.where(sw, -1.0, 1.0)
-        pid_pair = jnp.where(valid, gidx * num_colliders + jr, -1)
+        pid_pair = jnp.where(valid, gidx * float(num_colliders) + jr,
+                             -1.0)                 # f32, exact < 2^24
 
         for p_i in range(npts):
             wnd_f["nx"].append(m.normal[0])
@@ -193,20 +239,38 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
             wnd_f["py"].append(m.pts[p_i][1])
             wnd_f["pz"].append(m.pts[p_i][2])
             wnd_f["depth"].append(m.depth[p_i])
-            wnd_f["act"].append((m.active[p_i] & valid).astype(f32))
+            wnd_f["act"].append(m.active[p_i]
+                                 * jnp.where(valid, 1.0, 0.0))
             wnd_f["fric"].append(fric_p)
             wnd_f["rest"].append(rest_p)
             wnd_f["sigma"].append(sigma)
             wnd_f["own"].append(splat(float(npts), m.depth[p_i]))
             wnd_i["body_j"].append(body_j)
-            wnd_i["pid"].append(pid_pair * 4 + p_i)
+            wnd_i["pid"].append(pid_pair * 4.0 + float(p_i))
 
     wnd = {k: jnp.concatenate(v, axis=0) for k, v in {**wnd_f, **wnd_i}.items()}
     wd = wnd["act"].shape[0]
 
+    import os as _os
+    _bisect = _os.environ.get("FYROX_NC_BISECT")
+    if _bisect == "window":
+        # debug: skip compaction — expose window row r as slot r%s
+        con = dict(nx=wnd["nx"][:s], ny=wnd["ny"][:s], nz=wnd["nz"][:s],
+                   ptx=wnd["px"][:s], pty=wnd["py"][:s], ptz=wnd["pz"][:s],
+                   depth=wnd["depth"][:s], fric=wnd["fric"][:s],
+                   rest=wnd["rest"][:s], actf=wnd["act"][:s],
+                   own=jnp.maximum(wnd["own"][:s], 1.0),
+                   sigma=wnd["sigma"][:s],
+                   lam_n=warm_lam[0] * 0.0, lam_t1=warm_lam[1] * 0.0,
+                   lam_t2=warm_lam[2] * 0.0)
+        bjf = jnp.clip(wnd["body_j"][:s], 0.0, bp - 1.0)
+        hif = jnp.floor(bjf * (1.0 / 128.0))
+        return (con, (hif.astype(i32), (bjf - 128.0 * hif).astype(i32)),
+                wnd["pid"][:s].astype(i32))
+
     # ---- two-tier compaction (slab2._compact semantics) ----
     actf = wnd["act"]
-    pen = actf * (wnd["depth"] > 0.0)
+    pen = actf * jnp.where(wnd["depth"] > 0.0, 1.0, 0.0)
     spec = actf - pen
     # exclusive cumsum over window rows = strict-lower-triangular dot
     # (0/1 values, f32 accumulation: exact); built from iotas in-kernel
@@ -219,37 +283,39 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
     lpos_pen = csum[:, :cg]
     n_pen = jnp.sum(pen, axis=0, keepdims=True)
     lpos_spec = n_pen + csum[:, cg:]
-    lpos = jnp.where(pen > 0.5, lpos_pen, lpos_spec).astype(i32)
-    keep = (actf > 0.5) & (lpos < s)
+    lpos = jnp.where(pen > 0.5, lpos_pen, lpos_spec)   # f32 counts
+    keep_f = (jnp.where(actf > 0.5, 1.0, 0.0)
+              * jnp.where(lpos < float(s), 1.0, 0.0))
 
     comp = {}
     for k in ("nx", "ny", "nz", "px", "py", "pz", "depth", "fric",
-              "rest", "sigma", "own"):
+              "rest", "sigma", "own", "body_j", "pid"):
+        masked = wnd[k] * keep_f
         comp[k] = jnp.stack(
-            [jnp.sum(jnp.where(keep & (lpos == si), wnd[k], 0.0), axis=0)
+            [jnp.sum(jnp.where(lpos == float(si), masked, 0.0), axis=0)
              for si in range(s)])                              # [S, Cg]
-    for k in ("body_j", "pid"):
-        comp[k] = jnp.stack(
-            [jnp.sum(jnp.where(keep & (lpos == si), wnd[k], 0), axis=0)
-             for si in range(s)])
 
     n_valid = jnp.sum(actf, axis=0)                            # [Cg]
     iota_s = jax.lax.broadcasted_iota(i32, (s, cg), 0).astype(f32)
     actc = (iota_s < jnp.minimum(n_valid, float(s))[None]).astype(f32)
     own_c = jnp.maximum(comp["own"], 1.0)
-    pid_c = jnp.where(actc > 0.5, comp["pid"], -1)
+    pid_c = jnp.where(actc > 0.5, comp["pid"], -1.0)   # f32
 
     # ---- warmstart pid matching (slab2._solve_tgs_planes) ----
-    same = (warm_pid == pid_c).astype(f32) * actc
+    same = (warm_pid.astype(f32) == pid_c).astype(f32) * actc
     lam0 = (warm_lam[0] * same, warm_lam[1] * same, warm_lam[2] * same)
 
-    bj = jnp.clip(comp["body_j"], 0, bp - 1)
+    # hi/lo split in f32 (exact); the single fptosi at the end is the
+    # only int conversion the compacted outputs need
+    bj_f = jnp.clip(comp["body_j"], 0.0, float(bp - 1))
+    hi_f = jnp.floor(bj_f * (1.0 / 128.0))
+    lo_f = bj_f - 128.0 * hi_f
     con = dict(nx=comp["nx"], ny=comp["ny"], nz=comp["nz"],
                ptx=comp["px"], pty=comp["py"], ptz=comp["pz"],
                depth=comp["depth"], fric=comp["fric"], rest=comp["rest"],
                actf=actc, own=own_c, sigma=comp["sigma"],
                lam_n=lam0[0], lam_t1=lam0[1], lam_t2=lam0[2])
-    return con, bj, pid_c
+    return con, (hi_f.astype(i32), lo_f.astype(i32)), pid_c.astype(i32)
 
 
 def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
@@ -258,13 +324,13 @@ def _kernel(params_ref, body_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
             s, cg, bp, cp_, num_colliders, class_layout, combos,
             n_sub, n_pgs, n_stab, msp):
     prm = params_ref[0]
-    con, bj, pid_c = _narrow_compact(
+    con, (hi_c, lo_c), pid_c = _narrow_compact(
         prm, colj_dyn_ref[0], colj_sta_ref[...], coli_dyn_ref[0],
         coli_sta_ref[...], jv_ref[0], warm_lam_ref[0], warm_pid_ref[0],
         s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
         class_layout=class_layout, combos=combos)
     body = {name: body_ref[0, i] for i, name in enumerate(_B_NAMES)}
-    out, lam = solve_planes(prm, con, body, bj // 128, bj % 128,
+    out, lam = solve_planes(prm, con, body, hi_c, lo_c,
                             self_body_ref[...], s=s, cg=cg, bp=bp,
                             n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab, msp=msp)
     out_body_ref[0] = out
@@ -280,13 +346,13 @@ def _nc_kernel(params_ref, colj_dyn_ref, colj_sta_ref, coli_dyn_ref,
     compacted contact planes go to HBM once ([_AC,S,Cg] per world, ~50x
     smaller than the window planes the staged path materializes)."""
     prm = params_ref[0]
-    con, bj, pid_c = _narrow_compact(
+    con, (hi_c, lo_c), pid_c = _narrow_compact(
         prm, colj_dyn_ref[0], colj_sta_ref[...], coli_dyn_ref[0],
         coli_sta_ref[...], jv_ref[0], warm_lam_ref[0], warm_pid_ref[0],
         s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
         class_layout=class_layout, combos=combos)
     out_con_ref[0] = jnp.stack([con[n] for n in _ps._C_NAMES])
-    out_bj_ref[0] = bj
+    out_bj_ref[0] = hi_c * 128 + lo_c
     out_pid_ref[0] = pid_c
 
 

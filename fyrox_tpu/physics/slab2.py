@@ -549,8 +549,8 @@ def _narrowphase_windows(cx: _Ctx, t, cands, cpos, cq, crot9, v_sweep,
             parts_f["py"].append(rsh(m.pts[p_i][1]))
             parts_f["pz"].append(rsh(m.pts[p_i][2]))
             parts_f["depth"].append(rsh(m.depth[p_i]))
-            parts_f["act"].append(rsh((m.active[p_i] & valid
-                                       ).astype(dtype)))
+            parts_f["act"].append(rsh(m.active[p_i]
+                                      * valid.astype(dtype)))
             parts_f["fric"].append(rsh(jnp.broadcast_to(fric_p, valid.shape)))
             parts_f["rest"].append(rsh(rest_p))
             parts_f["sigma"].append(rsh(jnp.broadcast_to(sigma, valid.shape)))
@@ -1155,16 +1155,17 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
     import os as _os
     from fyrox_tpu.physics import pallas_step as pf
     from fyrox_tpu.physics.pallas_ops import _is_tpu
-    # TPU default stays the staged path until the fused kernel has a
-    # session-verified compile + win on the real chip (the monolithic
-    # kernel's 62 MB MLIR crashed the Mosaic AOT compiler even at W=8):
-    # opt in with FYROX_FUSED_STEP=1 (one kernel) or =2 (split
-    # narrow+compact kernel -> solver kernel, half the program size per
-    # compile). Interpret mode (tests) always exercises the fused path;
-    # =2 selects the split there too.
+    # TPU DEFAULT since r5 session 4: the monolithic fused kernel —
+    # measured 4,616.8 vs 3,248.4 env-steps/s/chip staged (+42%) at the
+    # flagship W=128 once the vector-bool de-boolification let Mosaic
+    # compile it (f32 ManifoldP.active masks, f32 slot-index math,
+    # 8-aligned slot rows). FYROX_FUSED_STEP=2 selects the two-kernel
+    # split (4,576.0 — for AOT size headroom); FYROX_NO_FUSED_STEP=1
+    # restores the staged path. Interpret mode (tests) always exercises
+    # the fused path.
     fused_env = _os.environ.get("FYROX_FUSED_STEP")
     use_fused = (pf.supports_fused(cx, t)
-                 and ((_is_tpu() and fused_env in ("1", "2"))
+                 and ((_is_tpu() and fused_env in (None, "", "1", "2"))
                       or bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
                  and not _os.environ.get("FYROX_NO_FUSED_STEP")
                  and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"))
@@ -1596,8 +1597,9 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
 
     ii0 = _ii_world9(q, cx.inv_inertia)
     imass = jnp.asarray(cx.inv_mass)[None]
+    cm3 = [jnp.asarray(cx.com_local[:, i])[None] for i in range(3)]
     body_list = (list(lv) + list(av) + list(pos) + list(q) + list(accel)
-                 + [imass] + list(ii0))
+                 + [imass] + list(ii0) + cm3)
     body_planes = jnp.stack([padb(p) for p in body_list], axis=1)
 
     params = jnp.concatenate(
@@ -1661,12 +1663,36 @@ def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, lam0,
         return p
 
     imass = jnp.asarray(cx.inv_mass)[None]
+    cm3 = [jnp.asarray(cx.com_local[:, i])[None] for i in range(3)]
     body_list = (list(lv) + list(av) + list(pos) + list(q) + list(accel)
-                 + [imass] + list(ii0))
+                 + [imass] + list(ii0) + cm3)
     body_planes = jnp.stack([padb(p) for p in body_list], axis=1)
 
     self_body = np.zeros((cgp, bp), np.float32)
     self_body[np.arange(cg), cx.col_body[cx.grid_cols]] = 1.0
+
+    # static joint tables (pallas_solver joint passes): a ragdoll's
+    # jointed character keeps the kernel path instead of falling back
+    joint_tables = None
+    joints = t.joints
+    if joints is not None and joints.num_joints > 0:
+        from fyrox_tpu.physics.pallas_solver import _J_ROWS
+        jp = pad_to(max(joints.num_joints, 1), 128)
+        jtab = np.zeros((_J_ROWS, jp), np.float32)
+        nj = joints.num_joints
+        jtab[0, :nj] = joints.kind
+        jtab[1:4, :nj] = joints.anchor_a.T
+        jtab[4:7, :nj] = joints.anchor_b.T
+        jtab[7:10, :nj] = joints.axis_a.T
+        jtab[10:14, :nj] = joints.ref_rot.T
+        jtab[14:17, :nj] = joints.com_a.T
+        jtab[17:20, :nj] = joints.com_b.T
+        oh_ja = np.zeros((jp, bp), np.float32)
+        oh_jb = np.zeros((jp, bp), np.float32)
+        oh_ja[np.arange(nj), joints.body_a] = 1.0
+        oh_jb[np.arange(nj), joints.body_b] = 1.0
+        joint_tables = (jnp.asarray(jtab), jnp.asarray(oh_ja),
+                        jnp.asarray(oh_jb))
 
     params = _kernel_params(t, dt)
     import os as _os
@@ -1679,7 +1705,8 @@ def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, lam0,
         con_planes, hi, lo, body_planes, jnp.asarray(self_body), params,
         s=s, cg=cgp, bp=bp, n_sub=t.n_substeps, n_pgs=t.n_pgs,
         n_stab=t.n_stabilization, msp=float(t.mass_split_pow),
-        interpret=interpret)
+        interpret=interpret, has_com=cx.has_com,
+        joint_tables=joint_tables)
     lv_o = tuple(body_out[:, i, :b] for i in range(3))
     av_o = tuple(body_out[:, 3 + i, :b] for i in range(3))
     pos_o = tuple(body_out[:, 6 + i, :b] for i in range(3))
