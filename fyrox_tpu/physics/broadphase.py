@@ -489,8 +489,8 @@ class SlabCandidates(NamedTuple):
 
 
 def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
-                    return_demand=False, amin_tight=None, amax_tight=None
-                    ) -> List[SlabCandidates]:
+                    return_demand=False, amin_tight=None, amax_tight=None,
+                    tight_delta=None) -> List[SlabCandidates]:
     """Hash-grid walk into the static slot layout; one SlabCandidates per
     manifold class. amin/amax [W,C,3].
 
@@ -499,6 +499,14 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
     then packs tight-overlapping pairs FIRST, so a transiently
     overflowing window drops only speculative fat-only pairs (picked up
     ≤ period-1 steps later at the next rebuild), never a live contact.
+
+    tight_delta (period=1 path): scalar margin surplus of the fat AABBs
+    over the rapier-equivalent ones (SPECULATIVE_MARGIN −
+    PREDICTION_DISTANCE). Fat and tight AABBs then differ by a uniform
+    per-side shrink, so the tight-first packing tier costs no extra
+    gathers: tight overlap = fat bounds shrunk by delta on each side.
+    An overflowing class window then drops only pairs rapier's own
+    prediction_distance would never have produced.
 
     return_demand=True additionally returns a dict with the raw
     walk-window demand (`walk_total` [W,Cg]), per-class valid counts
@@ -604,6 +612,13 @@ def slab_candidates(sc: SlabConfig, col_body, dyn_col, amin, amax,
         itmax = gtaabb[..., None, 3:]
         tight_w = valid_w & jnp.all((itmin <= jtmax_w)
                                     & (itmax >= jtmin_w), axis=-1)
+    elif tight_delta is not None:
+        # scalar-shrink tier: both sides lose tight_delta, so the tight
+        # test is the fat test with 2*delta less slack per axis
+        d2 = 2.0 * tight_delta
+        tight_w = valid_w & jnp.all((imin <= jmax_w - d2)
+                                    & (imax >= jmin_w + d2), axis=-1)
+        two_tier = True
     else:
         tight_w = valid_w
 

@@ -48,11 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fyrox_tpu.physics import np_planes
 from fyrox_tpu.physics import pallas_solver as _ps
+from fyrox_tpu.physics.broadphase import _QBITS_XY
 from fyrox_tpu.physics.pallas_solver import _AB, _B_NAMES, solve_planes
-from fyrox_tpu.physics.planes import (norm3, q_to_rot9, splat, where3,
-                                      where_n)
+from fyrox_tpu.physics.planes import (norm3, q_to_rot9, qmul, qrotate,
+                                      splat, where3, where_n)
+from fyrox_tpu.physics.shapes import (BALL as _SH_BALL,
+                                      CAPSULE as _SH_CAPSULE,
+                                      CUBOID as _SH_CUBOID)
 
-__all__ = ["fused_step_pallas", "supports_fused"]
+__all__ = ["fused_step_pallas", "fused_full_step_pallas",
+           "supports_fused", "supports_fused_bp"]
 
 # dynamic collider plane rows (world-varying, [10, Cp]/[10, Cgp])
 _DYN = ("px", "py", "pz", "qx", "qy", "qz", "qw", "vsx", "vsy", "vsz")
@@ -72,6 +77,24 @@ def supports_fused(cx, t) -> bool:
             and not cx.scenery
             and cx.hull_flat is None
             and any(t.grid.nslot(c) for c in range(3)))
+
+
+def supports_fused_bp(cx, t) -> bool:
+    """Scope of the IN-KERNEL broadphase (the full-step resident
+    program): fused-step scope, plus period=1 rebuilds (temporal reuse
+    caches live across steps in XLA) and every broadphase-big collider
+    a HALFSPACE (big-partner slots are then static rows — see
+    _bp_candidates; finite-bound big partners would need real AABB
+    tests against state)."""
+    import numpy as np_
+    if not supports_fused(cx, t):
+        return False
+    if int(getattr(t, "broadphase_period", 1) or 1) > 1:
+        return False
+    big = t.grid.big_cols
+    from fyrox_tpu.physics import shapes as _sh
+    return big.size == 0 or bool(
+        np_.all(np_.asarray(cx.shape)[big] == _sh.HALFSPACE))
 
 
 def _gather_dot(mat, oh, prec=None):
@@ -98,6 +121,263 @@ def _gather_dot(mat, oh, prec=None):
     p = jax.lax.Precision.HIGHEST if prec == "highest" else None
     return jax.lax.dot_general(mat, oh.astype(f32), (((1,), (0,)), ((), ())),
                                preferred_element_type=f32, precision=p)
+
+
+def _wide_gather(rows, idx_f, n_hi):
+    """Two-level (hi,lo) one-hot gather of 1-D source rows at f32 lane
+    positions. rows: list of [L] arrays (L = n_hi*128 lanes); idx_f
+    [R, K] f32 positions in [0, L). Returns [NR, R, K] f32, exact
+    (split-bf16 per the solver gather policy)."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    nr = len(rows)
+    r, kk = idx_f.shape
+    k = r * kk
+    hi = jnp.floor(idx_f * (1.0 / 128.0))
+    lo = idx_f - 128.0 * hi
+    lo_flat = lo.reshape(1, k)
+    hi_flat = hi.reshape(1, k)
+    iota_wide = jax.lax.broadcasted_iota(i32, (128, k), 0).astype(f32)
+    oh = (iota_wide == lo_flat).astype(f32)
+    mat = jnp.stack([p[s8 * 128:(s8 + 1) * 128]
+                     for s8 in range(n_hi) for p in rows])
+    tmp = _gather_dot(mat, oh)                       # [n_hi*nr, k]
+    acc = tmp[0:nr] * (hi_flat == 0.0).astype(f32)
+    for s8 in range(1, n_hi):
+        acc = acc + tmp[s8 * nr:(s8 + 1) * nr] * (hi_flat == float(s8)
+                                                  ).astype(f32)
+    return acc.reshape(nr, r, kk)
+
+
+def _bp_candidates(prm, body, inc_j, inc_gc_t, bp_sta_j, bp_sta_i,
+                   coli_sta, jv_big, *, cg, bp, cp_, cg_real, s_walk,
+                   class_layout, nbig, tight_delta, zbits, zfine_div):
+    """In-kernel broadphase: collider world pose -> swept fat AABBs ->
+    packed hash-grid keys -> counting rank (replaces the XLA argsort:
+    the [Cg,Cg] compare-reduce that LOSES as an HBM-materialized XLA
+    stage wins resident in VMEM) -> 9-neighbor range walk -> per-class
+    two-tier compaction into the static slot windows. Mirrors
+    broadphase.slab_candidates bit-exactly at period=1 (same stable
+    sort order: key asc, index tiebreak; same walk order; same
+    tight-first packing tier), so the fused full-step path produces the
+    same candidate windows as the staged XLA path.
+
+    Returns (colj_dyn [10, Cp] pose+sweep planes in collider order,
+    coli_dyn [10, Cg] grid order, jall [NS, Cg] i32 candidate windows).
+
+    Big-partner slots (nbig per class) are STATIC rows (jv_big): the
+    fused scope requires every broadphase-big collider to be a
+    HALFSPACE, whose AABB test is conservative — statically-valid pairs
+    whose AABBs would not overlap produce inactive manifolds that
+    compact away identically (npt act gate), so contacts match the
+    staged path exactly.
+
+    Scope/caveats: period=1 only; padded grid lanes sort to the key
+    maximum with jr=-1 (a real collider AT the +clip boundary of the
+    packed key range may walk over them — they compact away via
+    jr=-1, costing only window slack; the extent_hint warning covers
+    authoring beyond the addressable range)."""
+    from fyrox_tpu.physics.world import PREDICTION_DISTANCE
+    f32 = jnp.float32
+    i32 = jnp.int32
+    margin = prm[9]
+    cell = prm[10]
+    dt = prm[11]
+    n_hi = cg // 128
+
+    # ---- 1. collider world pose (all colliders, j order) ----
+    # body pose rows ride ONE static-incidence MXU dot to collider order
+    bsel = jnp.stack([body[_B_NAMES.index(n)] for n in
+                      ("px", "py", "pz", "qx", "qy", "qz", "qw",
+                       "lvx", "lvy", "lvz")])                  # [10, Bp]
+    g = _gather_dot(bsel, inc_j)                               # [10, Cp]
+    b_pos = (g[0], g[1], g[2])
+    b_q = (g[3], g[4], g[5], g[6])
+    lv_c = (g[7], g[8], g[9])
+    off_p = tuple(bp_sta_j[i] for i in range(3))
+    off_q = tuple(bp_sta_j[3 + i] for i in range(4))
+    cq = qmul(b_q, off_q)
+    cpos = tuple(a + b for a, b in zip(
+        b_pos, qrotate(b_q, off_p)))
+    vs = tuple(v * dt for v in lv_c)                           # sweep
+    colj_dyn = jnp.stack(list(cpos) + list(cq) + list(vs))     # [10, Cp]
+
+    # ---- grid-order projection (static one-hot dot) ----
+    coli_dyn = _gather_dot(colj_dyn, inc_gc_t)                 # [10, Cg]
+    gi_pos = (coli_dyn[0], coli_dyn[1], coli_dyn[2])
+    gi_q = (coli_dyn[3], coli_dyn[4], coli_dyn[5], coli_dyn[6])
+    gi_vs = (coli_dyn[7], coli_dyn[8], coli_dyn[9])
+
+    # ---- 2. swept fat AABBs (grid colliders; slab2._aabb_planes
+    # period=1 branch — fused scope has no halfspace/scenery/convex in
+    # the grid set) ----
+    shp = bp_sta_i[1]
+    dyn_i = bp_sta_i[2]
+    body_i = bp_sta_i[3]
+    lane_valid = bp_sta_i[4]
+    cap3 = bp_sta_i[12]
+    p6 = tuple(coli_sta[i] for i in range(6))
+    rot = q_to_rot9(gi_q)
+    absm = [jnp.abs(r) for r in rot]
+
+    def rot_box(hx, hy, hz):
+        return (absm[0] * hx + absm[1] * hy + absm[2] * hz,
+                absm[3] * hx + absm[4] * hy + absm[5] * hz,
+                absm[6] * hx + absm[7] * hy + absm[8] * hz)
+
+    box = rot_box(p6[0], p6[1], p6[2])
+    cap = rot_box(p6[1], p6[0] + p6[1], p6[1])
+    cyl = rot_box(p6[1], p6[0], p6[1])
+    is_ball = (shp == _SH_BALL).astype(f32)
+    is_box = (shp == _SH_CUBOID).astype(f32)
+    is_cap = (shp == _SH_CAPSULE).astype(f32)
+    amin, amax = [], []
+    for i in range(3):
+        he = (is_ball * p6[0] + is_box * box[i] + is_cap * cap[i]
+              + (1.0 - is_ball - is_box - is_cap) * cyl[i]) + margin
+        swc = jnp.clip(gi_vs[i], -cap3, cap3)
+        amin.append(gi_pos[i] - he + jnp.minimum(swc, 0.0))
+        amax.append(gi_pos[i] + he + jnp.maximum(swc, 0.0))
+
+    # ---- 3. packed keys (broadphase._pack_xyz mirror; f32 cell coords
+    # are exact < 2^24, the i32 pack is the only int arithmetic) ----
+    qxy_max = float(2 ** _QBITS_XY - 1)
+    qz_max = float(2 ** zbits - 1)
+    half_xy = float(2 ** (_QBITS_XY - 1))
+    half_z = float(2 ** (zbits - 1))
+    zcell = cell * (1.0 / zfine_div)
+    qx = jnp.clip(jnp.floor(amin[0] / cell) + half_xy, 0.0, qxy_max)
+    qy = jnp.clip(jnp.floor(amin[1] / cell) + half_xy, 0.0, qxy_max)
+    qz = jnp.clip(jnp.floor(amin[2] / zcell) + half_z, 0.0, qz_max)
+
+    def packi(x, y, z):
+        return (x.astype(i32) * (2 ** (_QBITS_XY + zbits))
+                + y.astype(i32) * (2 ** zbits) + z.astype(i32))
+
+    key_max = 2 ** (2 * _QBITS_XY + zbits) - 1
+    key = jnp.where(lane_valid > 0.5, packi(qx, qy, qz), key_max)
+
+    # column orientation via ONE exact f32 transpose dot (cell coords
+    # < 2^24; padded lanes pinned to the clip maximum = key_max)
+    eye = (jax.lax.broadcasted_iota(i32, (cg, cg), 0)
+           == jax.lax.broadcasted_iota(i32, (cg, cg), 1)).astype(f32)
+    q3 = jnp.stack([jnp.where(lane_valid > 0.5, qx, qxy_max),
+                    jnp.where(lane_valid > 0.5, qy, qxy_max),
+                    jnp.where(lane_valid > 0.5, qz, qz_max)])
+    qcol = jax.lax.dot_general(eye, q3, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.HIGHEST
+                               )                              # [Cg, 3]
+    key_col = packi(qcol[:, 0:1], qcol[:, 1:2], qcol[:, 2:3])  # [Cg, 1]
+
+    # ---- 4. stable counting rank (== stable argsort(key) order, index
+    # tiebreak) + inverse permutation scatter of the walk source rows
+    # to sorted order. The same compare-reduce LOST as an XLA stage
+    # (round-4 A/B: HBM-materialized [W,Cg,Cg]); resident in VMEM it is
+    # ~3 VPU ops/element with no traffic ----
+    key_row = key[None]                                        # [1, Cg]
+    iota_r = jax.lax.broadcasted_iota(i32, (cg, cg), 0)
+    iota_c = jax.lax.broadcasted_iota(i32, (cg, cg), 1)
+    # rank of sublane element j = #(i: key_i < key_j, or == and i < j)
+    gt_ji = ((key_col > key_row).astype(f32)
+             + (key_col == key_row).astype(f32)
+             * (iota_c < iota_r).astype(f32))
+    rank_col = jnp.sum(gt_ji, axis=1, keepdims=True)           # [Cg,1]
+    perm_t = (rank_col == iota_c.astype(f32)).astype(f32)      # [Cg(i),Cg(s)]
+
+    src = jnp.stack([bp_sta_i[0],                              # jr (-1 pad)
+                     coli_sta[8],                              # eff kind
+                     body_i, dyn_i,
+                     amin[0], amin[1], amin[2],
+                     amax[0], amax[1], amax[2]])               # [10, Cg]
+    sorted_a = jax.lax.dot_general(src, perm_t, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    # ---- 5. 9-neighbor range bounds (count_lt on the resident keys)
+    # and the range walk into [s_walk, Cg] windows ----
+    qz_lo = jnp.clip(jnp.floor((amin[2] - cell) / zcell) + half_z,
+                     0.0, qz_max)
+    qz_hi = jnp.clip(jnp.floor(amax[2] / zcell) + half_z, 0.0, qz_max)
+    m_f = jax.lax.broadcasted_iota(i32, (s_walk, cg), 0).astype(f32)
+    pos = jnp.zeros((s_walk, cg), f32)
+    pfx = jnp.zeros((1, cg), f32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            qxd = jnp.clip(qx + dx, 0.0, qxy_max)
+            qyd = jnp.clip(qy + dy, 0.0, qxy_max)
+            q_lo = packi(qxd, qyd, qz_lo)[None]                # [1, Cg]
+            q_hi = packi(qxd, qyd, qz_hi)[None]
+            lo_d = jnp.sum((key_col < q_lo).astype(f32), axis=0,
+                           keepdims=True)
+            hi_d = jnp.sum((key_col <= q_hi).astype(f32), axis=0,
+                           keepdims=True)
+            in_r = (jnp.where(m_f >= pfx, 1.0, 0.0)
+                    * jnp.where(m_f < pfx + (hi_d - lo_d), 1.0, 0.0))
+            pos = pos + in_r * (lo_d + (m_f - pfx))
+            pfx = pfx + (hi_d - lo_d)
+    total = pfx                                                # [1, Cg]
+    in_window = jnp.where(m_f < jnp.minimum(total, float(s_walk)),
+                          1.0, 0.0)
+    pos = jnp.clip(pos, 0.0, float(cg_real - 1))
+
+    wj = _wide_gather([sorted_a[i] for i in range(10)], pos, n_hi)
+    jr_w, kind_w, body_w, dyn_w = wj[0], wj[1], wj[2], wj[3]
+    jmin_w, jmax_w = wj[4:7], wj[7:10]
+
+    # ---- validity (slab_candidates valid_w mirror) ----
+    gidx = bp_sta_i[0][None]
+    overlap = jnp.ones((s_walk, cg), f32)
+    tight = jnp.ones((s_walk, cg), f32)
+    d2 = 2.0 * tight_delta
+    for i in range(3):
+        overlap = (overlap
+                   * jnp.where(amin[i][None] <= jmax_w[i], 1.0, 0.0)
+                   * jnp.where(amax[i][None] >= jmin_w[i], 1.0, 0.0))
+        tight = (tight
+                 * jnp.where(amin[i][None] <= jmax_w[i] - d2, 1.0, 0.0)
+                 * jnp.where(amax[i][None] >= jmin_w[i] + d2, 1.0, 0.0))
+    valid_w = (in_window
+               * jnp.where(jr_w >= 0.0, 1.0, 0.0)
+               * jnp.where(jr_w != gidx, 1.0, 0.0)
+               * jnp.where(body_w != body_i[None], 1.0, 0.0)
+               * jnp.maximum(dyn_i[None], dyn_w)
+               * overlap)
+    tight_w = valid_w * tight
+
+    # manifold class of each walked slot (static per-i cls_tab row)
+    cls_w = jnp.zeros((s_walk, cg), f32)
+    for kb in range(7):
+        cls_w = cls_w + jnp.where(kind_w == float(kb), 1.0, 0.0) \
+            * bp_sta_i[5 + kb][None]
+
+    # ---- 6. per-class two-tier stage-2 compaction (tight tier first)
+    # into the static windows + static big-partner rows ----
+    tril = (jax.lax.broadcasted_iota(i32, (s_walk, s_walk), 1)
+            < jax.lax.broadcasted_iota(i32, (s_walk, s_walk), 0)
+            ).astype(f32)
+    jall_rows = []
+    big_row = 0
+    for (cls, nslot, _row0) in class_layout:
+        s_c = nslot - nbig
+        in_c = jnp.where(cls_w == float(cls), 1.0, 0.0)
+        tf = tight_w * in_c
+        sf = valid_w * in_c - tf
+        csum = jax.lax.dot_general(
+            tril, jnp.concatenate([tf, sf], axis=1),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        n_t = jnp.sum(tf, axis=0, keepdims=True)
+        lpos = jnp.where(tf > 0.5, csum[:, :cg], n_t + csum[:, cg:])
+        keep = jnp.maximum(tf, sf)
+        for si in range(s_c):
+            ind = keep * jnp.where(lpos == float(si), 1.0, 0.0)
+            jall_rows.append(jnp.sum((jr_w + 1.0) * ind, axis=0,
+                                     keepdims=True) - 1.0)
+        for _bi in range(nbig):
+            jall_rows.append(jv_big[big_row][None])
+            big_row += 1
+    jall = jnp.concatenate(jall_rows, axis=0).astype(i32)      # [NS, Cg]
+    return colj_dyn, coli_dyn, jall
 
 
 def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
@@ -268,9 +548,11 @@ def _narrow_compact(prm, colj_dyn, colj_sta, coli_dyn, coli_sta, jall,
         return (con, (hif.astype(i32), (bjf - 128.0 * hif).astype(i32)),
                 wnd["pid"][:s].astype(i32))
 
-    # ---- two-tier compaction (slab2._compact semantics) ----
+    # ---- two-tier compaction (slab2._compact semantics): the
+    # rapier-equivalent tier (within prediction_distance) packs first ----
+    from fyrox_tpu.physics.world import PREDICTION_DISTANCE
     actf = wnd["act"]
-    pen = actf * jnp.where(wnd["depth"] > 0.0, 1.0, 0.0)
+    pen = actf * jnp.where(wnd["depth"] > -PREDICTION_DISTANCE, 1.0, 0.0)
     spec = actf - pen
     # exclusive cumsum over window rows = strict-lower-triangular dot
     # (0/1 values, f32 accumulation: exact); built from iotas in-kernel
@@ -361,7 +643,7 @@ def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
                       s, cg, bp, cp_, num_colliders, class_layout, combos,
                       n_sub, n_pgs, n_stab, msp=0.5, interpret=False,
                       split=False):
-    """params [10] f32 (solver 9 + margin); body_planes [W,AB,Bp];
+    """params [12] f32 (solver 9 + margin + cell + dt); body_planes [W,AB,Bp];
     colj_dyn [W,10,Cp]; colj_sta [10,Cp] static; coli_dyn [W,10,Cgp];
     coli_sta [10,Cgp] static; jv [W,NS,Cgp] i32 (−1 invalid);
     warm_lam [W,3,S,Cgp]; warm_pid [W,S,Cgp] i32; self_body [Cgp,Bp].
@@ -387,7 +669,7 @@ def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
             nck,
             grid=(w,),
             in_specs=[
-                pl.BlockSpec((1, 10), lambda i: (0, 0)),
+                pl.BlockSpec((1, 12), lambda i: (0, 0)),
                 pl.BlockSpec((1, 10, cp_), lambda i: (i, 0, 0)),
                 pl.BlockSpec((10, cp_), lambda i: (0, 0)),
                 pl.BlockSpec((1, 10, cg), lambda i: (i, 0, 0)),
@@ -424,7 +706,7 @@ def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
         kern,
         grid=(w,),
         in_specs=[
-            pl.BlockSpec((1, 10), lambda i: (0, 0)),
+            pl.BlockSpec((1, 12), lambda i: (0, 0)),
             pl.BlockSpec((1, _AB, bp), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 10, cp_), lambda i: (i, 0, 0)),
             pl.BlockSpec((10, cp_), lambda i: (0, 0)),
@@ -450,3 +732,146 @@ def fused_step_pallas(params, body_planes, colj_dyn, colj_sta, coli_dyn,
         interpret=interpret,
     )(params[None], body_planes, colj_dyn, colj_sta, coli_dyn, coli_sta,
       jv, warm_lam, warm_pid, self_body)
+
+
+def _kernel_full(params_ref, body_ref, colj_sta_ref, coli_sta_ref,
+                 inc_j_ref, inc_gct_ref, bp_sta_j_ref, bp_sta_i_ref,
+                 jv_big_ref, warm_lam_ref, warm_pid_ref, self_body_ref,
+                 out_body_ref, out_lam_ref, out_pid_ref, *,
+                 s, cg, bp, cp_, num_colliders, class_layout, combos,
+                 nbig, cg_real, s_walk, tight_delta, zbits, zfine_div,
+                 n_sub, n_pgs, n_stab, msp):
+    """Full-step resident program: pose -> AABB -> broadphase ->
+    narrowphase -> compaction -> TGS solve, ONE kernel per world."""
+    prm = params_ref[0]
+    colj_dyn, coli_dyn, jall = _bp_candidates(
+        prm, body_ref[0], inc_j_ref[...], inc_gct_ref[...],
+        bp_sta_j_ref[...], bp_sta_i_ref[...], coli_sta_ref[...],
+        jv_big_ref[...], cg=cg, bp=bp, cp_=cp_, cg_real=cg_real,
+        s_walk=s_walk, class_layout=class_layout, nbig=nbig,
+        tight_delta=tight_delta, zbits=zbits, zfine_div=zfine_div)
+    con, (hi_c, lo_c), pid_c = _narrow_compact(
+        prm, colj_dyn, colj_sta_ref[...], coli_dyn, coli_sta_ref[...],
+        jall, warm_lam_ref[0], warm_pid_ref[0],
+        s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
+        class_layout=class_layout, combos=combos)
+    body = {name: body_ref[0, i] for i, name in enumerate(_B_NAMES)}
+    out, lam = solve_planes(prm, con, body, hi_c, lo_c,
+                            self_body_ref[...], s=s, cg=cg, bp=bp,
+                            n_sub=n_sub, n_pgs=n_pgs, n_stab=n_stab,
+                            msp=msp)
+    out_body_ref[0] = out
+    out_lam_ref[0] = lam
+    out_pid_ref[0] = pid_c
+
+
+def _nc_kernel_full(params_ref, body_ref, colj_sta_ref, coli_sta_ref,
+                    inc_j_ref, inc_gct_ref, bp_sta_j_ref, bp_sta_i_ref,
+                    jv_big_ref, warm_lam_ref, warm_pid_ref,
+                    out_con_ref, out_bj_ref, out_pid_ref, *,
+                    s, cg, bp, cp_, num_colliders, class_layout, combos,
+                    nbig, cg_real, s_walk, tight_delta, zbits, zfine_div):
+    """Split-mode kernel 1 with in-kernel broadphase: pose + bp +
+    narrowphase + compaction; the solver kernel consumes the compacted
+    planes (AOT program-size headroom, as in _nc_kernel)."""
+    prm = params_ref[0]
+    colj_dyn, coli_dyn, jall = _bp_candidates(
+        prm, body_ref[0], inc_j_ref[...], inc_gct_ref[...],
+        bp_sta_j_ref[...], bp_sta_i_ref[...], coli_sta_ref[...],
+        jv_big_ref[...], cg=cg, bp=bp, cp_=cp_, cg_real=cg_real,
+        s_walk=s_walk, class_layout=class_layout, nbig=nbig,
+        tight_delta=tight_delta, zbits=zbits, zfine_div=zfine_div)
+    con, (hi_c, lo_c), pid_c = _narrow_compact(
+        prm, colj_dyn, colj_sta_ref[...], coli_dyn, coli_sta_ref[...],
+        jall, warm_lam_ref[0], warm_pid_ref[0],
+        s=s, cg=cg, bp=bp, cp_=cp_, num_colliders=num_colliders,
+        class_layout=class_layout, combos=combos)
+    out_con_ref[0] = jnp.stack([con[n] for n in _ps._C_NAMES])
+    out_bj_ref[0] = hi_c * 128 + lo_c
+    out_pid_ref[0] = pid_c
+
+
+def fused_full_step_pallas(params, body_planes, colj_sta, coli_sta,
+                           inc_j, inc_gct, bp_sta_j, bp_sta_i, jv_big,
+                           warm_lam, warm_pid, self_body, *,
+                           s, cg, bp, cp_, num_colliders, class_layout,
+                           combos, nbig, cg_real, s_walk, tight_delta,
+                           zbits, zfine_div, n_sub, n_pgs, n_stab,
+                           msp=0.5, interpret=False, split=False):
+    """Full-step resident launch (in-kernel broadphase; see
+    _bp_candidates). params [12] f32 (solver 9 + margin + cell + dt);
+    body_planes [W,AB,Bp]; colj_sta [10,Cp] / coli_sta [10,Cg] as in
+    fused_step_pallas; inc_j [Bp,Cp] body->collider one-hot; inc_gct
+    [Cp,Cg] collider->grid one-hot; bp_sta_j [8,Cp] collider offset
+    (pos3, rot4, pad); bp_sta_i [16,Cg] grid rows (jr/-1, shape, dyn,
+    body, lane_valid, cls_tab k0..k6, cap3, pad); jv_big [NSB,Cg] f32
+    static big-partner window rows (-1 invalid)."""
+    w = body_planes.shape[0]
+    nsb = jv_big.shape[0]
+    common = dict(s=s, cg=cg, bp=bp, cp_=cp_,
+                  num_colliders=num_colliders, class_layout=class_layout,
+                  combos=combos, nbig=nbig, cg_real=cg_real,
+                  s_walk=s_walk, tight_delta=tight_delta, zbits=zbits,
+                  zfine_div=zfine_div)
+    in_specs_common = [
+        pl.BlockSpec((1, 12), lambda i: (0, 0)),
+        pl.BlockSpec((1, _AB, bp), lambda i: (i, 0, 0)),
+        pl.BlockSpec((10, cp_), lambda i: (0, 0)),
+        pl.BlockSpec((10, cg), lambda i: (0, 0)),
+        pl.BlockSpec((bp, cp_), lambda i: (0, 0)),
+        pl.BlockSpec((cp_, cg), lambda i: (0, 0)),
+        pl.BlockSpec((8, cp_), lambda i: (0, 0)),
+        pl.BlockSpec((16, cg), lambda i: (0, 0)),
+        pl.BlockSpec((nsb, cg), lambda i: (0, 0)),
+        pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+    ]
+    if split:
+        nck = functools.partial(_nc_kernel_full, **common)
+        con_planes, bj, pid_out = pl.pallas_call(
+            nck,
+            grid=(w,),
+            in_specs=list(in_specs_common),
+            out_specs=[
+                pl.BlockSpec((1, _ps._AC, s, cg), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((w, _ps._AC, s, cg), jnp.float32),
+                jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+                jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(params[None], body_planes, colj_sta, coli_sta, inc_j, inc_gct,
+          bp_sta_j, bp_sta_i, jv_big, warm_lam, warm_pid)
+        body_out, lam_out = _ps.solve_tgs_pallas(
+            con_planes, bj // 128, bj % 128, body_planes, self_body,
+            params[:9], s=s, cg=cg, bp=bp, n_sub=n_sub, n_pgs=n_pgs,
+            n_stab=n_stab, msp=msp, interpret=interpret)
+        return body_out, lam_out, pid_out
+    kern = functools.partial(_kernel_full, **common, n_sub=n_sub,
+                             n_pgs=n_pgs, n_stab=n_stab, msp=msp)
+    return pl.pallas_call(
+        kern,
+        grid=(w,),
+        in_specs=list(in_specs_common) + [
+            pl.BlockSpec((cg, bp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 13, bp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 3, s, cg), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, s, cg), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((w, 13, bp), jnp.float32),
+            jax.ShapeDtypeStruct((w, 3, s, cg), jnp.float32),
+            jax.ShapeDtypeStruct((w, s, cg), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(params[None], body_planes, colj_sta, coli_sta, inc_j, inc_gct,
+      bp_sta_j, bp_sta_i, jv_big, warm_lam, warm_pid, self_body)

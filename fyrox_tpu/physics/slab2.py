@@ -967,11 +967,13 @@ def _compact(cx: _Ctx, attrs_f, attrs_i, dtype):
     s = cx.s_active
     act = attrs_f["act"] > 0.5                               # [W,Cg,Wd]
     actf = attrs_f["act"]
-    # two-tier priority under overflow: PENETRATING points first, then
-    # speculative ones — an overflowing window then drops only
-    # activation-distance contacts (the least load-bearing), keeping the
-    # N3-twin asymmetry confined to contacts that carry no impulse yet
-    pen = actf * (attrs_f["depth"] > 0.0)
+    # two-tier priority under overflow: the rapier-equivalent tier
+    # (points within rapier's prediction_distance of contact, incl. all
+    # penetrating ones) packs first, then our wider speculative band —
+    # an overflowing window then drops only beyond-rapier
+    # approach-limiter extras that carry no impulse yet
+    from fyrox_tpu.physics.world import PREDICTION_DISTANCE
+    pen = actf * (attrs_f["depth"] > -PREDICTION_DISTANCE)
     spec = actf - pen
     lpos_pen = jnp.cumsum(pen, axis=2) - pen
     n_pen = jnp.sum(pen, axis=2, keepdims=True)
@@ -1057,18 +1059,52 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
     av_b = _unstack3(angvel)
     acc_b = _unstack3(accel)
 
+    margin = t.allowed_linear_error + SPECULATIVE_MARGIN
+    period = int(getattr(t, "broadphase_period", 1) or 1)
+
+    # ---- fused FULL-step resident program: pose + AABB + broadphase +
+    # narrowphase + compaction + solve in ONE Pallas kernel per world
+    # (pallas_step._bp_candidates) — the whole physics step leaves XLA;
+    # only locks/damping and the warm-carry routing remain outside ----
+    import os as _os
+    from fyrox_tpu.physics import pallas_step as pf
+    from fyrox_tpu.physics.pallas_ops import _is_tpu
+    fused_env = _os.environ.get("FYROX_FUSED_STEP")
+    interp = bool(_os.environ.get("FYROX_PALLAS_INTERPRET"))
+    use_fused = (pf.supports_fused(cx, t)
+                 and ((_is_tpu() and fused_env in (None, "", "1", "2"))
+                      or interp)
+                 and not _os.environ.get("FYROX_NO_FUSED_STEP")
+                 and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"))
+    full_bp = (use_fused and pf.supports_fused_bp(cx, t)
+               and _os.environ.get("FYROX_FUSED_BP", "1") != "0")
+    if full_bp:
+        pos_o, q_o, lv_o, av_o, lam_out, pid_new = _run_fused_step(
+            cx, t, None, None, None, None, margin, pos_b, q_b, lv_b,
+            av_b, acc_b, dt, dtype,
+            warm=((state.warm_n, state.warm_t1, state.warm_t2,
+                   state.warm_pair)
+                  if state.warm_n is not None else None),
+            interpret=interp, full_bp=True)
+        return _finish_step(state, t, dt, pos_o, q_o, lv_o, av_o,
+                            lam_out, pid_new, state.bp_cache,
+                            state.bp_age)
+
     # ---- collider pose + swept fat AABBs ----
     cpos, cq, lv_c = _collider_pose_planes(cx, pos_b, q_b, lv_b)
     crot9 = q_to_rot9(cq)
     v_sweep = scale3(lv_c, dt)
-    margin = t.allowed_linear_error + SPECULATIVE_MARGIN
 
     # ---- broadphase (hash-grid walk; [W,C,3] boundary) ----
-    period = int(getattr(t, "broadphase_period", 1) or 1)
     if period <= 1 or state.bp_cache is None:
         amin, amax = _aabb_planes(cx, t, cpos, crot9, v_sweep, margin)
-        cands = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
-                                       _stack(amin), _stack(amax))
+        # tight-first packing tier at the rapier prediction margin: an
+        # overflowing class window drops only beyond-rapier speculative
+        # pairs (world.PREDICTION_DISTANCE note)
+        from fyrox_tpu.physics.world import PREDICTION_DISTANCE
+        cands = bp_mod.slab_candidates(
+            sc, cx.col_body, cx.dyn_col, _stack(amin), _stack(amax),
+            tight_delta=SPECULATIVE_MARGIN - PREDICTION_DISTANCE)
         new_cache, new_age = state.bp_cache, state.bp_age
     else:
         # temporal reuse: rebuild every `period` steps with two-sided
@@ -1151,24 +1187,13 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
     # ---- fused resident step: narrowphase + compaction + solve in ONE
     # Pallas program (pallas_step.py) — windows and manifolds never
     # touch HBM. Falls back to the staged XLA path off-TPU and for
-    # scenes outside the kernel scope (scenery/convex/joints/COM) ----
-    import os as _os
-    from fyrox_tpu.physics import pallas_step as pf
-    from fyrox_tpu.physics.pallas_ops import _is_tpu
-    # TPU DEFAULT since r5 session 4: the monolithic fused kernel —
-    # measured 4,616.8 vs 3,248.4 env-steps/s/chip staged (+42%) at the
-    # flagship W=128 once the vector-bool de-boolification let Mosaic
-    # compile it (f32 ManifoldP.active masks, f32 slot-index math,
-    # 8-aligned slot rows). FYROX_FUSED_STEP=2 selects the two-kernel
-    # split (4,576.0 — for AOT size headroom); FYROX_NO_FUSED_STEP=1
-    # restores the staged path. Interpret mode (tests) always exercises
-    # the fused path.
-    fused_env = _os.environ.get("FYROX_FUSED_STEP")
-    use_fused = (pf.supports_fused(cx, t)
-                 and ((_is_tpu() and fused_env in (None, "", "1", "2"))
-                      or bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
-                 and not _os.environ.get("FYROX_NO_FUSED_STEP")
-                 and not _os.environ.get("FYROX_NO_PALLAS_SOLVER"))
+    # scenes outside the kernel scope (scenery/convex/joints/COM).
+    # TPU DEFAULT since r5 session 4 (measured 4,616.8 vs 3,248.4
+    # env-steps/s/chip staged, +42%); the full_bp path above further
+    # moves pose/AABB/broadphase in-kernel when the scene allows.
+    # FYROX_FUSED_STEP=2 selects the two-kernel split (AOT size
+    # headroom); FYROX_NO_FUSED_STEP=1 restores the staged path;
+    # FYROX_FUSED_BP=0 keeps the broadphase in XLA. ----
     if use_fused:
         pos_b, q_b, lv_b, av_b, lam_out, pid_new = _run_fused_step(
             cx, t, cands, cpos, cq, v_sweep, margin, pos_b, q_b, lv_b,
@@ -1176,7 +1201,7 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
             warm=((state.warm_n, state.warm_t1, state.warm_t2,
                    state.warm_pair)
                   if state.warm_n is not None else None),
-            interpret=bool(_os.environ.get("FYROX_PALLAS_INTERPRET")))
+            interpret=interp)
     else:
         # ---- narrowphase + active-point compaction ----
         attrs_f, attrs_i = _narrowphase_windows(cx, t, cands, cpos, cq,
@@ -1192,6 +1217,14 @@ def step_slab2(state, t, dt, accel, angvel, inv_mass):
                    state.warm_pair)
                   if state.warm_n is not None else None))
 
+    return _finish_step(state, t, dt, pos_b, q_b, lv_b, av_b, lam_out,
+                        pid_new, new_cache, new_age)
+
+
+def _finish_step(state, t, dt, pos_b, q_b, lv_b, av_b, lam_out, pid_new,
+                 new_cache, new_age):
+    """Shared step tail: locks/damping, warm-carry routing, state pack."""
+    from fyrox_tpu.physics.world import PhysicsState, _apply_locks_damping
     position = _stack(pos_b)
     rotation = _stack(q_b)
     linvel = _stack(lv_b)
@@ -1494,10 +1527,16 @@ def _solve_tgs_planes(cx: _Ctx, t, con: _Contacts, pos, q, lv, av, accel,
 
 
 def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
-                    av, accel, dt, dtype, warm=None, interpret=False):
+                    av, accel, dt, dtype, warm=None, interpret=False,
+                    full_bp=False):
     """Pack collider poses, static shape tables and the broadphase
     candidate windows into the fused narrow+compact+solve kernel's
-    layouts (pallas_step.py) and unpack body state + warm carries."""
+    layouts (pallas_step.py) and unpack body state + warm carries.
+
+    full_bp=True (cands/cpos/cq/v_sweep None): the FULL-step resident
+    program — pose, AABBs and the broadphase run in-kernel too
+    (pallas_step._bp_candidates); only static incidence/one-hot tables
+    cross the boundary."""
     import os as _os
     from fyrox_tpu.physics import pallas_step as pf
     from fyrox_tpu.physics.pallas_ops import pad_to
@@ -1517,12 +1556,13 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
                 [p, jnp.full((w, n_to - n_from), fill, p.dtype)], axis=1)
         return p
 
-    # dynamic collider planes, collider order (j gathers) + grid order
-    # (i side)
-    dyn_c = list(cpos) + list(cq) + list(v_sweep)              # 10 × [W,C]
-    colj_dyn = jnp.stack([padl(p, c, cpp) for p in dyn_c], axis=1)
-    dyn_g = _grid_multi(cx.inc_gc, dyn_c)                      # 10 × [W,Cg]
-    coli_dyn = jnp.stack([padl(p, cg, cgp) for p in dyn_g], axis=1)
+    if not full_bp:
+        # dynamic collider planes, collider order (j gathers) + grid
+        # order (i side)
+        dyn_c = list(cpos) + list(cq) + list(v_sweep)          # 10 × [W,C]
+        colj_dyn = jnp.stack([padl(p, c, cpp) for p in dyn_c], axis=1)
+        dyn_g = _grid_multi(cx.inc_gc, dyn_c)                  # 10 × [W,Cg]
+        coli_dyn = jnp.stack([padl(p, cg, cgp) for p in dyn_g], axis=1)
 
     # static tables (cached on the ctx)
     if getattr(cx, "_fused_statics", None) is None:
@@ -1557,17 +1597,19 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
     coli_sta = jnp.asarray(coli_sta)
     self_body = jnp.asarray(self_body)
 
-    # candidate windows → one [W, NS, Cgp] int tensor, −1 invalid
-    jv_parts = []
-    for (cls, ns_c, _r0) in class_layout:
-        cand = cands[cls]
-        jr = jnp.where(cand.valid, cand.j_real, -1)            # [W, cg*ns]
-        jr = jr.reshape(w, cg, ns_c).transpose(0, 2, 1)        # [W, ns, cg]
-        if cgp > cg:
-            jr = jnp.concatenate(
-                [jr, jnp.full((w, ns_c, cgp - cg), -1, jr.dtype)], axis=2)
-        jv_parts.append(jr)
-    jv = jnp.concatenate(jv_parts, axis=1).astype(jnp.int32)
+    if not full_bp:
+        # candidate windows → one [W, NS, Cgp] int tensor, −1 invalid
+        jv_parts = []
+        for (cls, ns_c, _r0) in class_layout:
+            cand = cands[cls]
+            jr = jnp.where(cand.valid, cand.j_real, -1)        # [W, cg*ns]
+            jr = jr.reshape(w, cg, ns_c).transpose(0, 2, 1)    # [W, ns, cg]
+            if cgp > cg:
+                jr = jnp.concatenate(
+                    [jr, jnp.full((w, ns_c, cgp - cg), -1, jr.dtype)],
+                    axis=2)
+            jv_parts.append(jr)
+        jv = jnp.concatenate(jv_parts, axis=1).astype(jnp.int32)
 
     def to_sc(p):
         x = p.reshape(w, cg, s).transpose(0, 2, 1)
@@ -1604,16 +1646,39 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
 
     params = jnp.concatenate(
         [_kernel_params(t, dt),
-         jnp.asarray(margin, jnp.float32).reshape(1)])
+         jnp.asarray(margin, jnp.float32).reshape(1),
+         jnp.asarray(sc.cell, jnp.float32).reshape(1),
+         jnp.asarray(dt, jnp.float32).reshape(1)])
 
-    body_out, lam_out, pid_out = pf.fused_step_pallas(
-        params, body_planes, colj_dyn, colj_sta, coli_dyn, coli_sta,
-        jv, warm_lam, warm_pid, self_body,
-        s=s, cg=cgp, bp=bp, cp_=cpp, num_colliders=sc.num_colliders,
-        class_layout=class_layout, combos=cx.combos,
-        n_sub=t.n_substeps, n_pgs=t.n_pgs, n_stab=t.n_stabilization,
-        msp=float(t.mass_split_pow), interpret=interpret,
-        split=_os.environ.get("FYROX_FUSED_STEP") == "2")
+    if full_bp:
+        from fyrox_tpu.physics.world import (PREDICTION_DISTANCE,
+                                             SPECULATIVE_MARGIN)
+        if getattr(cx, "_fused_bp_statics", None) is None:
+            cx._fused_bp_statics = _build_fused_bp_statics(
+                cx, sc, cpp, cgp, bp, class_layout)
+        inc_j, inc_gct, bp_sta_j, bp_sta_i, jv_big = [
+            jnp.asarray(a) for a in cx._fused_bp_statics]
+        body_out, lam_out, pid_out = pf.fused_full_step_pallas(
+            params, body_planes, colj_sta, coli_sta, inc_j, inc_gct,
+            bp_sta_j, bp_sta_i, jv_big, warm_lam, warm_pid, self_body,
+            s=s, cg=cgp, bp=bp, cp_=cpp, num_colliders=sc.num_colliders,
+            class_layout=class_layout, combos=cx.combos,
+            nbig=int(sc.big_cols.size), cg_real=cg,
+            s_walk=int(sc.s_walk),
+            tight_delta=SPECULATIVE_MARGIN - PREDICTION_DISTANCE,
+            zbits=bp_mod._QBITS_Z, zfine_div=float(bp_mod._ZFINE),
+            n_sub=t.n_substeps, n_pgs=t.n_pgs, n_stab=t.n_stabilization,
+            msp=float(t.mass_split_pow), interpret=interpret,
+            split=_os.environ.get("FYROX_FUSED_STEP") == "2")
+    else:
+        body_out, lam_out, pid_out = pf.fused_step_pallas(
+            params, body_planes, colj_dyn, colj_sta, coli_dyn, coli_sta,
+            jv, warm_lam, warm_pid, self_body,
+            s=s, cg=cgp, bp=bp, cp_=cpp, num_colliders=sc.num_colliders,
+            class_layout=class_layout, combos=cx.combos,
+            n_sub=t.n_substeps, n_pgs=t.n_pgs, n_stab=t.n_stabilization,
+            msp=float(t.mass_split_pow), interpret=interpret,
+            split=_os.environ.get("FYROX_FUSED_STEP") == "2")
 
     lv_o = tuple(body_out[:, i, :b] for i in range(3))
     av_o = tuple(body_out[:, 3 + i, :b] for i in range(3))
@@ -1622,6 +1687,45 @@ def _run_fused_step(cx, t, cands, cpos, cq, v_sweep, margin, pos, q, lv,
     lams = tuple(from_sc(lam_out[:, i]) for i in range(3))
     pid_new = from_sc(pid_out)
     return pos_o, q_o, lv_o, av_o, lams, pid_new
+
+
+def _build_fused_bp_statics(cx, sc, cpp, cgp, bp, class_layout):
+    """NUMPY static tables for the in-kernel broadphase (cached on cx;
+    see pallas_step.fused_full_step_pallas for the row layouts)."""
+    c, cg = cx.c, cx.cg
+    gi = sc.grid_cols
+    inc_j = np.zeros((bp, cpp), np.float32)
+    inc_j[cx.col_body[:c], np.arange(c)] = 1.0
+    inc_gct = np.zeros((cpp, cgp), np.float32)
+    inc_gct[gi, np.arange(cg)] = 1.0
+    bp_sta_j = np.zeros((8, cpp), np.float32)
+    bp_sta_j[0:3, :c] = cx.col_pos.T
+    bp_sta_j[3:7, :c] = cx.col_rot.T
+    bp_sta_j[6, c:] = 1.0            # identity quat on padded lanes
+    bp_sta_i = np.zeros((16, cgp), np.float32)
+    bp_sta_i[0] = -1.0
+    bp_sta_i[0, :cg] = gi
+    bp_sta_i[1, :cg] = cx.shape[gi]
+    bp_sta_i[2, :cg] = cx.dyn_col[gi]
+    bp_sta_i[3, :cg] = cx.col_body[gi]
+    bp_sta_i[4, :cg] = 1.0           # lane_valid
+    kind_i_g = sc.kinds[gi]
+    for kb in range(7):
+        bp_sta_i[5 + kb, :cg] = sc.cls_tab[kind_i_g, kb]
+    bp_sta_i[12, :cg] = sc.sweep_cap[gi]
+    rows = []
+    for (cls, _nslot, _row0) in class_layout:
+        for bidx in sc.big_cols:
+            kb = int(sc.kinds[bidx])
+            valid = ((cx.col_body[bidx] != cx.col_body[gi])
+                     & (cx.dyn_col[gi] | bool(cx.dyn_col[bidx]))
+                     & (sc.cls_tab[kind_i_g, kb] == cls))
+            row = np.full(cgp, -1.0, np.float32)
+            row[:cg] = np.where(valid, float(bidx), -1.0)
+            rows.append(row)
+    jv_big = (np.stack(rows) if rows
+              else np.full((1, cgp), -1.0, np.float32))
+    return inc_j, inc_gct, bp_sta_j, bp_sta_i, jv_big
 
 
 def _run_solver_kernel(cx, t, con, pos, q, lv, av, accel, ii0, lam0,
@@ -1762,6 +1866,8 @@ def bp_demand_stats(t, state, period=1, dt=1.0 / 60.0):
     else:
         amin, amax = _aabb_planes(cx, t, cpos, crot9, scale3(lv_c, dt),
                                   margin)
+        from fyrox_tpu.physics.world import PREDICTION_DISTANCE
+        kw = dict(tight_delta=SPECULATIVE_MARGIN - PREDICTION_DISTANCE)
     _, demand = bp_mod.slab_candidates(sc, cx.col_body, cx.dyn_col,
                                        _stack(amin), _stack(amax),
                                        return_demand=True, **kw)
@@ -1802,8 +1908,17 @@ def overflow_stats(t, state):
     attrs_f, _ = _narrowphase_windows(cx, t, cands, cpos, cq, crot9,
                                       v_sweep, margin, jnp.float32)
     n_valid = np.asarray(jnp.sum(attrs_f["act"], axis=2))
+    from fyrox_tpu.physics.world import PREDICTION_DISTANCE
+    # the rapier-equivalent tier (within prediction_distance): compaction
+    # packs these first, so only THIS count overflowing s_active ever
+    # drops a contact rapier itself would have generated
+    n_tight = np.asarray(jnp.sum(
+        attrs_f["act"] * (attrs_f["depth"] > -PREDICTION_DISTANCE),
+        axis=2))
     s = cx.s_active
     return dict(max_active_points=int(n_valid.max()),
                 mean_active_points=float(n_valid.mean()),
+                max_tight_points=int(n_tight.max()),
                 s_active=s,
-                dropped_points=int(np.maximum(n_valid - s, 0).sum()))
+                dropped_points=int(np.maximum(n_valid - s, 0).sum()),
+                tight_dropped_points=int(np.maximum(n_tight - s, 0).sum()))

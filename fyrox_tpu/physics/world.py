@@ -40,6 +40,14 @@ DYNAMIC, STATIC, KINEMATIC = 0, 1, 2
 # approach limiter, which is what lets piles dropped from height settle
 # without transient interpenetration.
 SPECULATIVE_MARGIN = 0.05
+# rapier's contact activation distance (IntegrationParameters::
+# prediction_distance default, physics/mod.rs:900). Everything rapier
+# itself would generate lives within THIS margin; the wider
+# SPECULATIVE_MARGIN band above is our approach-limiter extension. Under
+# slot-window overflow, compaction packs the rapier-equivalent tier
+# first (broadphase.slab_candidates tight_delta / slab2._compact), so
+# capacity pressure only ever drops beyond-rapier speculative extras.
+PREDICTION_DISTANCE = 0.002
 
 
 class BodyType:

@@ -141,12 +141,19 @@ def test_fused_warmstart_carries(monkeypatch):
     ref = _run(monkeypatch, t, s0,
                {"FYROX_PALLAS_INTERPRET": None,
                 "FYROX_NO_PALLAS_SOLVER": "1"}, steps=60)
-    # settled: velocities near zero on both paths — a broken warm pid
-    # match loses impulses every step and the stack never settles, so
-    # this is the semantic assertion (per-step carry equality is pinned
-    # bit-tight by test_fused_matches_solver_kernel_single_step)
-    assert np.abs(got.linvel).max() < 0.2
+    # the two paths' velocity envelopes and warm-impulse mass must
+    # agree — a broken warm pid match loses impulses every step, which
+    # shows up as diverging velocities and a drained warm carry
+    # (measured traces are IDENTICAL at 3 decimals on both paths; the
+    # scene itself is still rolling at ~0.9 m/s after 60 steps, so a
+    # settledness bound would test the scene, not the kernel)
+    v_ref = np.abs(ref.linvel).max()
+    v_got = np.abs(got.linvel).max()
+    assert abs(v_got - v_ref) < 0.2 * max(v_ref, 0.1), (v_ref, v_got)
+    wr = np.abs(ref.warm_n).sum()
+    wg = np.abs(got.warm_n).sum()
+    assert wg > 0.0 and abs(wg - wr) < 0.5 * max(wr, 1e-3), (wr, wg)
     dp = np.abs(ref.position - got.position).max()
-    # measured 2.1e-3 after 60 settling steps (f32 reduction-order noise
-    # compounding through contact chaos); bound at 2x
+    # measured 2.1e-3 after 60 contact-chaos steps (f32 reduction-order
+    # noise compounding); bound at 2x
     assert dp < 5e-3, dp
